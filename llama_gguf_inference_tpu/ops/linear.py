@@ -1,0 +1,161 @@
+"""Linear-layer weight containers: dense bf16 or quantized-resident.
+
+The TPU-native replacement for llama.cpp's per-quant-type dequant+matmul CUDA
+kernels (delegated by the reference to the llama-server binary, SURVEY.md
+§2.9).  Design:
+
+- weights live in HBM in a *repacked* dense layout per format family —
+  power-of-two bitfield codes plus a (super-block scale, sub-block int8
+  scale/min) hierarchy — chosen so in-kernel unpacking is pure shift/mask on
+  the VPU and the MXU sees large bf16 tiles;
+- every container is a pytree, so the same model code works dense or
+  quantized, on CPU (XLA fallback) or TPU (Pallas kernels in
+  ``ops.matmul_kernels``), and shards with jax.sharding partition specs along
+  the out-features axis (keeps quant blocks intact, SURVEY.md §7 step 7).
+
+``matmul(w, x)`` computes ``x @ W.T`` for x: (..., in) -> (..., out).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType, QK_K
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls) if f.metadata.get("pytree", True)]
+    static = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("pytree", True)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=static)
+    return cls
+
+
+def static_field(**kw):
+    return dataclasses.field(metadata={"pytree": False}, **kw)
+
+
+@_register
+@dataclasses.dataclass
+class DenseLinear:
+    """Plain bf16/f32 weight, shape (out, in)."""
+
+    w: jax.Array
+    out_features: int = static_field(default=0)
+    in_features: int = static_field(default=0)
+
+    @staticmethod
+    def from_f32(w: np.ndarray, dtype=jnp.bfloat16) -> "DenseLinear":
+        o, i = w.shape
+        return DenseLinear(w=jnp.asarray(w, dtype=dtype), out_features=o, in_features=i)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        return jax.lax.dot_general(
+            x, self.w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    def dequantize(self) -> jax.Array:
+        return self.w
+
+
+@_register
+@dataclasses.dataclass
+class QuantLinear:
+    """Quantized-resident weight in the repacked TPU layout.
+
+    Decode rule (vectorized over the whole tensor):
+
+        w[o, i] = d[o, sb(i)] * sc[o, b(i)] * q[o, i] - dmin[o, sb(i)] * mn[o, b(i)]
+
+    where ``sb(i) = i // QK_K`` indexes super-blocks, ``b(i) = i // sub_size``
+    sub-blocks.  ``q`` comes from ``codes`` by shift/mask (bits ∈ {2,4,8}) and
+    subtracting ``code_bias``.  Symmetric formats have ``dmin``/``mn`` = None.
+
+    Repacked forms of the GGML wire formats (converted at load time from the
+    mmap'd file by ``quant.repack``):
+
+    ==========  ====  =========  ====================================
+    fmt         bits  sub_size   scale hierarchy
+    ==========  ====  =========  ====================================
+    q8_0        8     32         d: f32 per 32 (sc == 1)
+    q4_0        4     32         d: f32 per 32, bias 8
+    q4_1        4     32         d + dmin: f32 per 32 (mn == 1)
+    q5_0/q5_1   8     32         repacked to int8 codes
+    q4_k        4     32         d,dmin f32 / 256; sc,mn u8 / 32
+    q5_k        8     32         same hierarchy, int8 codes
+    q6_k        8     16         d f32 / 256; sc i8 / 16, bias 32
+    q3_k        4     16         d f32 / 256; sc i8 / 16, bias 4
+    q2_k        4     16         d,dmin f32 / 256; sc,mn u8 / 16
+    iq4_nl/xs   8     32/256     codebook applied at repack -> int8
+    ==========  ====  =========  ====================================
+    """
+
+    codes: jax.Array                     # packed codes, (out, in * bits // 8) uint8 or (out, in) int8
+    d: jax.Array                         # (out, in // d_size) f32
+    sc: jax.Array | None                 # (out, in // sub_size) int8/uint8 sub-scales or None
+    dmin: jax.Array | None               # (out, in // d_size) f32
+    mn: jax.Array | None                 # (out, in // sub_size) uint8
+    fmt: str = static_field(default="q8_0")
+    bits: int = static_field(default=8)
+    sub_size: int = static_field(default=32)    # elements per sub-block (sc/mn granularity)
+    d_size: int = static_field(default=32)      # elements per super-block (d/dmin granularity)
+    code_bias: int = static_field(default=0)    # subtract from unpacked code
+    out_features: int = static_field(default=0)
+    in_features: int = static_field(default=0)
+
+    # -- decode (XLA reference path; Pallas kernels mirror this exactly) ----
+    def _unpack_codes(self) -> jax.Array:
+        """Return integer codes (out, in) as int32 minus bias."""
+        o, i = self.out_features, self.in_features
+        if self.bits == 8:
+            q = self.codes.astype(jnp.int32)
+        elif self.bits == 4:
+            b = self.codes.astype(jnp.int32)          # (out, in//2); low nibble = even elem
+            q = jnp.stack([b & 0x0F, b >> 4], axis=-1).reshape(o, i)
+        elif self.bits == 2:
+            b = self.codes.astype(jnp.int32)          # (out, in//4)
+            q = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3],
+                          axis=-1).reshape(o, i)
+        else:
+            raise NotImplementedError(f"bits={self.bits}")
+        return q - self.code_bias
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Full dequant to (out, in) — XLA fallback and test path."""
+        o, i = self.out_features, self.in_features
+        q = self._unpack_codes().astype(jnp.float32)
+        scale = jnp.repeat(self.d, self.d_size, axis=1)
+        if self.sc is not None:
+            scale = scale * jnp.repeat(self.sc.astype(jnp.float32), self.sub_size, axis=1)
+        w = q * scale
+        if self.dmin is not None:
+            m = jnp.repeat(self.dmin, self.d_size, axis=1)
+            if self.mn is not None:
+                m = m * jnp.repeat(self.mn.astype(jnp.float32), self.sub_size, axis=1)
+            w = w - m
+        return w.astype(dtype)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        from .matmul_kernels import quant_matmul
+        return quant_matmul(self, x)
+
+    def matmul_xla(self, x: jax.Array) -> jax.Array:
+        w = self.dequantize(x.dtype)
+        return jax.lax.dot_general(
+            x, w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+
+LinearWeight = DenseLinear | QuantLinear
+
+
+def matmul(w: LinearWeight, x: jax.Array) -> jax.Array:
+    return w.matmul(x)

@@ -1,0 +1,255 @@
+"""Repack native GGML wire blocks into the TPU-resident layout.
+
+GGUF block formats scatter bits across interleaved nibble/`qh` arrays and pack
+sub-block scales into 6-bit fields — fine for sequential CPU decode, hostile
+to vectorized TPU unpacking.  At load time we repack each weight into the
+uniform layout consumed by :class:`ops.linear.QuantLinear`:
+
+- codes: power-of-two bitfields (2/4/8 bits), element ``2i`` in the low nibble
+- scales: f32 super-block ``d``(/``dmin``) + int8/uint8 sub-block ``sc``(/``mn``)
+
+Repacking must be *value-exact*: ``QuantLinear.dequantize()`` over the repacked
+arrays equals ``quant.numpy_ref.dequantize()`` over the wire bytes bit-for-bit
+(pinned in tests/test_repack.py).  5/6-bit codes are widened to int8 — costing
+HBM bytes but keeping the kernel zoo at two unpack variants; revisit with
+bit-sliced storage if bandwidth-bound formats matter more than kernel count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, QK_K, type_block_info
+from .numpy_ref import (
+    KVALUES_IQ4NL,
+    _f16,
+    _k4_scale_min,
+    _q3k_q6k_scales,
+    _q5_high_bits,
+)
+
+
+@dataclasses.dataclass
+class RepackedWeight:
+    """Host-side (numpy) repacked arrays + static metadata for QuantLinear."""
+
+    codes: np.ndarray
+    d: np.ndarray
+    sc: np.ndarray | None
+    dmin: np.ndarray | None
+    mn: np.ndarray | None
+    fmt: str
+    bits: int
+    sub_size: int
+    d_size: int
+    code_bias: int
+    out_features: int
+    in_features: int
+
+
+def _pack4(q: np.ndarray) -> np.ndarray:
+    """(out, in) uint8 codes < 16 -> (out, in//2), element 2i in low nibble."""
+    return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _pack2(q: np.ndarray) -> np.ndarray:
+    """(out, in) uint8 codes < 4 -> (out, in//4), element 4i in bits 0-1."""
+    return (q[:, 0::4] | (q[:, 1::4] << 2) | (q[:, 2::4] << 4)
+            | (q[:, 3::4] << 6)).astype(np.uint8)
+
+
+def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
+           out_features: int, in_features: int) -> RepackedWeight:
+    """Repack a (out, in) weight whose rows are contiguous wire blocks."""
+    t = GGMLType(ggml_type)
+    buf = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
+    blk, nbytes = type_block_info(t)
+    if in_features % blk != 0:
+        raise ValueError(f"in_features {in_features} not divisible by block {blk}")
+    bpr = in_features // blk                       # blocks per row
+    blocks = buf[: out_features * bpr * nbytes].reshape(out_features * bpr, nbytes)
+    O, I = out_features, in_features
+
+    def rw(codes, d, sc=None, dmin=None, mn=None, *, bits, sub, dsz, bias=0):
+        return RepackedWeight(
+            codes=codes, d=d.reshape(O, -1).astype(np.float32),
+            sc=None if sc is None else sc.reshape(O, -1),
+            dmin=None if dmin is None else dmin.reshape(O, -1).astype(np.float32),
+            mn=None if mn is None else mn.reshape(O, -1),
+            fmt=t.name.lower(), bits=bits, sub_size=sub, d_size=dsz,
+            code_bias=bias, out_features=O, in_features=I,
+        )
+
+    if t == GGMLType.Q8_0:
+        d = _f16(blocks[:, 0:2])
+        q = blocks[:, 2:34].view(np.int8)
+        return rw(q.reshape(O, I).copy(), d, bits=8, sub=32, dsz=32)
+
+    if t == GGMLType.Q4_0:
+        d = _f16(blocks[:, 0:2])
+        qs = blocks[:, 2:18]
+        q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).reshape(O, I)
+        return rw(_pack4(q), d, bits=4, sub=32, dsz=32, bias=8)
+
+    if t == GGMLType.Q4_1:
+        d = _f16(blocks[:, 0:2])
+        m = _f16(blocks[:, 2:4])
+        qs = blocks[:, 4:20]
+        q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).reshape(O, I)
+        return rw(_pack4(q), d, dmin=-m, bits=4, sub=32, dsz=32)
+
+    if t == GGMLType.Q5_0:
+        d = _f16(blocks[:, 0:2])
+        hb = _q5_high_bits(blocks[:, 2:6])
+        qs = blocks[:, 6:22]
+        q = np.concatenate([(qs & 0x0F) | (hb[:, :16] << 4),
+                            (qs >> 4) | (hb[:, 16:] << 4)], axis=1)
+        codes = (q.astype(np.int16) - 16).astype(np.int8).reshape(O, I)
+        return rw(codes, d, bits=8, sub=32, dsz=32)
+
+    if t == GGMLType.Q5_1:
+        d = _f16(blocks[:, 0:2])
+        m = _f16(blocks[:, 2:4])
+        hb = _q5_high_bits(blocks[:, 4:8])
+        qs = blocks[:, 8:24]
+        q = np.concatenate([(qs & 0x0F) | (hb[:, :16] << 4),
+                            (qs >> 4) | (hb[:, 16:] << 4)], axis=1)
+        return rw(q.astype(np.int8).reshape(O, I), d, dmin=-m, bits=8, sub=32, dsz=32)
+
+    if t == GGMLType.Q8_1:
+        d = _f16(blocks[:, 0:2])
+        q = blocks[:, 4:36].view(np.int8)
+        return rw(q.reshape(O, I).copy(), d, bits=8, sub=32, dsz=32)
+
+    if t == GGMLType.Q2_K:
+        scb = blocks[:, 0:16]
+        qs = blocks[:, 16:80]
+        d = _f16(blocks[:, 80:82])
+        dmin = _f16(blocks[:, 82:84])
+        nb = blocks.shape[0]
+        q = np.empty((nb, 256), dtype=np.uint8)
+        for half in range(2):
+            src = qs[:, 32 * half:32 * (half + 1)]
+            for j in range(4):
+                q[:, 128 * half + 32 * j:128 * half + 32 * (j + 1)] = (src >> (2 * j)) & 3
+        return rw(_pack2(q.reshape(O, I)), d, sc=(scb & 0x0F), dmin=dmin,
+                  mn=(scb >> 4), bits=2, sub=16, dsz=256)
+
+    if t == GGMLType.Q3_K:
+        hmask = blocks[:, 0:32]
+        qs = blocks[:, 32:96]
+        scales = _q3k_q6k_scales(blocks[:, 96:108]).astype(np.int8)
+        d = _f16(blocks[:, 108:110])
+        nb = blocks.shape[0]
+        q = np.empty((nb, 256), dtype=np.uint8)
+        m = 1
+        for half in range(2):
+            src = qs[:, 32 * half:32 * (half + 1)]
+            for j in range(4):
+                lowq = (src >> (2 * j)) & 3
+                hbit = ((hmask & m) != 0).astype(np.uint8)
+                # biased code in [0,7]: q = low2 + 4*hbit  (value = q - 4)
+                q[:, 128 * half + 32 * j:128 * half + 32 * (j + 1)] = lowq + 4 * hbit
+                m <<= 1
+        return rw(_pack4(q.reshape(O, I)), d, sc=scales, bits=4, sub=16, dsz=256, bias=4)
+
+    if t == GGMLType.Q4_K:
+        d = _f16(blocks[:, 0:2])
+        dmin = _f16(blocks[:, 2:4])
+        sc, mn = _k4_scale_min(blocks[:, 4:16])
+        qs = blocks[:, 16:144]
+        nb = blocks.shape[0]
+        q = np.empty((nb, 256), dtype=np.uint8)
+        for c in range(4):
+            src = qs[:, 32 * c:32 * (c + 1)]
+            q[:, 64 * c:64 * c + 32] = src & 0x0F
+            q[:, 64 * c + 32:64 * c + 64] = src >> 4
+        return rw(_pack4(q.reshape(O, I)), d, sc=sc, dmin=dmin, mn=mn,
+                  bits=4, sub=32, dsz=256)
+
+    if t == GGMLType.Q5_K:
+        d = _f16(blocks[:, 0:2])
+        dmin = _f16(blocks[:, 2:4])
+        sc, mn = _k4_scale_min(blocks[:, 4:16])
+        qh = blocks[:, 16:48]
+        qs = blocks[:, 48:176]
+        nb = blocks.shape[0]
+        q = np.empty((nb, 256), dtype=np.uint8)
+        for c in range(4):
+            src = qs[:, 32 * c:32 * (c + 1)]
+            q[:, 64 * c:64 * c + 32] = (src & 0x0F) | (((qh >> (2 * c)) & 1) << 4)
+            q[:, 64 * c + 32:64 * c + 64] = (src >> 4) | (((qh >> (2 * c + 1)) & 1) << 4)
+        return rw(q.astype(np.int8).reshape(O, I), d, sc=sc, dmin=dmin, mn=mn,
+                  bits=8, sub=32, dsz=256)
+
+    if t == GGMLType.Q6_K:
+        ql = blocks[:, 0:128]
+        qh = blocks[:, 128:192]
+        sc = blocks[:, 192:208].view(np.int8)
+        d = _f16(blocks[:, 208:210])
+        nb = blocks.shape[0]
+        q = np.empty((nb, 256), dtype=np.int16)
+        for half in range(2):
+            l_ = ql[:, 64 * half:64 * half + 32]
+            l32 = ql[:, 64 * half + 32:64 * half + 64]
+            h = qh[:, 32 * half:32 * (half + 1)]
+            base = 128 * half
+            q[:, base + 0:base + 32] = ((l_ & 0x0F) | (((h >> 0) & 3) << 4)).astype(np.int16) - 32
+            q[:, base + 32:base + 64] = ((l32 & 0x0F) | (((h >> 2) & 3) << 4)).astype(np.int16) - 32
+            q[:, base + 64:base + 96] = ((l_ >> 4) | (((h >> 4) & 3) << 4)).astype(np.int16) - 32
+            q[:, base + 96:base + 128] = ((l32 >> 4) | (((h >> 6) & 3) << 4)).astype(np.int16) - 32
+        return rw(q.astype(np.int8).reshape(O, I), d, sc=sc.copy(),
+                  bits=8, sub=16, dsz=256)
+
+    if t == GGMLType.Q8_K:
+        d = blocks[:, 0:4].copy().view("<f4")
+        q = blocks[:, 4:260].view(np.int8)
+        return rw(q.reshape(O, I).copy(), d, bits=8, sub=256, dsz=256)
+
+    if t == GGMLType.IQ4_NL:
+        d = _f16(blocks[:, 0:2])
+        qs = blocks[:, 2:18]
+        idx = np.concatenate([qs & 0x0F, qs >> 4], axis=1)
+        codes = KVALUES_IQ4NL[idx].astype(np.int8).reshape(O, I)
+        return rw(codes, d, bits=8, sub=32, dsz=32)
+
+    if t == GGMLType.IQ4_XS:
+        d = _f16(blocks[:, 0:2])
+        scales_h = blocks[:, 2:4].copy().view("<u2").astype(np.uint32)
+        scales_l = blocks[:, 4:8]
+        qs = blocks[:, 8:136]
+        nb = blocks.shape[0]
+        ls = np.empty((nb, 8), dtype=np.int8)
+        for ib in range(8):
+            lo = (scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0x0F
+            hi = (scales_h[:, 0] >> (2 * ib)) & 0x03
+            ls[:, ib] = ((lo.astype(np.int32) | (hi.astype(np.int32) << 4)) - 32).astype(np.int8)
+        idx = np.empty((nb, 256), dtype=np.uint8)
+        for ib in range(8):
+            src = qs[:, 16 * ib:16 * (ib + 1)]
+            idx[:, 32 * ib:32 * ib + 16] = src & 0x0F
+            idx[:, 32 * ib + 16:32 * (ib + 1)] = src >> 4
+        codes = KVALUES_IQ4NL[idx].astype(np.int8).reshape(O, I)
+        return rw(codes, d, sc=ls, bits=8, sub=32, dsz=256)
+
+    raise NotImplementedError(f"repack for {t!r}")
+
+
+def to_quant_linear(rp: RepackedWeight):
+    """Move repacked host arrays onto device as a QuantLinear pytree."""
+    import jax.numpy as jnp
+
+    from ..ops.linear import QuantLinear
+
+    return QuantLinear(
+        codes=jnp.asarray(rp.codes),
+        d=jnp.asarray(rp.d, dtype=jnp.float32),
+        sc=None if rp.sc is None else jnp.asarray(rp.sc),
+        dmin=None if rp.dmin is None else jnp.asarray(rp.dmin, dtype=jnp.float32),
+        mn=None if rp.mn is None else jnp.asarray(rp.mn),
+        fmt=rp.fmt, bits=rp.bits, sub_size=rp.sub_size, d_size=rp.d_size,
+        code_bias=rp.code_bias,
+        out_features=rp.out_features, in_features=rp.in_features,
+    )

@@ -8,10 +8,18 @@ before the first ``import jax`` anywhere in the process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env pins JAX_PLATFORMS=axon (one real TPU chip via a
+# tunnel with slow remote compiles) and sitecustomize imports jax at
+# interpreter start, so env vars are too late — use jax.config instead.
+# Unit tests must be fast + deterministic; TPU benches run via bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import asyncio
 import inspect

@@ -1,0 +1,41 @@
+"""Repacked TPU layout must decode bit-exactly equal to the wire format."""
+
+import numpy as np
+import pytest
+
+from llama_gguf_inference_tpu.gguf.constants import GGMLType
+from llama_gguf_inference_tpu.quant import dequantize, quantize
+from llama_gguf_inference_tpu.quant.repack import repack, to_quant_linear
+
+FORMATS = [
+    GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+    GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+    GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+]
+
+
+@pytest.mark.parametrize("gtype", FORMATS, ids=lambda t: t.name)
+def test_repack_dequant_exact(gtype, rng):
+    out_f, in_f = 4, 512
+    x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+    raw = quantize(x, gtype)
+
+    golden = dequantize(raw, gtype, out_f * in_f).reshape(out_f, in_f)
+    rp = repack(raw, gtype, out_f, in_f)
+    ql = to_quant_linear(rp)
+    got = np.asarray(ql.dequantize(np.float32))
+    np.testing.assert_array_equal(got, golden, err_msg=f"{gtype.name} repack mismatch")
+
+
+@pytest.mark.parametrize("gtype", [GGMLType.Q8_0, GGMLType.Q4_K], ids=lambda t: t.name)
+def test_quant_matmul_xla_matches_dense(gtype, rng):
+    out_f, in_f = 8, 256
+    x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+    raw = quantize(x, gtype)
+    ql = to_quant_linear(repack(raw, gtype, out_f, in_f))
+    act = rng.normal(size=(3, in_f)).astype(np.float32)
+
+    w = np.asarray(ql.dequantize(np.float32))
+    want = act @ w.T
+    got = np.asarray(ql.matmul_xla(act))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
