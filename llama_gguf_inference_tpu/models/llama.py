@@ -1,0 +1,204 @@
+"""Llama-family forward graph in JAX (also covers Mixtral via MoE blocks).
+
+TPU-native replacement for the transformer graph inside llama.cpp's
+``llama-server`` (the reference's opaque C++ backend, SURVEY.md §2.9 / §3.2).
+Design rules (XLA compilation model):
+
+- one jitted step function handles both prefill (T = chunk) and decode (T = 1)
+  with static shapes; continuous batching pads into fixed buckets
+- weights are ``LinearWeight`` pytrees — dense bf16 or quantized-resident —
+  so the same graph runs the XLA fallback on CPU and Pallas kernels on TPU
+- KV cache is a preallocated (B, S_max, n_kv, head_dim) buffer per layer;
+  per-sequence write offsets use vmapped dynamic_update_slice
+- RoPE follows GGUF weight conventions: "norm" style (interleaved pairs) for
+  llama/mixtral — matching how convert scripts permute Q/K for llama.cpp
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import LinearWeight, matmul
+from .config import ModelConfig
+
+Params = dict[str, Any]  # nested dict pytree; layer i under params["layers"][i]
+
+
+class KVCache(NamedTuple):
+    """Per-layer ring buffers: k, v are (L, B, S_max, n_kv_heads, head_dim)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def zeros(cfg: ModelConfig, batch: int, max_seq: int,
+              dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
+                base: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables: positions (B, T) -> (B, T, rope_dim // 2) f32."""
+    half = rope_dim // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * freqs  # (B, T, half)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               interleaved: bool) -> jax.Array:
+    """x: (B, T, H, head_dim). Rotates the first rope_dim dims of each head."""
+    half = cos.shape[-1]
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if interleaved:  # GGUF "norm" style: pairs (2i, 2i+1)
+        xr = xf[..., : 2 * half].reshape(*x.shape[:-1], half, 2)
+        x0, x1 = xr[..., 0], xr[..., 1]
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+        r0 = x0 * c - x1 * s
+        r1 = x0 * s + x1 * c
+        rot = jnp.stack([r0, r1], axis=-1).reshape(*x.shape[:-1], 2 * half)
+    else:  # "neox" style: halves (i, i + half)
+        x0 = xf[..., :half]
+        x1 = xf[..., half: 2 * half]
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+        rot = jnp.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
+    if 2 * half == x.shape[-1]:
+        return rot.astype(dtype)
+    return jnp.concatenate([rot, xf[..., 2 * half:]], axis=-1).astype(dtype)
+
+
+def _write_kv(cache: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
+    """cache (B, S, H, D) <- new (B, T, H, D) at per-sequence offsets (B,)."""
+
+    def one(c, n, off):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (off, 0, 0))
+
+    return jax.vmap(one)(cache, new, offsets)
+
+
+def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
+              cos: jax.Array, sin: jax.Array, k_cache: jax.Array,
+              v_cache: jax.Array, offsets: jax.Array,
+              mask: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x: (B, T, D). Returns (out, new_k_cache, new_v_cache)."""
+    B, T, _ = x.shape
+    H, KVH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    q = matmul(layer["attn_q"], x).reshape(B, T, H, hd)
+    k = matmul(layer["attn_k"], x).reshape(B, T, KVH, hd)
+    v = matmul(layer["attn_v"], x).reshape(B, T, KVH, hd)
+
+    q = apply_rope(q, cos, sin, cfg.rope_interleaved)
+    k = apply_rope(k, cos, sin, cfg.rope_interleaved)
+
+    k_cache = _write_kv(k_cache, k, offsets)
+    v_cache = _write_kv(v_cache, v, offsets)
+
+    # grouped-query attention over the full cache buffer (masked)
+    group = H // KVH
+    S = k_cache.shape[1]
+    qh = q.reshape(B, T, KVH, group, hd)
+    scores = jnp.einsum("btkgd,bskd->bkgts", qh.astype(jnp.float32),
+                        k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache.astype(jnp.float32))
+    ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+    return matmul(layer["attn_output"], ctx), k_cache, v_cache
+
+
+def ffn_swiglu(layer: Params, x: jax.Array) -> jax.Array:
+    gate = matmul(layer["ffn_gate"], x)
+    up = matmul(layer["ffn_up"], x)
+    return matmul(layer["ffn_down"], jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
+
+
+def ffn_moe(layer: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Mixtral-style top-k routed experts.
+
+    Dense formulation: every expert runs on every token, outputs weighted by
+    the (renormalized) top-k router probs.  Correct and XLA-friendly for small
+    expert counts; the EP-sharded all-to-all path replaces this at scale.
+    """
+    B, T, D = x.shape
+    n_exp, k = cfg.n_experts, cfg.n_experts_used
+    router = matmul(layer["ffn_gate_inp"], x)                 # (B, T, n_exp)
+    probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)                      # (B, T, k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # weight per expert: sum over selected slots
+    onehot = jax.nn.one_hot(topi, n_exp, dtype=jnp.float32)   # (B, T, k, E)
+    w_exp = jnp.einsum("btk,btke->bte", topv, onehot)         # (B, T, E)
+
+    out = jnp.zeros((B, T, D), jnp.float32)
+    for e in range(n_exp):
+        ex = layer["experts"][e]
+        y = ffn_swiglu(ex, x)
+        out = out + y.astype(jnp.float32) * w_exp[..., e:e + 1]
+    return out.astype(x.dtype)
+
+
+def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
+            offsets: jax.Array, cache: KVCache,
+            lengths: jax.Array) -> tuple[jax.Array, KVCache]:
+    """One model step over a (B, T) token chunk.
+
+    Args:
+      params: weight pytree (see runtime.loader for the schema)
+      token_ids: (B, T) int32 — right-padded chunk
+      offsets: (B,) int32 — number of tokens already in each sequence's cache
+      cache: KVCache with buffers (L, B, S_max, KVH, hd)
+      lengths: (B,) int32 — valid tokens in this chunk (<= T)
+
+    Returns:
+      logits (B, T, vocab) f32 and the updated cache.
+    """
+    B, T = token_ids.shape
+    S = cache.k.shape[2]
+
+    x = jnp.take(params["tok_embd"], token_ids, axis=0)       # (B, T, D)
+
+    positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_dim, cfg.rope_base)
+
+    # mask (B, T, S): key s visible to query t iff s <= offset + t and s is
+    # a written slot (s < offset + T chunk region or pre-existing)
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    q_pos = positions[:, :, None]
+    mask = s_idx <= q_pos
+    valid_q = (jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None])
+    mask = mask & valid_q[:, :, None]
+
+    new_k = []
+    new_v = []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        attn_out, k_c, v_c = attention(layer, cfg, h, cos, sin,
+                                       cache.k[i], cache.v[i], offsets, mask)
+        new_k.append(k_c)
+        new_v.append(v_c)
+        x = x + attn_out
+        h = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        if cfg.is_moe:
+            x = x + ffn_moe(layer, cfg, h)
+        else:
+            x = x + ffn_swiglu(layer, h)
+
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    logits = matmul(params["output"], x).astype(jnp.float32)
+    return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))

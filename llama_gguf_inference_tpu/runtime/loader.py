@@ -1,0 +1,116 @@
+"""GGUF -> JAX params loader.
+
+Maps mmap'd quantized super-blocks directly into device layouts (SURVEY.md
+§5.4: "GGUF is the checkpoint").  Two modes:
+
+- ``quant`` (default): weight matrices stay quantized-resident as
+  ``QuantLinear`` (repacked TPU layout, ``quant.repack``); norms stay f32;
+  the embedding table is dequantized to bf16 (it is gathered, not matmul'd)
+- ``dense``: everything dequantized to bf16 — the correctness baseline
+
+Tensor names follow the llama.cpp GGUF export convention (``blk.N.attn_q``…),
+which is what any real-world .gguf contains.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFReader
+from ..models.config import ModelConfig
+from ..ops.linear import DenseLinear, LinearWeight
+from ..quant.repack import repack, to_quant_linear
+
+_FLOAT_TYPES = (GGMLType.F32, GGMLType.F16, GGMLType.BF16)
+
+
+def _load_linear(reader: GGUFReader, name: str, mode: str) -> LinearWeight:
+    info = reader.tensors[name]
+    out_f, in_f = info.shape  # numpy order (out, in); blocks run along in
+    if mode == "dense" or info.ggml_type in _FLOAT_TYPES:
+        w = reader.tensor_f32(name)
+        return DenseLinear.from_f32(w, dtype=jnp.bfloat16)
+    rp = repack(reader.tensor_bytes(name), info.ggml_type, out_f, in_f)
+    return to_quant_linear(rp)
+
+
+def _load_array(reader: GGUFReader, name: str, dtype=jnp.float32):
+    return jnp.asarray(reader.tensor_f32(name), dtype=dtype)
+
+
+def load_model(path: str | Path, mode: str = "quant"):
+    """Returns (config, params, metadata)."""
+    reader = GGUFReader(path)
+    cfg = ModelConfig.from_gguf_metadata(reader.metadata)
+    params = load_params(reader, cfg, mode)
+    return cfg, params, reader
+
+
+def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant") -> dict[str, Any]:
+    t = reader.tensors
+    params: dict[str, Any] = {
+        "tok_embd": _load_array(reader, "token_embd.weight", jnp.bfloat16),
+        "output_norm": _load_array(reader, "output_norm.weight"),
+    }
+    if "output.weight" in t:
+        params["output"] = _load_linear(reader, "output.weight", mode)
+    else:  # tied embeddings
+        w = reader.tensor_f32("token_embd.weight")
+        params["output"] = DenseLinear.from_f32(w, dtype=jnp.bfloat16)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        layer: dict[str, Any] = {
+            "attn_norm": _load_array(reader, p + "attn_norm.weight"),
+            "attn_q": _load_linear(reader, p + "attn_q.weight", mode),
+            "attn_k": _load_linear(reader, p + "attn_k.weight", mode),
+            "attn_v": _load_linear(reader, p + "attn_v.weight", mode),
+            "attn_output": _load_linear(reader, p + "attn_output.weight", mode),
+            "ffn_norm": _load_array(reader, p + "ffn_norm.weight"),
+        }
+        if cfg.is_moe:
+            layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight", mode)
+            layer["experts"] = _load_experts(reader, p, cfg, mode)
+        else:
+            for n in ("ffn_gate", "ffn_up", "ffn_down"):
+                layer[n] = _load_linear(reader, p + f"{n}.weight", mode)
+        layers.append(layer)
+    params["layers"] = layers
+    return params
+
+
+def _load_experts(reader: GGUFReader, prefix: str, cfg: ModelConfig,
+                  mode: str) -> list[dict[str, LinearWeight]]:
+    """Both modern stacked ``ffn_*_exps`` 3D tensors and legacy per-expert
+    ``ffn_*.{e}`` tensors."""
+    t = reader.tensors
+    experts: list[dict[str, LinearWeight]] = []
+    if prefix + "ffn_gate_exps.weight" in t:
+        for e in range(cfg.n_experts):
+            ex = {}
+            for n in ("ffn_gate", "ffn_up", "ffn_down"):
+                name = prefix + f"{n}_exps.weight"
+                info = t[name]
+                n_exp, out_f, in_f = info.shape
+                if mode == "dense" or info.ggml_type in _FLOAT_TYPES:
+                    w = reader.tensor_f32(name)[e]
+                    ex[n] = DenseLinear.from_f32(w, dtype=jnp.bfloat16)
+                else:
+                    raw = reader.tensor_bytes(name)
+                    per = info.nbytes // n_exp
+                    ex[n] = to_quant_linear(
+                        repack(raw[e * per:(e + 1) * per], info.ggml_type, out_f, in_f))
+            experts.append(ex)
+        return experts
+    for e in range(cfg.n_experts):
+        experts.append({
+            n: _load_linear(reader, prefix + f"{n}.{e}.weight", mode)
+            for n in ("ffn_gate", "ffn_up", "ffn_down")
+        })
+    return experts

@@ -63,8 +63,9 @@ class Tokenizer:
         raise NotImplementedError
 
     def piece(self, token_id: int) -> str:
-        """Decoded text of a single token (streaming-safe via decode of [id])."""
-        return self.decode([token_id])
+        """Decoded text of a single token, streaming-safe: no prefix-space
+        stripping (the stream consumer strips once at stream start)."""
+        return self.decode([token_id], _strip_prefix=False)
 
     def is_eog(self, token_id: int) -> bool:
         return token_id in self.eog_ids
@@ -151,7 +152,7 @@ class SPMTokenizer(Tokenizer):
             i = nxt[i] if alive[i] else i + 1
         return out
 
-    def decode(self, ids: Sequence[int]) -> str:
+    def decode(self, ids: Sequence[int], _strip_prefix: bool = True) -> str:
         buf = bytearray()
         for tid in ids:
             if not 0 <= tid < self.vocab_size:
@@ -165,7 +166,9 @@ class SPMTokenizer(Tokenizer):
             else:
                 buf.extend(self.tokens[tid].replace(SPM_SPACE, " ").encode("utf-8"))
         text = buf.decode("utf-8", errors="replace")
-        return text[1:] if text.startswith(" ") and self.add_space_prefix else text
+        if _strip_prefix and self.add_space_prefix and text.startswith(" "):
+            return text[1:]
+        return text
 
 
 def _bytes_to_unicode() -> dict[int, str]:

@@ -1,0 +1,118 @@
+"""Synthetic GGUF model factories.
+
+The environment (like the reference's CI, which runs ``MOCK_BACKEND=true`` —
+reference ``.github/workflows/ci.yml:185-228``) has no model weights; tests
+and benches synthesize spec-compliant GGUF files instead.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys, TokenType
+from ..gguf.writer import GGUFWriter
+
+
+def make_tiny_vocab() -> tuple[list[str], list[float], list[int]]:
+    """A minimal SPM-style vocab: specials, byte fallbacks, a few words."""
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(TokenType.BYTE)
+        scores.append(0.0)
+    words = ["▁the", "▁quick", "▁brown", "▁fox", "▁jumps", "▁over", "▁lazy",
+             "▁dog", "▁hello", "▁world", "▁a", "▁of", "▁to", "▁and", "▁in",
+             "he", "ll", "o", "w", "or", "ld", "▁", "s", "t", "e", "a", "i",
+             "n", "r", "d", "u", "m", "th", "er", "on", "an"]
+    # SPM greedy merging needs every prefix of a word present (real vocabs
+    # satisfy this); synthesize the intermediate pieces with worse scores
+    pieces: dict[str, float] = {}
+    for rank, wd in enumerate(words):
+        for plen in range(2, len(wd) + 1):
+            pre = wd[:plen]
+            score = -float(rank) if pre == wd else -100.0 - plen
+            pieces.setdefault(pre, score)
+        pieces[wd] = -float(rank)
+    for wd, score in pieces.items():
+        tokens.append(wd)
+        types.append(TokenType.NORMAL)
+        scores.append(score)
+    return tokens, scores, [int(t) for t in types]
+
+
+def write_tiny_llama(
+    path: str | Path,
+    *,
+    dim: int = 64,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    ffn_dim: int = 128,
+    n_experts: int = 0,
+    n_experts_used: int = 0,
+    context_length: int = 256,
+    quant: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    tie_output: bool = False,
+) -> Path:
+    """Write a small random-weight llama/mixtral GGUF file."""
+    rng = np.random.default_rng(seed)
+    tokens, scores, types = make_tiny_vocab()
+    vocab = len(tokens)
+    arch = "mixtral" if n_experts else "llama"
+    # quantized tensors need in_features divisible by the block size
+    head_dim = dim // n_heads
+
+    w = GGUFWriter(path)
+    w.add(Keys.ARCHITECTURE, "llama")   # mixtral uses arch "llama" + expert keys in practice
+    w.add(Keys.NAME, f"tiny-{arch}")
+    w.add("llama.context_length", context_length)
+    w.add("llama.embedding_length", dim)
+    w.add("llama.block_count", n_layers)
+    w.add("llama.feed_forward_length", ffn_dim)
+    w.add("llama.attention.head_count", n_heads)
+    w.add("llama.attention.head_count_kv", n_kv_heads)
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", 10000.0)
+    w.add("llama.rope.dimension_count", head_dim)
+    if n_experts:
+        w.add("llama.expert_count", n_experts)
+        w.add("llama.expert_used_count", n_experts_used or 2)
+    w.add(Keys.TOKENIZER_MODEL, "llama")
+    w.add(Keys.TOKENIZER_TOKENS, tokens)
+    w.add(Keys.TOKENIZER_SCORES, np.asarray(scores, dtype=np.float32))
+    w.add(Keys.TOKENIZER_TOKEN_TYPE, np.asarray(types, dtype=np.int32))
+    w.add(Keys.TOKENIZER_BOS, 1)
+    w.add(Keys.TOKENIZER_EOS, 2)
+    w.add(Keys.TOKENIZER_UNK, 0)
+    w.add(Keys.TOKENIZER_ADD_BOS, True)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", rand(vocab, dim), GGMLType.F32)
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        w.add_tensor(p + "attn_q.weight", rand(n_heads * head_dim, dim), quant)
+        w.add_tensor(p + "attn_k.weight", rand(n_kv_heads * head_dim, dim), quant)
+        w.add_tensor(p + "attn_v.weight", rand(n_kv_heads * head_dim, dim), quant)
+        w.add_tensor(p + "attn_output.weight", rand(dim, n_heads * head_dim), quant)
+        w.add_tensor(p + "ffn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        if n_experts:
+            w.add_tensor(p + "ffn_gate_inp.weight", rand(n_experts, dim), GGMLType.F32)
+            w.add_tensor(p + "ffn_gate_exps.weight", rand(n_experts, ffn_dim, dim), quant)
+            w.add_tensor(p + "ffn_up_exps.weight", rand(n_experts, ffn_dim, dim), quant)
+            w.add_tensor(p + "ffn_down_exps.weight", rand(n_experts, dim, ffn_dim), quant)
+        else:
+            w.add_tensor(p + "ffn_gate.weight", rand(ffn_dim, dim), quant)
+            w.add_tensor(p + "ffn_up.weight", rand(ffn_dim, dim), quant)
+            w.add_tensor(p + "ffn_down.weight", rand(dim, ffn_dim), quant)
+    w.add_tensor("output_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+    if not tie_output:
+        w.add_tensor("output.weight", rand(vocab, dim), quant)
+    return w.write()
