@@ -1,0 +1,389 @@
+"""The inference engine: slots, continuous batching, streaming.
+
+TPU-native replacement for llama.cpp's ``llama-server`` slot scheduler (the
+reference's only concurrency is a gateway-side semaphore queue feeding the
+backend, SURVEY.md §2.13; llama-server itself continuous-batches across
+"slots").  Design:
+
+- ``max_slots`` sequences share one static-shape decode batch; one jitted
+  decode step per iteration advances every active slot (inactive slots are
+  masked — they run on pad tokens and their outputs are ignored)
+- prompt prefill runs per-slot through bucketed-length jitted chunks writing
+  straight into that slot's KV cache slice (no cross-slot FLOP waste)
+- sampling state lives on device (SampleState); stop-string / EOG checks and
+  detokenization happen host-side, overlapped with the next device step
+- the engine is transport-agnostic: the serving gateway talks to it through
+  ``submit()`` + per-request output queues (thread-safe), mirroring how the
+  reference gateway proxies to the backend over localhost TCP
+  (gateway.py:836-841) but in-process
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+import uuid
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import KVCache, forward
+from .loader import load_model
+from .sampler import SampleState, SamplingParams, sample, top_logprobs
+from .tokenizer import Tokenizer, from_gguf_metadata
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_slots: int = 4
+    ctx: int = 2048                    # per-slot KV capacity (reference CTX env)
+    prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
+    kv_dtype: Any = jnp.bfloat16
+    mode: str = "quant"                # weight residency: "quant" | "dense"
+
+
+@dataclasses.dataclass
+class GenEvent:
+    """One streamed token (or terminal event) for a request."""
+
+    token_id: int = -1
+    text: str = ""
+    finished: bool = False
+    finish_reason: str | None = None   # "stop" | "length"
+    n_prompt: int = 0
+    n_generated: int = 0
+    logprob: float | None = None
+    top_logprobs: list[tuple[int, float]] | None = None
+
+
+@dataclasses.dataclass
+class _Slot:
+    state: str = "free"                # free | prefill | active
+    request_id: str = ""
+    prompt_ids: list[int] = dataclasses.field(default_factory=list)
+    generated: list[int] = dataclasses.field(default_factory=list)
+    params: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    out: "queue.Queue[GenEvent]" = dataclasses.field(default_factory=queue.Queue)
+    text_buf: str = ""                 # emitted text (for stop-string scanning)
+    pending_text: str = ""             # held back: possible stop-string prefix
+    started: float = 0.0
+    offset: int = 0                    # tokens currently in this slot's cache
+
+
+class InferenceEngine:
+    """Owns model weights, KV pool, jitted step functions, scheduler thread."""
+
+    def __init__(self, model_path: str, engine_cfg: EngineConfig | None = None):
+        self.ecfg = engine_cfg or EngineConfig()
+        cfg, params, reader = load_model(model_path, mode=self.ecfg.mode)
+        self.cfg = cfg
+        self.params = params
+        self.metadata = dict(reader.metadata)
+        self.tokenizer: Tokenizer = from_gguf_metadata(reader.metadata)
+        self.model_name = str(self.metadata.get("general.name", "model"))
+        reader.close()
+
+        B, S = self.ecfg.max_slots, self.ecfg.ctx
+        self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
+        self.sample_state = SampleState.init(B, cfg.vocab_size)
+        self.slots = [_Slot() for _ in range(B)]
+        self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stop_evt = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._last_decode_s = 0.0      # EWMA of decode step wall time
+        self.total_generated = 0
+        self.total_prompt_tokens = 0
+
+        self._build_step_fns()
+
+    # ------------------------------------------------------------------ jit
+    def _build_step_fns(self) -> None:
+        cfg = self.cfg
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache: KVCache, tokens, offsets, st: SampleState):
+            # tokens (B, 1); offsets (B,)
+            logits, cache = forward(params, cfg, tokens, offsets, cache,
+                                    jnp.ones(tokens.shape[0], jnp.int32))
+            last = logits[:, 0, :]
+            tok, st = sample(last, st)
+            lp = jax.nn.log_softmax(last, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+            return tok, st, cache, tok_lp
+
+        self._decode_step = decode_step
+
+        # per-bucket prefill over a single slot's cache slice
+        def make_prefill(T: int):
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, cache_slice: KVCache, tokens, offset, length):
+                # cache_slice buffers (L, 1, S, H, D); tokens (1, T)
+                logits, cache_slice = forward(
+                    params, cfg, tokens, offset[None], cache_slice, length[None])
+                idx = jnp.maximum(length - 1, 0)
+                return logits[0, idx, :], cache_slice
+            return prefill
+
+        self._prefill_fns = {T: make_prefill(T) for T in self.ecfg.prefill_buckets}
+
+    # ------------------------------------------------------------- requests
+    def submit(self, prompt: str | list[int], params: SamplingParams,
+               request_id: str | None = None) -> tuple[str, "queue.Queue[GenEvent]"]:
+        """Enqueue a request; returns (request_id, event queue)."""
+        rid = request_id or uuid.uuid4().hex[:16]
+        if isinstance(prompt, str):
+            ids = self.tokenizer.encode(prompt)
+        else:
+            ids = list(prompt)
+        ids = ids[: self.ecfg.ctx - 1]
+        out: "queue.Queue[GenEvent]" = queue.Queue()
+        self._queue.put((rid, ids, params, out))
+        return rid, out
+
+    def generate(self, prompt: str | list[int], params: SamplingParams | None = None,
+                 timeout: float = 300.0) -> Iterator[GenEvent]:
+        """Blocking convenience iterator over one request's stream."""
+        _, out = self.submit(prompt, params or SamplingParams())
+        while True:
+            ev = out.get(timeout=timeout)
+            yield ev
+            if ev.finished:
+                return
+
+    def generate_text(self, prompt: str | list[int],
+                      params: SamplingParams | None = None) -> str:
+        return "".join(ev.text for ev in self.generate(prompt, params))
+
+    # ------------------------------------------------------------ scheduler
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True,
+                                            name="engine-loop")
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop_evt.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def _loop(self) -> None:
+        while not self._stop_evt.is_set():
+            if not self.step():
+                # idle: block briefly on the queue to avoid spinning
+                try:
+                    item = self._queue.get(timeout=0.05)
+                    self._queue.put(item)
+                except queue.Empty:
+                    pass
+
+    def n_active(self) -> int:
+        return sum(s.state != "free" for s in self.slots)
+
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
+    def step(self) -> bool:
+        """One scheduler iteration.  Returns True if any work was done."""
+        admitted = self._admit()
+        decoded = self._decode()
+        return admitted or decoded
+
+    # -- admission + prefill -------------------------------------------------
+    def _admit(self) -> bool:
+        did = False
+        for b, slot in enumerate(self.slots):
+            if slot.state != "free":
+                continue
+            try:
+                rid, ids, params, out = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            slot.state = "prefill"
+            slot.request_id = rid
+            slot.prompt_ids = ids
+            slot.generated = []
+            slot.params = params
+            slot.out = out
+            slot.text_buf = ""
+            slot.pending_text = ""
+            slot.started = time.monotonic()
+            slot.offset = 0
+            self.sample_state = self.sample_state.write_slot(b, params)
+            self._prefill_slot(b)
+            did = True
+        return did
+
+    def _bucket(self, n: int) -> int:
+        for t in self.ecfg.prefill_buckets:
+            if n <= t:
+                return t
+        return self.ecfg.prefill_buckets[-1]
+
+    def _prefill_slot(self, b: int) -> None:
+        slot = self.slots[b]
+        ids = slot.prompt_ids
+        self.total_prompt_tokens += len(ids)
+        # slice this slot's cache out of the pool
+        k = self.cache.k[:, b:b + 1]
+        v = self.cache.v[:, b:b + 1]
+        cache_slice = KVCache(k=k, v=v)
+        pos = 0
+        logits_last = None
+        while pos < len(ids):
+            remaining = len(ids) - pos
+            chunk = min(remaining, self.ecfg.prefill_buckets[-1])
+            T = self._bucket(chunk)
+            tok = np.zeros((1, T), np.int32)
+            tok[0, :chunk] = ids[pos:pos + chunk]
+            logits_last, cache_slice = self._prefill_fns[T](
+                self.params, cache_slice, jnp.asarray(tok),
+                jnp.int32(pos), jnp.int32(chunk))
+            pos += chunk
+        self.cache = KVCache(
+            k=self.cache.k.at[:, b:b + 1].set(cache_slice.k),
+            v=self.cache.v.at[:, b:b + 1].set(cache_slice.v),
+        )
+        slot.offset = len(ids)
+        # sample the first generated token from the prefill logits
+        tok, self.sample_state = self._sample_one(b, logits_last)
+        self._emit_token(b, int(tok))
+        if self.slots[b].state != "free":
+            self.slots[b].state = "active"
+
+    def _sample_one(self, b: int, logits_row: jax.Array):
+        """Sample for a single slot using the batched sampler (other rows fed
+        with the same logits but their counts/steps untouched)."""
+        B = self.ecfg.max_slots
+        logits = jnp.broadcast_to(logits_row[None, :], (B, logits_row.shape[0]))
+        tok, st = sample(logits, self.sample_state)
+        # keep only slot b's state mutation
+        st = SampleState(
+            temperature=self.sample_state.temperature,
+            top_p=self.sample_state.top_p, top_k=self.sample_state.top_k,
+            min_p=self.sample_state.min_p, presence=self.sample_state.presence,
+            frequency=self.sample_state.frequency, repeat=self.sample_state.repeat,
+            seed=self.sample_state.seed,
+            counts=self.sample_state.counts.at[b].set(st.counts[b]),
+            step=self.sample_state.step.at[b].set(st.step[b]),
+        )
+        return tok[b], st
+
+    # -- batched decode ------------------------------------------------------
+    def _decode(self) -> bool:
+        active = [b for b, s in enumerate(self.slots) if s.state == "active"]
+        if not active:
+            return False
+        B = self.ecfg.max_slots
+        tokens = np.zeros((B, 1), np.int32)
+        offsets = np.zeros(B, np.int32)
+        for b, slot in enumerate(self.slots):
+            if slot.state == "active":
+                tokens[b, 0] = slot.generated[-1]
+                offsets[b] = slot.offset
+        t0 = time.monotonic()
+        tok, self.sample_state, self.cache, tok_lp = self._decode_step(
+            self.params, self.cache, jnp.asarray(tokens), jnp.asarray(offsets),
+            self.sample_state)
+        tok = np.asarray(tok)
+        tok_lp = np.asarray(tok_lp)
+        dt = time.monotonic() - t0
+        self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt if self._last_decode_s else dt
+        for b in active:
+            slot = self.slots[b]
+            slot.offset += 1
+            self._emit_token(b, int(tok[b]), float(tok_lp[b]))
+        return True
+
+    # -- emission / termination ---------------------------------------------
+    def _emit_token(self, b: int, token_id: int, logprob: float | None = None) -> None:
+        slot = self.slots[b]
+        slot.generated.append(token_id)
+        self.total_generated += 1
+        n_gen = len(slot.generated)
+
+        finish: str | None = None
+        if self.tokenizer.is_eog(token_id):
+            finish = "stop"
+        elif n_gen >= slot.params.max_tokens:
+            finish = "length"
+        elif slot.offset + 1 >= self.ecfg.ctx:
+            finish = "length"
+
+        text = "" if finish == "stop" and self.tokenizer.is_eog(token_id) \
+            else self.tokenizer.piece(token_id)
+        if n_gen == 1:
+            text = text.lstrip(" ") if getattr(self.tokenizer, "add_space_prefix", False) else text
+
+        # stop-string scanning with holdback of possible prefixes
+        emit_text = ""
+        if finish is not None:
+            # terminal token: flush any held-back text plus this piece
+            emit_text = slot.pending_text + text
+            slot.pending_text = ""
+        elif slot.params.stop:
+            slot.pending_text += text
+            stops = slot.params.stop
+            hit = None
+            for s_str in stops:
+                idx = slot.pending_text.find(s_str)
+                if idx >= 0:
+                    hit = (idx, s_str)
+                    break
+            if hit is not None:
+                emit_text = slot.pending_text[:hit[0]]
+                slot.pending_text = ""
+                finish = "stop"
+            else:
+                # hold back the longest suffix that could start a stop string
+                keep = 0
+                for s_str in stops:
+                    for plen in range(min(len(s_str) - 1, len(slot.pending_text)), 0, -1):
+                        if slot.pending_text.endswith(s_str[:plen]):
+                            keep = max(keep, plen)
+                            break
+                if keep:
+                    emit_text = slot.pending_text[:-keep]
+                    slot.pending_text = slot.pending_text[-keep:]
+                else:
+                    emit_text = slot.pending_text
+                    slot.pending_text = ""
+        else:
+            emit_text = text
+
+        slot.text_buf += emit_text
+        ev = GenEvent(
+            token_id=token_id, text=emit_text,
+            finished=finish is not None, finish_reason=finish,
+            n_prompt=len(slot.prompt_ids), n_generated=n_gen,
+            logprob=logprob,
+        )
+        slot.out.put(ev)
+        if finish is not None:
+            self._release(b)
+
+    def _release(self, b: int) -> None:
+        slot = self.slots[b]
+        slot.state = "free"
+        slot.request_id = ""
+        slot.offset = 0
+
+    # -- health --------------------------------------------------------------
+    def stats(self) -> dict:
+        return {
+            "model": self.model_name,
+            "slots_total": self.ecfg.max_slots,
+            "slots_active": self.n_active(),
+            "queue_depth": self.queue_depth(),
+            "ctx": self.ecfg.ctx,
+            "total_generated": self.total_generated,
+            "total_prompt_tokens": self.total_prompt_tokens,
+            "decode_step_ewma_ms": round(self._last_decode_s * 1000, 3),
+        }

@@ -1,0 +1,161 @@
+"""Batched, jittable token sampling.
+
+Replaces llama.cpp's per-slot sampler chain (the reference exposes its knobs
+through the OpenAI API: temperature/top_p/penalties/stop — reference
+``docs/API_REFERENCE.md:369-379``).  All requests in a decode batch sample in
+one fused XLA computation with per-request parameter vectors; randomness is
+``jax.random`` with per-slot fold-in counters (deterministic per seed).
+
+Supported: temperature (0 => greedy), top_k, top_p, min_p, presence/frequency
+penalties (OpenAI semantics), repeat penalty (llama.cpp semantics, applied to
+any token seen in the sequence so far), logit_bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Host-side per-request sampling configuration (OpenAI + llama.cpp knobs)."""
+
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0               # 0 = disabled
+    min_p: float = 0.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repeat_penalty: float = 1.0  # 1.0 = disabled
+    seed: int = 0
+    max_tokens: int = 256
+    stop: tuple[str, ...] = ()
+    logit_bias: dict[int, float] | None = None
+    n_probs: int = 0             # logprobs per token (OpenAI `logprobs`)
+
+
+class SampleState(NamedTuple):
+    """Device-side per-slot sampling state (all (B, ...) arrays)."""
+
+    temperature: jax.Array       # (B,) f32
+    top_p: jax.Array             # (B,) f32
+    top_k: jax.Array             # (B,) i32
+    min_p: jax.Array             # (B,) f32
+    presence: jax.Array          # (B,) f32
+    frequency: jax.Array         # (B,) f32
+    repeat: jax.Array            # (B,) f32
+    seed: jax.Array              # (B,) u32
+    counts: jax.Array            # (B, vocab) i32 — tokens emitted so far
+    step: jax.Array              # (B,) i32 — fold-in counter
+
+    @staticmethod
+    def init(batch: int, vocab: int) -> "SampleState":
+        z = jnp.zeros(batch, jnp.float32)
+        return SampleState(
+            temperature=jnp.ones(batch, jnp.float32),
+            top_p=jnp.ones(batch, jnp.float32),
+            top_k=jnp.zeros(batch, jnp.int32),
+            min_p=z, presence=z, frequency=z,
+            repeat=jnp.ones(batch, jnp.float32),
+            seed=jnp.zeros(batch, jnp.uint32),
+            counts=jnp.zeros((batch, vocab), jnp.int32),
+            step=jnp.zeros(batch, jnp.int32),
+        )
+
+    def write_slot(self, b: int, p: SamplingParams, prompt_ids=None) -> "SampleState":
+        """Host-side slot (re)initialization when a request is admitted."""
+        counts = self.counts.at[b].set(0)
+        if prompt_ids is not None and len(prompt_ids):
+            ids = jnp.asarray(np.asarray(prompt_ids, dtype=np.int32))
+            counts = counts.at[b].add(
+                jnp.zeros(self.counts.shape[1], jnp.int32).at[ids].add(1))
+        return self._replace(
+            temperature=self.temperature.at[b].set(p.temperature),
+            top_p=self.top_p.at[b].set(p.top_p),
+            top_k=self.top_k.at[b].set(p.top_k),
+            min_p=self.min_p.at[b].set(p.min_p),
+            presence=self.presence.at[b].set(p.presence_penalty),
+            frequency=self.frequency.at[b].set(p.frequency_penalty),
+            repeat=self.repeat.at[b].set(p.repeat_penalty),
+            seed=self.seed.at[b].set(np.uint32(p.seed)),
+            counts=counts,
+            step=self.step.at[b].set(0),
+        )
+
+
+def apply_penalties(logits: jax.Array, st: SampleState) -> jax.Array:
+    """logits (B, V) f32 with OpenAI presence/frequency + llama.cpp repeat."""
+    seen = (st.counts > 0)
+    logits = logits - st.presence[:, None] * seen.astype(jnp.float32)
+    logits = logits - st.frequency[:, None] * st.counts.astype(jnp.float32)
+    rp = st.repeat[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, penalized, logits)
+    return logits
+
+
+def _mask_top_k(logits: jax.Array, k: jax.Array) -> jax.Array:
+    V = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    k_eff = jnp.where(k > 0, jnp.clip(k, 1, V), V)
+    thresh = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
+    return jnp.where(logits >= thresh, logits, -jnp.inf)
+
+
+def _mask_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
+    probs = jax.nn.softmax(logits, axis=-1)
+    sp = jnp.sort(probs, axis=-1)[:, ::-1]
+    cum = jnp.cumsum(sp, axis=-1)
+    # keep the smallest prefix with cumulative prob >= top_p (always >= 1 token)
+    keep_sorted = (cum - sp) < top_p[:, None]
+    # threshold = prob of the last kept sorted entry
+    last_idx = jnp.maximum(jnp.sum(keep_sorted, axis=-1) - 1, 0)
+    thresh = jnp.take_along_axis(sp, last_idx[:, None], axis=-1)
+    return jnp.where(probs >= thresh, logits, -jnp.inf)
+
+
+def _mask_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = probs.max(axis=-1, keepdims=True)
+    return jnp.where(probs >= min_p[:, None] * pmax, logits, -jnp.inf)
+
+
+def sample(logits: jax.Array, st: SampleState) -> tuple[jax.Array, SampleState]:
+    """logits (B, V) f32 -> token ids (B,) i32; updates counts/step.
+
+    Jit-safe: all control flow is element-wise selects.
+    """
+    B, V = logits.shape
+    logits = apply_penalties(logits, st)
+
+    greedy = st.temperature <= 0.0
+    temp = jnp.where(greedy, 1.0, jnp.maximum(st.temperature, 1e-6))
+    scaled = logits / temp[:, None]
+    scaled = _mask_top_k(scaled, st.top_k)
+    scaled = _mask_min_p(scaled, st.min_p)
+    scaled = _mask_top_p(scaled, st.top_p)
+
+    # per-slot keys: fold seed and step into a counter-based key
+    def draw(seed, step, row):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        key = jax.random.fold_in(key, step)
+        return jax.random.categorical(key, row)
+
+    sampled = jax.vmap(draw)(st.seed, st.step.astype(jnp.uint32), scaled)
+    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tok = jnp.where(greedy, argmax, sampled.astype(jnp.int32))
+
+    counts = st.counts.at[jnp.arange(B), tok].add(1)
+    return tok, st._replace(counts=counts, step=st.step + 1)
+
+
+def top_logprobs(logits: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """Top-n (logprob, token) per row for OpenAI `logprobs` responses."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(lp, n)
+    return vals, idx

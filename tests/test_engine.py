@@ -1,0 +1,100 @@
+"""Engine tests: generation, streaming, continuous batching, stop handling."""
+
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+from llama_gguf_inference_tpu.gguf import GGMLType
+from llama_gguf_inference_tpu.runtime.engine import EngineConfig, InferenceEngine
+from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+from llama_gguf_inference_tpu.utils.testing import write_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    write_tiny_llama(path, dim=64, n_layers=2, n_heads=4, n_kv_heads=2, ffn_dim=96)
+    eng = InferenceEngine(str(path), EngineConfig(
+        max_slots=2, ctx=128, prefill_buckets=(16, 32), mode="dense"))
+    eng.start()
+    yield eng
+    eng.stop()
+
+
+def test_greedy_generation_deterministic(engine):
+    p = SamplingParams(temperature=0.0, max_tokens=8)
+    out1 = [ev.token_id for ev in engine.generate("hello world", p)]
+    out2 = [ev.token_id for ev in engine.generate("hello world", p)]
+    assert out1 == out2
+    assert 1 <= len(out1) <= 8
+
+
+def test_stream_events_have_metadata(engine):
+    p = SamplingParams(temperature=0.0, max_tokens=4)
+    evs = list(engine.generate("the quick brown fox", p))
+    assert evs[-1].finished
+    assert evs[-1].finish_reason in ("stop", "length")
+    assert all(ev.n_prompt > 0 for ev in evs)
+    assert [ev.n_generated for ev in evs] == list(range(1, len(evs) + 1))
+
+
+def test_max_tokens_respected(engine):
+    p = SamplingParams(temperature=0.0, max_tokens=3)
+    evs = list(engine.generate("hello", p))
+    assert len(evs) == 3
+    assert evs[-1].finish_reason in ("stop", "length")
+
+
+def test_concurrent_requests_batched(engine):
+    """More requests than slots; all must complete with consistent results."""
+    p = SamplingParams(temperature=0.0, max_tokens=6)
+    solo = [ev.token_id for ev in engine.generate("the lazy dog", p)]
+
+    results = {}
+
+    def worker(i, prompt):
+        results[i] = [ev.token_id for ev in engine.generate(prompt, p)]
+
+    threads = [threading.Thread(target=worker, args=(i, "the lazy dog"))
+               for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 5
+    for i in range(5):
+        assert results[i] == solo, f"request {i} diverged under batching"
+
+
+def test_sampled_generation_seed_reproducible(engine):
+    p1 = SamplingParams(temperature=0.9, seed=42, max_tokens=8)
+    p2 = SamplingParams(temperature=0.9, seed=42, max_tokens=8)
+    p3 = SamplingParams(temperature=0.9, seed=43, max_tokens=8)
+    a = [ev.token_id for ev in engine.generate("hello world", p1)]
+    b = [ev.token_id for ev in engine.generate("hello world", p2)]
+    c = [ev.token_id for ev in engine.generate("hello world", p3)]
+    assert a == b
+    # different seed normally diverges (not guaranteed; tiny model) — at
+    # minimum it must complete
+    assert len(c) >= 1
+
+
+def test_stop_string(engine):
+    # force the stop string to appear by using a stop that matches emitted text
+    p = SamplingParams(temperature=0.0, max_tokens=20)
+    full = engine.generate_text("the quick brown", p)
+    if len(full) > 2:
+        needle = full[1:3]
+        p2 = SamplingParams(temperature=0.0, max_tokens=20, stop=(needle,))
+        stopped = engine.generate_text("the quick brown", p2)
+        assert needle not in stopped
+        assert stopped == full.split(needle)[0]
+
+
+def test_engine_stats(engine):
+    s = engine.stats()
+    assert s["slots_total"] == 2
+    assert s["total_generated"] > 0
+    assert s["ctx"] == 128
