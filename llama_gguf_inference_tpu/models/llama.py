@@ -155,7 +155,7 @@ def ffn_moe(layer: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
             offsets: jax.Array, cache: KVCache,
-            lengths: jax.Array) -> tuple[jax.Array, KVCache]:
+            lengths: jax.Array, return_hidden: bool = False):
     """One model step over a (B, T) token chunk.
 
     Args:
@@ -201,4 +201,7 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
 
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     logits = matmul(params["output"], x).astype(jnp.float32)
-    return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    out_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    if return_hidden:
+        return logits, out_cache, x
+    return logits, out_cache

@@ -133,6 +133,22 @@ class InferenceEngine:
 
         self._prefill_fns = {T: make_prefill(T) for T in self.ecfg.prefill_buckets}
 
+        # mean-pooled embedding over valid positions (for /v1/embeddings)
+        def make_embed(T: int):
+            @jax.jit
+            def embed(params, tokens, length):
+                cache = KVCache.zeros(cfg, 1, T)
+                _, _, hidden = forward(params, cfg, tokens,
+                                       jnp.zeros(1, jnp.int32), cache,
+                                       length[None], return_hidden=True)
+                mask = (jnp.arange(T) < length)[None, :, None]
+                pooled = jnp.sum(jnp.where(mask, hidden.astype(jnp.float32), 0.0),
+                                 axis=1) / jnp.maximum(length, 1)
+                return pooled[0]
+            return embed
+
+        self._embed_fns = {T: make_embed(T) for T in self.ecfg.prefill_buckets}
+
     # ------------------------------------------------------------- requests
     def submit(self, prompt: str | list[int], params: SamplingParams,
                request_id: str | None = None) -> tuple[str, "queue.Queue[GenEvent]"]:
@@ -160,6 +176,21 @@ class InferenceEngine:
     def generate_text(self, prompt: str | list[int],
                       params: SamplingParams | None = None) -> str:
         return "".join(ev.text for ev in self.generate(prompt, params))
+
+    def embed(self, prompt: str | list[int]) -> tuple[list[float], int]:
+        """Mean-pooled final-hidden-state embedding; returns (vector, n_tokens).
+
+        Runs synchronously outside the scheduler (uses its own scratch cache,
+        does not touch the slot pool).
+        """
+        ids = self.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
+        ids = ids[: self.ecfg.prefill_buckets[-1]]
+        T = self._bucket(len(ids))
+        tok = np.zeros((1, T), np.int32)
+        tok[0, :len(ids)] = ids
+        vec = self._embed_fns[T](self.params, jnp.asarray(tok),
+                                 jnp.int32(len(ids)))
+        return [float(x) for x in np.asarray(vec)], len(ids)
 
     # ------------------------------------------------------------ scheduler
     def start(self) -> None:

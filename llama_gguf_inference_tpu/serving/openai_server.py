@@ -1,0 +1,377 @@
+"""The backend server: OpenAI-compatible HTTP API over the TPU engine.
+
+This is the process that replaces llama.cpp's ``llama-server`` binary
+(reference ``start.sh:473-522`` spawns it on ``127.0.0.1:8080`` with
+``--api-key-file``; SURVEY.md §2.9 lists the endpoint surface).  Endpoints:
+
+- ``POST /v1/chat/completions`` — chat templating + generation, SSE streaming
+- ``POST /v1/completions``       — legacy completions
+- ``POST /v1/embeddings``        — mean-pooled hidden-state embeddings
+- ``GET  /v1/models``            — the single loaded model
+- ``GET  /health``               — ok / loading status (public, like llama-server)
+- ``GET  /props``                — engine/server properties
+
+Binds to localhost only by default; requires the per-session backend key for
+``/v1/*`` when configured (the gateway injects it; reference security model
+``start.sh:562-647``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import hmac
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from ..runtime.sampler import SamplingParams
+from .chat_template import normalize_messages, render_chat
+from .http import (
+    HttpLimitError,
+    read_request,
+    send_error,
+    send_response,
+    sse_event,
+)
+
+
+@dataclasses.dataclass
+class BackendConfig:
+    host: str = "127.0.0.1"
+    port: int = 8080
+    api_key: str = ""               # empty = no backend auth
+    max_body: int = 10 * 1024 * 1024
+    request_timeout: float = 600.0
+
+    @staticmethod
+    def from_env() -> "BackendConfig":
+        key = os.environ.get("BACKEND_API_KEY", "")
+        key_file = os.environ.get("BACKEND_API_KEY_FILE", "")
+        if not key and key_file and os.path.exists(key_file):
+            key = open(key_file).read().strip()
+        return BackendConfig(
+            host=os.environ.get("BACKEND_HOST", "127.0.0.1"),
+            port=int(os.environ.get("PORT_BACKEND") or
+                     os.environ.get("BACKEND_PORT") or 8080),
+            api_key=key,
+        )
+
+
+def _now() -> int:
+    return int(time.time())
+
+
+def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
+    stop = body.get("stop") or ()
+    if isinstance(stop, str):
+        stop = (stop,)
+    else:
+        stop = tuple(str(s) for s in stop)
+    seed = body.get("seed")
+    max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") \
+        or body.get("n_predict") or default_max
+    return SamplingParams(
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        min_p=float(body.get("min_p", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        repeat_penalty=float(body.get("repeat_penalty", 1.0)),
+        seed=int(seed) if seed is not None else int.from_bytes(os.urandom(4), "little"),
+        max_tokens=int(max_tokens),
+        stop=stop,
+    )
+
+
+class OpenAIServer:
+    def __init__(self, engine, config: BackendConfig | None = None):
+        self.engine = engine
+        self.cfg = config or BackendConfig.from_env()
+        self._server: asyncio.AbstractServer | None = None
+        self.started = time.monotonic()
+
+    # -- auth ----------------------------------------------------------------
+    def _authorized(self, headers: dict[str, str]) -> bool:
+        if not self.cfg.api_key:
+            return True
+        auth = headers.get("authorization", "")
+        if auth.lower().startswith("bearer "):
+            auth = auth[7:]
+        return hmac.compare_digest(auth.strip().encode(), self.cfg.api_key.encode())
+
+    # -- handlers ------------------------------------------------------------
+    async def handle_client(self, reader: asyncio.StreamReader,
+                            writer: asyncio.StreamWriter) -> None:
+        try:
+            try:
+                req = await read_request(reader, max_body=self.cfg.max_body)
+            except HttpLimitError as e:
+                await send_error(writer, e.status, e.message,
+                                 "invalid_request_error", e.code)
+                return
+            except (asyncio.IncompleteReadError, ConnectionError):
+                return
+            if req is None:
+                return
+
+            path = req.path.split("?", 1)[0]
+            if path == "/health":
+                await send_response(writer, 200, json.dumps(
+                    {"status": "ok"}).encode())
+                return
+            if not self._authorized(req.headers):
+                await send_error(writer, 401, "Invalid API key",
+                                 "invalid_request_error", "invalid_api_key")
+                return
+            if path == "/props":
+                await self.handle_props(writer)
+            elif path == "/v1/models" and req.method == "GET":
+                await self.handle_models(writer)
+            elif path == "/v1/chat/completions" and req.method == "POST":
+                await self.handle_chat(req, writer)
+            elif path in ("/v1/completions", "/completion") and req.method == "POST":
+                await self.handle_completions(req, writer)
+            elif path == "/v1/embeddings" and req.method == "POST":
+                await self.handle_embeddings(req, writer)
+            else:
+                await send_error(writer, 404, f"Unknown endpoint {path}",
+                                 "invalid_request_error", "not_found")
+        except (ConnectionError, BrokenPipeError):
+            pass
+        finally:
+            try:
+                writer.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    async def handle_props(self, writer) -> None:
+        stats = self.engine.stats()
+        await send_response(writer, 200, json.dumps({
+            "model": self.engine.model_name,
+            "uptime_seconds": round(time.monotonic() - self.started, 3),
+            **stats,
+        }).encode())
+
+    async def handle_models(self, writer) -> None:
+        body = json.dumps({
+            "object": "list",
+            "data": [{
+                "id": self.engine.model_name,
+                "object": "model",
+                "created": _now(),
+                "owned_by": "local",
+            }],
+        }).encode()
+        await send_response(writer, 200, body)
+
+    @staticmethod
+    def _parse_json(req) -> dict | None:
+        try:
+            body = json.loads(req.body.decode("utf-8"))
+            return body if isinstance(body, dict) else None
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return None
+
+    async def handle_chat(self, req, writer) -> None:
+        body = self._parse_json(req)
+        if body is None or not isinstance(body.get("messages"), list):
+            await send_error(writer, 400, "messages is required",
+                             "invalid_request_error", "bad_request")
+            return
+        messages = normalize_messages(body["messages"])
+        template = None
+        md = getattr(self.engine, "metadata", None)
+        if md:
+            template = md.get("tokenizer.chat_template")
+        tok = self.engine.tokenizer
+        bos = tok.tokens[tok.special.bos_id] if getattr(tok, "tokens", None) \
+            and tok.special.bos_id >= 0 else "<s>"
+        eos = tok.tokens[tok.special.eos_id] if getattr(tok, "tokens", None) \
+            and tok.special.eos_id >= 0 else "</s>"
+        prompt = render_chat(messages, template, bos, eos)
+        params = _params_from_request(body)
+        rid = "chatcmpl-" + uuid.uuid4().hex[:24]
+        if body.get("stream"):
+            await self._stream(writer, rid, "chat.completion.chunk", prompt,
+                               params, chat=True,
+                               include_usage=bool(
+                                   (body.get("stream_options") or {}).get("include_usage")))
+        else:
+            await self._complete(writer, rid, "chat.completion", prompt, params,
+                                 chat=True)
+
+    async def handle_completions(self, req, writer) -> None:
+        body = self._parse_json(req)
+        if body is None or "prompt" not in body:
+            await send_error(writer, 400, "prompt is required",
+                             "invalid_request_error", "bad_request")
+            return
+        prompt = body["prompt"]
+        if isinstance(prompt, list):
+            prompt = "".join(str(p) for p in prompt)
+        params = _params_from_request(body)
+        rid = "cmpl-" + uuid.uuid4().hex[:24]
+        if body.get("stream"):
+            await self._stream(writer, rid, "text_completion", prompt, params,
+                               chat=False,
+                               include_usage=bool(
+                                   (body.get("stream_options") or {}).get("include_usage")))
+        else:
+            await self._complete(writer, rid, "text_completion", prompt, params,
+                                 chat=False)
+
+    async def handle_embeddings(self, req, writer) -> None:
+        body = self._parse_json(req)
+        if body is None or "input" not in body:
+            await send_error(writer, 400, "input is required",
+                             "invalid_request_error", "bad_request")
+            return
+        inputs = body["input"]
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        loop = asyncio.get_running_loop()
+        data = []
+        total_tokens = 0
+        for i, text in enumerate(inputs):
+            vec, n_tok = await loop.run_in_executor(
+                None, self.engine.embed, str(text))
+            total_tokens += n_tok
+            data.append({"object": "embedding", "embedding": vec, "index": i})
+        await send_response(writer, 200, json.dumps({
+            "object": "list",
+            "data": data,
+            "model": self.engine.model_name,
+            "usage": {"prompt_tokens": total_tokens, "total_tokens": total_tokens},
+        }).encode())
+
+    # -- generation plumbing -------------------------------------------------
+    async def _collect(self, prompt: str, params: SamplingParams):
+        """Run a generation on the engine, draining its thread-safe queue
+        without blocking the event loop."""
+        loop = asyncio.get_running_loop()
+        _, out = self.engine.submit(prompt, params)
+        while True:
+            ev = await loop.run_in_executor(None, out.get)
+            yield ev
+            if ev.finished:
+                return
+
+    async def _complete(self, writer, rid: str, obj: str, prompt: str,
+                        params: SamplingParams, chat: bool) -> None:
+        text = []
+        finish = "stop"
+        n_prompt = n_gen = 0
+        async for ev in self._collect(prompt, params):
+            text.append(ev.text)
+            n_prompt, n_gen = ev.n_prompt, ev.n_generated
+            if ev.finished:
+                finish = ev.finish_reason or "stop"
+        content = "".join(text)
+        if chat:
+            choice = {"index": 0,
+                      "message": {"role": "assistant", "content": content},
+                      "finish_reason": finish}
+        else:
+            choice = {"index": 0, "text": content, "finish_reason": finish,
+                      "logprobs": None}
+        await send_response(writer, 200, json.dumps({
+            "id": rid, "object": obj, "created": _now(),
+            "model": self.engine.model_name,
+            "choices": [choice],
+            "usage": {"prompt_tokens": n_prompt, "completion_tokens": n_gen,
+                      "total_tokens": n_prompt + n_gen},
+        }).encode())
+
+    async def _stream(self, writer, rid: str, obj: str, prompt: str,
+                      params: SamplingParams, chat: bool,
+                      include_usage: bool = False) -> None:
+        head = ("HTTP/1.1 200 OK\r\n"
+                "Content-Type: text/event-stream\r\n"
+                "Cache-Control: no-cache\r\n"
+                "Connection: close\r\n\r\n").encode()
+        writer.write(head)
+        await writer.drain()
+
+        def chunk(delta: dict | None, finish: str | None) -> dict:
+            c: dict[str, Any] = {"index": 0, "finish_reason": finish}
+            if chat:
+                c["delta"] = delta if delta is not None else {}
+            else:
+                c["text"] = (delta or {}).get("content", "")
+            return {"id": rid, "object": obj, "created": _now(),
+                    "model": self.engine.model_name, "choices": [c]}
+
+        if chat:
+            writer.write(sse_event(chunk({"role": "assistant"}, None)))
+            await writer.drain()
+        n_prompt = n_gen = 0
+        finish = "stop"
+        async for ev in self._collect(prompt, params):
+            n_prompt, n_gen = ev.n_prompt, ev.n_generated
+            if ev.finished:
+                finish = ev.finish_reason or "stop"
+            if ev.text:
+                writer.write(sse_event(chunk({"content": ev.text}, None)))
+                await writer.drain()
+        writer.write(sse_event(chunk(None, finish)))
+        if include_usage:
+            writer.write(sse_event({
+                "id": rid, "object": obj, "created": _now(),
+                "model": self.engine.model_name, "choices": [],
+                "usage": {"prompt_tokens": n_prompt, "completion_tokens": n_gen,
+                          "total_tokens": n_prompt + n_gen},
+            }))
+        writer.write(sse_event("[DONE]"))
+        await writer.drain()
+
+    # -- lifecycle -----------------------------------------------------------
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self.handle_client, self.cfg.host, self.cfg.port)
+
+    async def serve_forever(self) -> None:
+        if self._server is None:
+            await self.start()
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def close(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+            self._server = None
+
+    @property
+    def port(self) -> int:
+        if self._server and self._server.sockets:
+            return self._server.sockets[0].getsockname()[1]
+        return self.cfg.port
+
+
+def main() -> None:
+    model_path = os.environ.get("MODEL_PATH", "")
+    mock = os.environ.get("MOCK_BACKEND", "").lower() in ("1", "true", "yes")
+    if mock or not model_path:
+        from ..runtime.mock import MockEngine
+        engine = MockEngine(model_name=os.environ.get("MODEL_NAME", "mock-model"))
+    else:
+        from ..runtime.engine import EngineConfig, InferenceEngine
+        ecfg = EngineConfig(
+            max_slots=int(os.environ.get("MAX_SLOTS", 4)),
+            ctx=int(os.environ.get("CTX", 2048)),
+        )
+        engine = InferenceEngine(model_path, ecfg)
+    engine.start()
+    srv = OpenAIServer(engine)
+    print(f"[backend] {engine.model_name} on {srv.cfg.host}:{srv.cfg.port} "
+          f"(auth={'on' if srv.cfg.api_key else 'off'})", flush=True)
+    asyncio.run(srv.serve_forever())
+
+
+if __name__ == "__main__":
+    main()

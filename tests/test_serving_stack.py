@@ -1,0 +1,378 @@
+"""Full-stack serving tests over real sockets:
+
+    client -> gateway (auth/queue/metrics/proxy) -> backend (OpenAI API, mock engine)
+
+Covers the reference integration contract (SURVEY §4.2/§4.3): status codes,
+OpenAI JSON shapes, SSE streaming through the byte-level proxy, metrics
+counters, queue overflow, CORS, reload.
+"""
+
+import asyncio
+import json
+
+import pytest
+
+from llama_gguf_inference_tpu.runtime.mock import MockEngine
+from llama_gguf_inference_tpu.serving.gateway import Gateway, GatewayConfig
+from llama_gguf_inference_tpu.serving.openai_server import BackendConfig, OpenAIServer
+
+VALID_KEY = "sk-test-" + "a" * 24
+BACKEND_KEY = "gateway-" + "x" * 32
+
+
+async def make_stack(tmp_path, **gw_overrides):
+    keys = tmp_path / "api_keys.txt"
+    keys.write_text(f"test:{VALID_KEY}\n")
+    backend = OpenAIServer(MockEngine(), BackendConfig(host="127.0.0.1", port=0,
+                                                       api_key=BACKEND_KEY))
+    await backend.start()
+    cfg = GatewayConfig(
+        host="127.0.0.1", port=0,
+        backend_host="127.0.0.1", backend_port=backend.port,
+        backend_api_key=BACKEND_KEY,
+        auth_keys_file=str(keys),
+        access_log=str(tmp_path / "logs" / "api_access.log"),
+        **gw_overrides,
+    )
+    gw = Gateway(cfg)
+    await gw.start()
+    return backend, gw
+
+
+async def http_request(port, method, path, headers=None, body=b"",
+                       read_all=True):
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    lines = [f"{method} {path} HTTP/1.1", "Host: localhost"]
+    for k, v in (headers or {}).items():
+        lines.append(f"{k}: {v}")
+    if body:
+        lines.append(f"Content-Length: {len(body)}")
+    payload = ("\r\n".join(lines) + "\r\n\r\n").encode() + body
+    writer.write(payload)
+    await writer.drain()
+    raw = await asyncio.wait_for(reader.read(-1), timeout=30)
+    writer.close()
+    head, _, rbody = raw.partition(b"\r\n\r\n")
+    status = int(head.split(b" ", 2)[1])
+    hdrs = {}
+    for line in head.split(b"\r\n")[1:]:
+        k, _, v = line.decode("latin-1").partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    return status, hdrs, rbody
+
+
+AUTH = {"Authorization": f"Bearer {VALID_KEY}"}
+
+
+async def test_ping_no_auth(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, hdrs, body = await http_request(gw.port, "GET", "/ping")
+        assert status == 200
+        assert hdrs.get("content-length") == "0"
+        assert hdrs.get("connection") == "close"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_health_includes_backend_and_metrics(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, _, body = await http_request(gw.port, "GET", "/health")
+        assert status == 200
+        h = json.loads(body)
+        assert h["status"] == "ok"
+        assert h["backend"] == {"status": "ok"}
+        assert "requests_total" in h["gateway"]["metrics"]
+        assert h["queue"]["max_concurrent"] == 1
+        assert h["authentication"]["enabled"] is True
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_unauthenticated_v1_gets_401(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, _, body = await http_request(gw.port, "GET", "/v1/models")
+        assert status == 401
+        err = json.loads(body)["error"]
+        assert err["code"] == "invalid_api_key"
+        assert err["param"] == "authorization"
+        assert err["message"] == "Missing Authorization header"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_models_authenticated(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, _, body = await http_request(gw.port, "GET", "/v1/models",
+                                             headers=AUTH)
+        assert status == 200
+        data = json.loads(body)
+        assert data["object"] == "list"
+        assert data["data"][0]["id"] == "mock-model"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_chat_completion_nonstream(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        req = json.dumps({"model": "any",
+                          "messages": [{"role": "user", "content": "hi"}],
+                          "max_tokens": 4}).encode()
+        status, _, body = await http_request(
+            gw.port, "POST", "/v1/chat/completions",
+            headers={**AUTH, "Content-Type": "application/json"}, body=req)
+        assert status == 200
+        data = json.loads(body)
+        assert data["object"] == "chat.completion"
+        assert data["choices"][0]["message"]["role"] == "assistant"
+        assert "mock-token" in data["choices"][0]["message"]["content"]
+        assert data["usage"]["completion_tokens"] == 4
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_chat_completion_streaming_sse(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        req = json.dumps({"model": "any",
+                          "messages": [{"role": "user", "content": "hi"}],
+                          "max_tokens": 3, "stream": True}).encode()
+        status, hdrs, body = await http_request(
+            gw.port, "POST", "/v1/chat/completions",
+            headers={**AUTH, "Content-Type": "application/json"}, body=req)
+        assert status == 200
+        assert "text/event-stream" in hdrs.get("content-type", "")
+        lines = [l for l in body.decode().split("\n") if l.startswith("data: ")]
+        assert lines[-1] == "data: [DONE]"
+        first = json.loads(lines[0][6:])
+        assert first["object"] == "chat.completion.chunk"
+        assert first["choices"][0]["delta"].get("role") == "assistant"
+        contents = [json.loads(l[6:]) for l in lines[1:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in contents)
+        assert "mock-token" in text
+        finals = [c for c in contents if c["choices"] and
+                  c["choices"][0]["finish_reason"]]
+        assert finals, "must emit a finish_reason chunk"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_completions_endpoint(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        req = json.dumps({"model": "any", "prompt": "Once upon",
+                          "max_tokens": 2}).encode()
+        status, _, body = await http_request(
+            gw.port, "POST", "/v1/completions",
+            headers={**AUTH, "Content-Type": "application/json"}, body=req)
+        assert status == 200
+        data = json.loads(body)
+        assert data["object"] == "text_completion"
+        assert "mock-token" in data["choices"][0]["text"]
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_embeddings_endpoint(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        req = json.dumps({"model": "any", "input": ["hello", "world"]}).encode()
+        status, _, body = await http_request(
+            gw.port, "POST", "/v1/embeddings",
+            headers={**AUTH, "Content-Type": "application/json"}, body=req)
+        assert status == 200
+        data = json.loads(body)
+        assert data["object"] == "list"
+        assert len(data["data"]) == 2
+        assert len(data["data"][0]["embedding"]) == 8
+        assert data["usage"]["prompt_tokens"] > 0
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_metrics_json_and_prometheus(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        await http_request(gw.port, "GET", "/ping")
+        status, _, body = await http_request(gw.port, "GET", "/metrics")
+        assert status == 200
+        m = json.loads(body)["gateway"]
+        assert m["requests_total"] >= 1
+        status, hdrs, body = await http_request(
+            gw.port, "GET", "/metrics", headers={"Accept": "text/plain"})
+        assert status == 200
+        assert "version=0.0.4" in hdrs["content-type"]
+        assert "# TYPE gateway_requests_total counter" in body.decode()
+        assert "gateway_uptime_seconds" in body.decode()
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_queue_overflow_503(tmp_path):
+    backend, gw = await make_stack(tmp_path, max_concurrent=1, max_queue_size=1)
+    # slow down the mock so requests overlap
+    backend.engine.delay_s = 0.2
+    try:
+        req = json.dumps({"model": "any",
+                          "messages": [{"role": "user", "content": "hi"}],
+                          "max_tokens": 3}).encode()
+
+        async def one():
+            return await http_request(
+                gw.port, "POST", "/v1/chat/completions",
+                headers={**AUTH, "Content-Type": "application/json"}, body=req)
+
+        results = await asyncio.gather(one(), one(), one(), one())
+        statuses = sorted(r[0] for r in results)
+        assert statuses.count(503) >= 1, f"expected >=1 rejection, got {statuses}"
+        assert statuses.count(200) >= 2
+        rejected = [r for r in results if r[0] == 503][0]
+        assert rejected[1].get("retry-after") == "5"
+        assert json.loads(rejected[2])["error"]["code"] == "queue_full"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_rate_limit_429(tmp_path):
+    keys = tmp_path / "api_keys.txt"
+    keys.write_text(f"test:{VALID_KEY}:2\n")
+    backend = OpenAIServer(MockEngine(), BackendConfig(host="127.0.0.1", port=0,
+                                                       api_key=BACKEND_KEY))
+    await backend.start()
+    gw = Gateway(GatewayConfig(host="127.0.0.1", port=0,
+                               backend_host="127.0.0.1", backend_port=backend.port,
+                               backend_api_key=BACKEND_KEY,
+                               auth_keys_file=str(keys), access_log=""))
+    await gw.start()
+    try:
+        for _ in range(2):
+            s, _, _ = await http_request(gw.port, "GET", "/v1/models", headers=AUTH)
+            assert s == 200
+        s, hdrs, body = await http_request(gw.port, "GET", "/v1/models", headers=AUTH)
+        assert s == 429
+        assert hdrs.get("retry-after") == "60"
+        assert json.loads(body)["error"]["code"] == "rate_limit_exceeded"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_request_limits(tmp_path):
+    backend, gw = await make_stack(tmp_path, max_body=100)
+    try:
+        # 413 via Content-Length before body read
+        status, _, body = await http_request(
+            gw.port, "POST", "/v1/chat/completions",
+            headers={**AUTH}, body=b"x" * 200)
+        assert status == 413
+        assert json.loads(body)["error"]["code"] == "payload_too_large"
+        # 414 long request line
+        status, _, body = await http_request(gw.port, "GET", "/" + "a" * 9000)
+        assert status == 414
+        # 431 too many headers
+        many = {f"X-H-{i}": "v" for i in range(70)}
+        status, _, body = await http_request(gw.port, "GET", "/ping", headers=many)
+        assert status == 431
+        # 400 bad content-length
+        reader, writer = await asyncio.open_connection("127.0.0.1", gw.port)
+        writer.write(b"POST /v1/x HTTP/1.1\r\nHost: x\r\nContent-Length: abc\r\n\r\n")
+        await writer.drain()
+        raw = await reader.read(-1)
+        writer.close()
+        assert b" 400 " in raw.split(b"\r\n")[0]
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_backend_down_502(tmp_path):
+    keys = tmp_path / "api_keys.txt"
+    keys.write_text(f"test:{VALID_KEY}\n")
+    gw = Gateway(GatewayConfig(host="127.0.0.1", port=0,
+                               backend_host="127.0.0.1", backend_port=1,  # closed
+                               auth_keys_file=str(keys), access_log=""))
+    await gw.start()
+    try:
+        status, hdrs, body = await http_request(gw.port, "GET", "/v1/models",
+                                                headers=AUTH)
+        assert status == 502
+        assert body == b""       # empty body per contract
+        assert hdrs.get("content-length") == "0"
+    finally:
+        await gw.close()
+
+
+async def test_cors_preflight_and_injection(tmp_path):
+    backend, gw = await make_stack(tmp_path, cors_origins="https://app.example.com")
+    try:
+        status, hdrs, _ = await http_request(
+            gw.port, "OPTIONS", "/v1/chat/completions",
+            headers={"Origin": "https://app.example.com"})
+        assert status == 204
+        assert hdrs["access-control-allow-origin"] == "https://app.example.com"
+        assert hdrs["access-control-allow-methods"] == "GET, POST, OPTIONS"
+        assert hdrs["access-control-max-age"] == "86400"
+        assert hdrs["vary"] == "Origin"
+        # non-matching origin: no CORS headers
+        status, hdrs, _ = await http_request(
+            gw.port, "OPTIONS", "/v1/x", headers={"Origin": "https://evil.com"})
+        assert status == 204
+        assert "access-control-allow-origin" not in hdrs
+        # CORS injected into proxied responses
+        status, hdrs, _ = await http_request(
+            gw.port, "GET", "/v1/models",
+            headers={**AUTH, "Origin": "https://app.example.com"})
+        assert status == 200
+        assert hdrs.get("access-control-allow-origin") == "https://app.example.com"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_reload_endpoint(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, _, body = await http_request(gw.port, "POST", "/reload",
+                                             headers=AUTH)
+        assert status == 200
+        data = json.loads(body)
+        assert data["status"] == "ok"
+        assert data["keys_loaded"] == 1
+        # unauthenticated reload rejected
+        status, _, _ = await http_request(gw.port, "POST", "/reload")
+        assert status == 401
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_client_auth_never_reaches_backend(tmp_path):
+    """Gateway must strip client Authorization and use the backend key.
+
+    Direct-to-backend with the client key must fail; via gateway must work."""
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, _, _ = await http_request(backend.port, "GET", "/v1/models",
+                                          headers=AUTH)
+        assert status == 401   # client key is not the backend key
+        status, _, _ = await http_request(gw.port, "GET", "/v1/models",
+                                          headers=AUTH)
+        assert status == 200
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_metrics_counters_track(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        await http_request(gw.port, "GET", "/v1/models", headers=AUTH)
+        await http_request(gw.port, "GET", "/v1/models")       # 401
+        _, _, body = await http_request(gw.port, "GET", "/metrics")
+        m = json.loads(body)["gateway"]
+        assert m["requests_authenticated"] == 1
+        assert m["requests_unauthorized"] == 1
+        assert m["requests_success"] == 1
+        assert m["bytes_sent"] > 0
+    finally:
+        await gw.close(); await backend.close()
