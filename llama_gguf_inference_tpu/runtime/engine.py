@@ -72,8 +72,28 @@ class _Slot:
     out: "queue.Queue[GenEvent]" = dataclasses.field(default_factory=queue.Queue)
     text_buf: str = ""                 # emitted text (for stop-string scanning)
     pending_text: str = ""             # held back: possible stop-string prefix
+    utf8_buf: bytes = b""              # held back: incomplete UTF-8 sequence
     started: float = 0.0
     offset: int = 0                    # tokens currently in this slot's cache
+
+
+def _utf8_split(buf: bytes, flush: bool = False) -> tuple[str, bytes]:
+    """Split ``buf`` into (decodable prefix, held-back incomplete suffix).
+
+    An incomplete trailing multi-byte sequence (up to 3 bytes) is held back;
+    invalid bytes or ``flush`` force replacement-decoding of everything.
+    """
+    if not buf:
+        return "", b""
+    if flush:
+        return buf.decode("utf-8", errors="replace"), b""
+    for cut in range(len(buf), max(len(buf) - 4, -1), -1):
+        try:
+            return buf[:cut].decode("utf-8"), buf[cut:]
+        except UnicodeDecodeError:
+            continue
+    # >=4 trailing undecodable bytes: not a partial sequence, emit replacements
+    return buf.decode("utf-8", errors="replace"), b""
 
 
 class InferenceEngine:
@@ -245,6 +265,7 @@ class InferenceEngine:
             slot.out = out
             slot.text_buf = ""
             slot.pending_text = ""
+            slot.utf8_buf = b""
             slot.started = time.monotonic()
             slot.offset = 0
             self.sample_state = self.sample_state.write_slot(b, params)
@@ -348,8 +369,18 @@ class InferenceEngine:
         elif slot.offset + 1 >= self.ecfg.ctx:
             finish = "length"
 
-        text = "" if finish == "stop" and self.tokenizer.is_eog(token_id) \
-            else self.tokenizer.piece(token_id)
+        # UTF-8 boundary holdback: byte-fallback tokens can carry partial
+        # multi-byte sequences; emit only complete sequences (llama.cpp
+        # streams the same way)
+        if finish == "stop" and self.tokenizer.is_eog(token_id):
+            raw = b""
+        elif hasattr(self.tokenizer, "piece_bytes"):
+            raw = self.tokenizer.piece_bytes(token_id)
+        else:
+            raw = self.tokenizer.piece(token_id).encode("utf-8")
+        slot.utf8_buf += raw
+        text, slot.utf8_buf = _utf8_split(slot.utf8_buf,
+                                          flush=finish is not None)
         if n_gen == 1:
             text = text.lstrip(" ") if getattr(self.tokenizer, "add_space_prefix", False) else text
 

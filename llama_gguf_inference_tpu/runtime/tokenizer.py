@@ -67,6 +67,21 @@ class Tokenizer:
         stripping (the stream consumer strips once at stream start)."""
         return self.decode([token_id], _strip_prefix=False)
 
+    def piece_bytes(self, token_id: int) -> bytes:
+        """Raw UTF-8 bytes of one token.  Streaming emitters must buffer at
+        UTF-8 boundaries themselves: byte-fallback tokens carry partial
+        multi-byte sequences."""
+        if not 0 <= token_id < self.vocab_size:
+            return b""
+        tt = self.token_types[token_id]
+        if tt == TokenType.BYTE:
+            t = self.tokens[token_id]
+            if t.startswith("<0x") and t.endswith(">"):
+                return bytes([int(t[3:-1], 16)])
+        if tt == TokenType.CONTROL:
+            return b""
+        return self.piece(token_id).encode("utf-8")
+
     def is_eog(self, token_id: int) -> bool:
         return token_id in self.eog_ids
 

@@ -354,6 +354,8 @@ class OpenAIServer:
 
 
 def main() -> None:
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     model_path = os.environ.get("MODEL_PATH", "")
     mock = os.environ.get("MOCK_BACKEND", "").lower() in ("1", "true", "yes")
     if mock or not model_path:

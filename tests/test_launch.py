@@ -1,0 +1,116 @@
+"""Launcher integration test — the reference CI's MOCK_BACKEND container tier
+(reference .github/workflows/ci.yml:185-228): boot the full 3-process stack
+with no model, assert /ping 200, unauthenticated /v1 -> 401, authenticated ->
+200, health sidecar 200 on every path, then clean SIGTERM shutdown."""
+
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from llama_gguf_inference_tpu.serving.key_mgmt import main as key_mgmt_main
+from llama_gguf_inference_tpu.launch.start import (
+    detect_data_dir, is_truthy, resolve_model,
+)
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def get(url, key=None, timeout=2.0):
+    req = urllib.request.Request(url)
+    if key:
+        req.add_header("Authorization", f"Bearer {key}")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_is_truthy():
+    assert is_truthy("true") and is_truthy("1") and is_truthy("YES")
+    assert not is_truthy("false") and not is_truthy("") and not is_truthy(None)
+
+
+def test_resolve_model_precedence(tmp_path, monkeypatch):
+    m = tmp_path / "a.gguf"
+    m.write_bytes(b"x")
+    monkeypatch.setenv("MODEL_PATH", str(m))
+    monkeypatch.setenv("MODEL_NAME", "other.gguf")
+    assert resolve_model(str(tmp_path)) == str(m)
+    monkeypatch.delenv("MODEL_PATH")
+    monkeypatch.setenv("MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MODEL_NAME", "a.gguf")
+    assert resolve_model(str(tmp_path)) == str(m)
+    monkeypatch.setenv("MODEL_NAME", "missing.gguf")
+    assert resolve_model(str(tmp_path)) is None
+
+
+@pytest.mark.slow
+def test_mock_stack_boot(tmp_path):
+    gw_port, health_port, backend_port = free_port(), free_port(), free_port()
+    keys_file = tmp_path / "api_keys.txt"
+    rc = key_mgmt_main(["--keys-file", str(keys_file), "generate",
+                        "--key-id", "ci", "--quiet"])
+    assert rc == 0
+    # re-read the generated key
+    api_key = keys_file.read_text().strip().split(":")[1]
+
+    env = dict(os.environ)
+    env.update({
+        "MOCK_BACKEND": "true",
+        "DATA_DIR": str(tmp_path),
+        "GATEWAY_PORT": str(gw_port),
+        "PORT_HEALTH": str(health_port),
+        "PORT_BACKEND": str(backend_port),
+        "AUTH_KEYS_FILE": str(keys_file),
+        "BACKEND_KEY_DIR": str(tmp_path),
+        "JAX_PLATFORMS": "cpu",
+    })
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "llama_gguf_inference_tpu.launch.start"],
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        # wait for gateway /ping (cold start budget: 30 s like reference CI)
+        deadline = time.monotonic() + 30
+        ok = False
+        while time.monotonic() < deadline:
+            try:
+                if get(f"http://127.0.0.1:{gw_port}/ping") == 200:
+                    ok = True
+                    break
+            except OSError:
+                pass
+            time.sleep(0.3)
+        assert ok, "gateway /ping never came up"
+
+        assert get(f"http://127.0.0.1:{gw_port}/v1/models") == 401
+        assert get(f"http://127.0.0.1:{gw_port}/v1/models", api_key) == 200
+        assert get(f"http://127.0.0.1:{health_port}/") == 200
+        assert get(f"http://127.0.0.1:{health_port}/anything") == 200
+        assert get(f"http://127.0.0.1:{gw_port}/health") == 200
+
+        # graceful shutdown on SIGTERM
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=15)
+        # key file shredded
+        leftovers = list((tmp_path / "llama-keys").glob("*.key")) \
+            if (tmp_path / "llama-keys").exists() else []
+        assert leftovers == []
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
