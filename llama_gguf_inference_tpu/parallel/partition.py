@@ -1,0 +1,135 @@
+"""Partition rules: map model params onto the (dp, tp) mesh.
+
+Megatron-style tensor parallelism adapted to quantized-resident weights
+(SURVEY.md §7 step 7).  The invariant that makes TP safe for GGUF block
+formats: **quantization blocks run along in_features**, so
+
+- column-parallel layers (attn_q/k/v, ffn_gate/up, output head) shard
+  ``out_features`` — blocks always stay intact;
+- row-parallel layers (attn_output, ffn_down) shard ``in_features`` — legal
+  only when ``in_features / tp`` is a multiple of the super-block size (256
+  for K-quants, 32 for Q4_0/Q8_0); checked at shard time.
+
+All QuantLinear arrays (codes/d/sc/dmin/mn) share their leading out_features
+axis, so one PartitionSpec per weight covers the whole pytree node.  XLA
+derives the collectives: activations enter row-parallel layers sharded on the
+feature axis and leave as psum over ICI — nothing manual.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..ops.linear import DenseLinear, QuantLinear
+from .mesh import AXIS_DP, AXIS_TP
+
+
+def _block_multiple(w: QuantLinear | DenseLinear) -> int:
+    if isinstance(w, QuantLinear):
+        return w.d_size
+    return 1
+
+
+def _shard_linear(w, mesh: Mesh, axis: str, dim: int):
+    """dim 0 = column-parallel (out), dim 1 = row-parallel (in)."""
+    tp = mesh.shape[axis]
+    if tp == 1:
+        return _device_put_tree(w, NamedSharding(mesh, P()))
+    dim_size = w.out_features if dim == 0 else w.in_features
+    if dim_size % tp != 0:
+        # non-divisible (e.g. odd vocab): replicate rather than fail — padding
+        # the axis is the perf fix, done by the loader for production shapes
+        return _device_put_tree(w, NamedSharding(mesh, P()))
+    if dim == 1 and isinstance(w, QuantLinear):
+        blk = _block_multiple(w)
+        if (w.in_features // tp) % blk != 0:
+            # shard boundary would split quant super-blocks: the per-block
+            # scale arrays can't be placed consistently — replicate instead
+            return _device_put_tree(w, NamedSharding(mesh, P()))
+    if isinstance(w, DenseLinear):
+        spec = P(axis, None) if dim == 0 else P(None, axis)
+        return DenseLinear(w=jax.device_put(w.w, NamedSharding(mesh, spec)),
+                           out_features=w.out_features, in_features=w.in_features)
+    assert isinstance(w, QuantLinear)
+    if dim == 0:
+        spec = NamedSharding(mesh, P(axis, None))
+        put = lambda a: None if a is None else jax.device_put(a, spec)  # noqa: E731
+    else:
+        spec = NamedSharding(mesh, P(None, axis))
+        put = lambda a: None if a is None else jax.device_put(a, spec)  # noqa: E731
+    return QuantLinear(
+        codes=put(w.codes), d=put(w.d), sc=put(w.sc), dmin=put(w.dmin),
+        mn=put(w.mn), fmt=w.fmt, bits=w.bits, sub_size=w.sub_size,
+        d_size=w.d_size, code_bias=w.code_bias,
+        out_features=w.out_features, in_features=w.in_features,
+    )
+
+
+def _device_put_tree(tree, sharding: NamedSharding):
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[str, Any]:
+    """Place a loaded params pytree onto the mesh with TP rules."""
+    rep = NamedSharding(mesh, P())
+    out: dict[str, Any] = {
+        # embedding table is gathered (not matmul'd): replicate
+        "tok_embd": jax.device_put(params["tok_embd"], rep),
+        "output_norm": jax.device_put(params["output_norm"], rep),
+        # output head: column-parallel over vocab
+        "output": _shard_linear(params["output"], mesh, AXIS_TP, 0),
+    }
+    layers = []
+    for layer in params["layers"]:
+        new: dict[str, Any] = {
+            "attn_norm": jax.device_put(layer["attn_norm"], rep),
+            "ffn_norm": jax.device_put(layer["ffn_norm"], rep),
+            "attn_q": _shard_linear(layer["attn_q"], mesh, AXIS_TP, 0),
+            "attn_k": _shard_linear(layer["attn_k"], mesh, AXIS_TP, 0),
+            "attn_v": _shard_linear(layer["attn_v"], mesh, AXIS_TP, 0),
+            "attn_output": _shard_linear(layer["attn_output"], mesh, AXIS_TP, 1),
+        }
+        if "experts" in layer:
+            # EP-lite this round: router replicated, experts TP-sharded like
+            # dense FFN (true expert-parallel all-to-all is the next step)
+            new["ffn_gate_inp"] = _device_put_tree(layer["ffn_gate_inp"], rep)
+            new["experts"] = [
+                {
+                    "ffn_gate": _shard_linear(ex["ffn_gate"], mesh, AXIS_TP, 0),
+                    "ffn_up": _shard_linear(ex["ffn_up"], mesh, AXIS_TP, 0),
+                    "ffn_down": _shard_linear(ex["ffn_down"], mesh, AXIS_TP, 1),
+                }
+                for ex in layer["experts"]
+            ]
+        else:
+            new["ffn_gate"] = _shard_linear(layer["ffn_gate"], mesh, AXIS_TP, 0)
+            new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)
+            new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
+        layers.append(new)
+    out["layers"] = layers
+    return out
+
+
+def cache_sharding(mesh: Mesh, n_kv_heads: int | None = None,
+                   batch: int | None = None) -> NamedSharding:
+    """KV cache (L, B, S, H, D): batch over dp, kv heads over tp.
+
+    Axes that don't divide evenly (GQA models have few KV heads) fall back to
+    replication on that axis.
+    """
+    h_axis = AXIS_TP if (n_kv_heads is None or
+                         n_kv_heads % mesh.shape[AXIS_TP] == 0) else None
+    b_axis = AXIS_DP if (batch is None or
+                         batch % mesh.shape[AXIS_DP] == 0) else None
+    return NamedSharding(mesh, P(None, b_axis, None, h_axis, None))
+
+
+def batch_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:
+    """(B, ...) request tensors: batch over dp."""
+    if batch is not None and batch % mesh.shape[AXIS_DP] != 0:
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(AXIS_DP))

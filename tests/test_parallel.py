@@ -1,0 +1,82 @@
+"""TP/DP sharding tests on the virtual 8-device CPU mesh (SURVEY §4 extra tier).
+
+Asserts the sharded forward is numerically identical to single-device and
+that quant-block integrity rules are enforced.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from llama_gguf_inference_tpu.gguf import GGMLType
+from llama_gguf_inference_tpu.models.llama import KVCache, forward
+from llama_gguf_inference_tpu.parallel.mesh import make_mesh
+from llama_gguf_inference_tpu.parallel.partition import (
+    batch_sharding, cache_sharding, shard_params,
+)
+from llama_gguf_inference_tpu.runtime.loader import load_model
+from llama_gguf_inference_tpu.utils.testing import write_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("m") / "tp.gguf"
+    # dim 128 / tp 4 = 32: respects Q8_0 blocks; kv heads 4 shard over tp 4
+    write_tiny_llama(p, dim=128, n_layers=2, n_heads=8, n_kv_heads=4,
+                     ffn_dim=256, quant=GGMLType.Q8_0)
+    return p
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_forward_matches_single_device(model_path, dp, tp):
+    cfg, params, _ = load_model(model_path, mode="quant")
+    ids = np.zeros((8, 4), np.int32)
+    rng = np.random.default_rng(1)
+    ids[:] = rng.integers(3, 250, size=(8, 4))
+    offsets = jnp.zeros(8, jnp.int32)
+    lengths = jnp.full(8, 4, jnp.int32)
+    cache = KVCache.zeros(cfg, 8, 16)
+
+    ref_logits, _ = forward(params, cfg, jnp.asarray(ids), offsets, cache, lengths)
+    ref = np.asarray(ref_logits)
+
+    mesh = make_mesh(tp=tp, dp=dp)
+    sp = shard_params(params, cfg, mesh)
+    cache_s = jax.device_put(KVCache.zeros(cfg, 8, 16),
+                             cache_sharding(mesh, cfg.n_kv_heads, 8))
+    ids_s = jax.device_put(jnp.asarray(ids), batch_sharding(mesh, 8))
+
+    step = jax.jit(forward, static_argnums=(1,))
+    logits, new_cache = step(sp, cfg, ids_s, offsets, cache_s, lengths)
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+    # cache updated and still sharded
+    assert np.asarray(new_cache.k).any()
+
+
+def test_row_parallel_block_integrity_falls_back(tmp_path):
+    """Q4_K (256-blocks) with in_features/tp not a block multiple must
+    replicate (never split a super-block across shards)."""
+    from jax.sharding import PartitionSpec as P
+    p = tmp_path / "q4k.gguf"
+    write_tiny_llama(p, dim=256, n_layers=1, n_heads=4, n_kv_heads=2,
+                     ffn_dim=256, quant=GGMLType.Q4_K)
+    cfg, params, _ = load_model(p, mode="quant")
+    mesh = make_mesh(tp=2, dp=4)   # 256/2 = 128, not a multiple of 256
+    sp = shard_params(params, cfg, mesh)
+    ao = sp["layers"][0]["attn_output"]
+    assert ao.codes.sharding.spec == P()      # replicated, block intact
+    aq = sp["layers"][0]["attn_q"]            # column-parallel still sharded
+    assert aq.codes.sharding.spec == P("tp", None)
+
+
+def test_mesh_shapes():
+    m = make_mesh(tp=4, dp=2)
+    assert m.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(tp=3, dp=3)
