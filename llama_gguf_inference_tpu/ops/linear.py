@@ -110,46 +110,80 @@ class QuantLinear:
     in_features: int = static_field(default=0)
 
     # -- decode (XLA reference path; Pallas kernels mirror this exactly) ----
-    def _unpack_codes(self) -> jax.Array:
-        """Return integer codes (out, in) as int32 minus bias."""
+    #
+    # Elements are stored in BLOCK-MINOR order (quant.repack.block_minor_perm):
+    # stored position j = t*(g*nd) + s*nd + σ holds logical element
+    # σ*d_size + s*sub_size + t.  Every per-block scale expansion is then a
+    # tile (``full[j] = arr[j mod n]``) — the only expansion Mosaic lowers
+    # natively — and activations get the matching cheap transpose.
+
+    @property
+    def _geom(self) -> tuple[int, int, int]:
+        """(nd, g, sub): super-blocks per row, subs per super, sub size."""
+        nd = self.in_features // self.d_size
+        g = self.d_size // self.sub_size
+        return nd, g, self.sub_size
+
+    def permute_activations(self, x: jax.Array) -> jax.Array:
+        """Reorder x's feature axis into the weight's block-minor order."""
+        nd, g, sub = self._geom
+        lead = x.shape[:-1]
+        x4 = x.reshape(*lead, nd, g, sub)
+        perm = tuple(range(len(lead))) + tuple(
+            len(lead) + a for a in (2, 1, 0))
+        return x4.transpose(*perm).reshape(*lead, self.in_features)
+
+    def _unpack_codes_bm(self) -> jax.Array:
+        """Integer codes (out, in) in block-minor order, int32 minus bias."""
         o, i = self.out_features, self.in_features
         if self.bits == 8:
             q = self.codes.astype(jnp.int32)
         elif self.bits == 4:
-            b = self.codes.astype(jnp.int32)          # (out, in//2); low nibble = even elem
-            q = jnp.stack([b & 0x0F, b >> 4], axis=-1).reshape(o, i)
+            # planar split: low nibbles = stored [0, in/2), high = [in/2, in)
+            b = self.codes.astype(jnp.int32)          # (out, in//2)
+            q = jnp.concatenate([b & 0x0F, b >> 4], axis=1)
         elif self.bits == 2:
             b = self.codes.astype(jnp.int32)          # (out, in//4)
-            q = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3],
-                          axis=-1).reshape(o, i)
+            q = jnp.concatenate([b & 3, (b >> 2) & 3, (b >> 4) & 3,
+                                 (b >> 6) & 3], axis=1)
         else:
             raise NotImplementedError(f"bits={self.bits}")
         return q - self.code_bias
 
-    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
-        """Full dequant to (out, in) — XLA fallback and test path."""
-        o, i = self.out_features, self.in_features
-        q = self._unpack_codes().astype(jnp.float32)
-        scale = jnp.repeat(self.d, self.d_size, axis=1)
-        if self.sc is not None:
-            scale = scale * jnp.repeat(self.sc.astype(jnp.float32), self.sub_size, axis=1)
-        w = q * scale
+    def _scale_full_bm(self, arr_d, arr_sc) -> jax.Array:
+        """(out, in) per-element scale in block-minor order via tiles."""
+        nd, g, sub = self._geom
+        s = jnp.tile(arr_d, (1, g))                    # (out, g*nd): d[σ]
+        if arr_sc is not None:
+            s = s * arr_sc.astype(jnp.int32).astype(jnp.float32)
+        return jnp.tile(s, (1, sub))                   # (out, in)
+
+    def dequantize_bm(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Dequant to (out, in) in block-minor column order."""
+        q = self._unpack_codes_bm().astype(jnp.float32)
+        w = q * self._scale_full_bm(self.d, self.sc)
         if self.dmin is not None:
-            m = jnp.repeat(self.dmin, self.d_size, axis=1)
-            if self.mn is not None:
-                m = m * jnp.repeat(self.mn.astype(jnp.float32), self.sub_size, axis=1)
-            w = w - m
+            w = w - self._scale_full_bm(self.dmin, self.mn)
         return w.astype(dtype)
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Full dequant to (out, in) in LOGICAL column order (test/golden path)."""
+        nd, g, sub = self._geom
+        w = self.dequantize_bm(dtype)
+        # invert the block-minor permutation: stored (t, s, σ) -> logical (σ, s, t)
+        return (w.reshape(self.out_features, sub, g, nd)
+                .transpose(0, 3, 2, 1).reshape(self.out_features, self.in_features))
 
     def matmul(self, x: jax.Array) -> jax.Array:
         from .matmul_kernels import quant_matmul
         return quant_matmul(self, x)
 
     def matmul_xla(self, x: jax.Array) -> jax.Array:
-        w = self.dequantize(x.dtype)
+        w = self.dequantize_bm(x.dtype)
+        xp = self.permute_activations(x)
         return jax.lax.dot_general(
-            x, w,
-            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            xp, w,
+            dimension_numbers=(((xp.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
 

@@ -50,14 +50,58 @@ class RepackedWeight:
 
 
 def _pack4(q: np.ndarray) -> np.ndarray:
-    """(out, in) uint8 codes < 16 -> (out, in//2), element 2i in low nibble."""
-    return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+    """(out, in) uint8 codes < 16 -> (out, in//2).
+
+    Planar split layout: byte j holds element j (low nibble) and element
+    j + in/2 (high nibble), so the kernel unpack is two full-width mask/shift
+    ops plus ONE lane-aligned concat — no element interleaving on the VPU
+    (an interleave would force a cross-lane shuffle every tile).
+    """
+    h = q.shape[1] // 2
+    return (q[:, :h] | (q[:, h:] << 4)).astype(np.uint8)
 
 
 def _pack2(q: np.ndarray) -> np.ndarray:
-    """(out, in) uint8 codes < 4 -> (out, in//4), element 4i in bits 0-1."""
-    return (q[:, 0::4] | (q[:, 1::4] << 2) | (q[:, 2::4] << 4)
-            | (q[:, 3::4] << 6)).astype(np.uint8)
+    """(out, in) uint8 codes < 4 -> (out, in//4), planar quarters: byte j
+    holds elements j, j+in/4, j+in/2, j+3in/4 in bit pairs."""
+    qt = q.shape[1] // 4
+    return (q[:, :qt] | (q[:, qt:2 * qt] << 2) | (q[:, 2 * qt:3 * qt] << 4)
+            | (q[:, 3 * qt:] << 6)).astype(np.uint8)
+
+
+def block_minor_perm(in_features: int, sub: int, dsz: int) -> np.ndarray:
+    """Permutation mapping stored position -> logical element index.
+
+    Stored ("block-minor") order enumerates: position-within-sub-block t
+    (major), sub-block-within-super s, super-block σ (minor):
+
+        stored[t * (g * nd) + s * nd + σ] = logical[σ * dsz + s * sub + t]
+
+    with g = dsz // sub, nd = in / dsz.  Why: every per-block scale expansion
+    in the Pallas kernel then becomes ``pltpu.repeat`` (tile semantics —
+    ``full[j] = arr[j mod n]`` — the only expansion Mosaic lowers natively),
+    and activations get the same cheap XLA transpose before the kernel.
+    """
+    nd = in_features // dsz
+    g = dsz // sub
+    idx = np.arange(in_features).reshape(nd, g, sub)   # [σ, s, t] -> logical
+    return idx.transpose(2, 1, 0).reshape(-1)           # stored j -> logical
+
+
+def _to_block_minor(q: np.ndarray, sub: int, dsz: int) -> np.ndarray:
+    """(out, in) logical-order codes -> block-minor order."""
+    out, in_f = q.shape
+    nd = in_f // dsz
+    g = dsz // sub
+    return (q.reshape(out, nd, g, sub).transpose(0, 3, 2, 1)
+            .reshape(out, in_f))
+
+
+def _sc_transpose(sc: np.ndarray, nd: int, g: int) -> np.ndarray:
+    """Per-sub-block arrays (out, nd*g) from (σ, s) order to (s, σ) order,
+    matching the block-minor element order."""
+    out = sc.shape[0]
+    return sc.reshape(out, nd, g).transpose(0, 2, 1).reshape(out, nd * g)
 
 
 def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
@@ -72,12 +116,34 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
     blocks = buf[: out_features * bpr * nbytes].reshape(out_features * bpr, nbytes)
     O, I = out_features, in_features
 
-    def rw(codes, d, sc=None, dmin=None, mn=None, *, bits, sub, dsz, bias=0):
+    def rw(q_logical, d, sc=None, dmin=None, mn=None, *, bits, sub, dsz, bias=0):
+        """Assemble a RepackedWeight from LOGICAL-order integer codes.
+
+        Applies the block-minor element permutation + planar bit packing and
+        the matching (s, σ) reorder of per-sub-block scale/min arrays (see
+        :func:`block_minor_perm`).
+        """
+        qbm = _to_block_minor(np.asarray(q_logical), sub, dsz)
+        if bits == 4:
+            codes = _pack4(qbm.astype(np.uint8))
+        elif bits == 2:
+            codes = _pack2(qbm.astype(np.uint8))
+        else:
+            codes = qbm.astype(np.int8)
+        g = dsz // sub
+        nd = I // dsz
+
+        def fix_sc(a):
+            if a is None:
+                return None
+            a = a.reshape(O, nd * g)
+            return _sc_transpose(a, nd, g) if g > 1 else a
+
         return RepackedWeight(
             codes=codes, d=d.reshape(O, -1).astype(np.float32),
-            sc=None if sc is None else sc.reshape(O, -1),
+            sc=fix_sc(sc),
             dmin=None if dmin is None else dmin.reshape(O, -1).astype(np.float32),
-            mn=None if mn is None else mn.reshape(O, -1),
+            mn=fix_sc(mn),
             fmt=t.name.lower(), bits=bits, sub_size=sub, d_size=dsz,
             code_bias=bias, out_features=O, in_features=I,
         )
@@ -91,14 +157,14 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
         d = _f16(blocks[:, 0:2])
         qs = blocks[:, 2:18]
         q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).reshape(O, I)
-        return rw(_pack4(q), d, bits=4, sub=32, dsz=32, bias=8)
+        return rw(q, d, bits=4, sub=32, dsz=32, bias=8)
 
     if t == GGMLType.Q4_1:
         d = _f16(blocks[:, 0:2])
         m = _f16(blocks[:, 2:4])
         qs = blocks[:, 4:20]
         q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).reshape(O, I)
-        return rw(_pack4(q), d, dmin=-m, bits=4, sub=32, dsz=32)
+        return rw(q, d, dmin=-m, bits=4, sub=32, dsz=32)
 
     if t == GGMLType.Q5_0:
         d = _f16(blocks[:, 0:2])
@@ -134,7 +200,7 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
             src = qs[:, 32 * half:32 * (half + 1)]
             for j in range(4):
                 q[:, 128 * half + 32 * j:128 * half + 32 * (j + 1)] = (src >> (2 * j)) & 3
-        return rw(_pack2(q.reshape(O, I)), d, sc=(scb & 0x0F), dmin=dmin,
+        return rw(q.reshape(O, I), d, sc=(scb & 0x0F), dmin=dmin,
                   mn=(scb >> 4), bits=2, sub=16, dsz=256)
 
     if t == GGMLType.Q3_K:
@@ -153,7 +219,7 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
                 # biased code in [0,7]: q = low2 + 4*hbit  (value = q - 4)
                 q[:, 128 * half + 32 * j:128 * half + 32 * (j + 1)] = lowq + 4 * hbit
                 m <<= 1
-        return rw(_pack4(q.reshape(O, I)), d, sc=scales, bits=4, sub=16, dsz=256, bias=4)
+        return rw(q.reshape(O, I), d, sc=scales, bits=4, sub=16, dsz=256, bias=4)
 
     if t == GGMLType.Q4_K:
         d = _f16(blocks[:, 0:2])
@@ -166,7 +232,7 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
             src = qs[:, 32 * c:32 * (c + 1)]
             q[:, 64 * c:64 * c + 32] = src & 0x0F
             q[:, 64 * c + 32:64 * c + 64] = src >> 4
-        return rw(_pack4(q.reshape(O, I)), d, sc=sc, dmin=dmin, mn=mn,
+        return rw(q.reshape(O, I), d, sc=sc, dmin=dmin, mn=mn,
                   bits=4, sub=32, dsz=256)
 
     if t == GGMLType.Q5_K:

@@ -1,0 +1,72 @@
+"""Pallas fused dequant+matmul vs the XLA reference path.
+
+Runs in interpret mode on CPU (exact same kernel math as TPU lowering);
+per-quant-type numeric parity gates per SURVEY.md §7 step 3.
+"""
+
+import numpy as np
+import pytest
+
+from llama_gguf_inference_tpu.gguf.constants import GGMLType
+from llama_gguf_inference_tpu.ops.pallas_matmul import pallas_quant_matmul
+from llama_gguf_inference_tpu.quant import quantize
+from llama_gguf_inference_tpu.quant.repack import repack, to_quant_linear
+
+FORMATS = [
+    GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+    GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+    GGMLType.IQ4_NL, GGMLType.IQ4_XS,
+]
+
+
+def _weight(gtype, out_f, in_f, rng):
+    x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+    raw = quantize(x, gtype)
+    return to_quant_linear(repack(raw, gtype, out_f, in_f))
+
+
+@pytest.mark.parametrize("gtype", FORMATS, ids=lambda t: t.name)
+def test_kernel_matches_xla(gtype, rng):
+    out_f, in_f = 256, 512
+    ql = _weight(gtype, out_f, in_f, rng)
+    x = rng.normal(size=(4, in_f)).astype(np.float32)
+
+    import jax.numpy as jnp
+    want = np.asarray(ql.matmul_xla(jnp.asarray(x, jnp.bfloat16)))
+    got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2, \
+        f"{gtype.name}: rel err {np.abs(got - want).max() / scale}"
+
+
+@pytest.mark.parametrize("rows", [1, 3, 8, 17])
+def test_kernel_row_padding(rows, rng):
+    """Odd row counts (decode batch sizes) pad correctly."""
+    import jax.numpy as jnp
+    ql = _weight(GGMLType.Q4_K, 128, 256, rng)
+    x = rng.normal(size=(rows, 256)).astype(np.float32)
+    want = np.asarray(ql.matmul_xla(jnp.asarray(x, jnp.bfloat16)))
+    got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
+    assert got.shape == (rows, 128)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2
+
+
+def test_kernel_3d_input(rng):
+    import jax.numpy as jnp
+    ql = _weight(GGMLType.Q8_0, 128, 256, rng)
+    x = rng.normal(size=(2, 5, 256)).astype(np.float32)
+    got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
+    assert got.shape == (2, 5, 128)
+    want = np.asarray(ql.matmul_xla(jnp.asarray(x, jnp.bfloat16)))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2
+
+
+def test_fallback_on_untileable_shapes(rng):
+    """out_features not divisible by 8 -> clean XLA fallback."""
+    import jax.numpy as jnp
+    ql = _weight(GGMLType.Q8_0, 120, 256, rng)   # 120 not divisible by 16
+    x = rng.normal(size=(2, 256)).astype(np.float32)
+    got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
+    assert got.shape == (2, 120)
