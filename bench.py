@@ -100,12 +100,15 @@ def bench_model_path() -> str:
 
 
 def main() -> None:
-    import numpy as np
-
     path = bench_model_path()
 
     import jax
-    import jax.numpy as jnp
+
+    try:  # persistent compile cache cuts warm-start dramatically
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
 
     from llama_gguf_inference_tpu.runtime.engine import EngineConfig, InferenceEngine
     from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
@@ -115,41 +118,34 @@ def main() -> None:
 
     t0 = time.time()
     eng = InferenceEngine(path, EngineConfig(
-        max_slots=1, ctx=512, prefill_buckets=(128,), mode="quant"))
-    log(f"[bench] load+repack: {time.time() - t0:.1f}s")
+        max_slots=1, ctx=512, prefill_buckets=(128,), mode="quant",
+        multi_step=16))
+    eng.start()
+    load_s = time.time() - t0
+    log(f"[bench] load+repack: {load_s:.1f}s")
 
-    # weight bytes actually resident (for roofline)
     leaves = jax.tree_util.tree_leaves(eng.params)
     weight_bytes = sum(l.nbytes for l in leaves if hasattr(l, "nbytes"))
     log(f"[bench] resident weight bytes: {weight_bytes / 1e9:.3f} GB")
 
-    # ---- prefill (compiles prefill graph) ----
-    prompt_ids = list(range(3, 3 + 100))
-    t0 = time.time()
-    eng.sample_state = eng.sample_state.write_slot(0, SamplingParams(temperature=0.0))
-    slot = eng.slots[0]
-    slot.state = "prefill"
-    slot.params = SamplingParams(temperature=0.0, max_tokens=10**9)
-    slot.prompt_ids = prompt_ids
-    slot.generated = []
-    import queue as _q
-    slot.out = _q.Queue()
-    eng._prefill_slot(0)
-    slot.state = "active"
-    log(f"[bench] prefill(+compile): {time.time() - t0:.1f}s")
+    prompt = list(range(3, 3 + 100))
+    p = SamplingParams(temperature=0.0, max_tokens=N_STEPS + 1)
 
-    # ---- decode: warmup (compile) then timed steps ----
+    # warmup: compiles prefill + multi-step decode graphs
     t0 = time.time()
-    eng._decode()
-    log(f"[bench] first decode step (+compile): {time.time() - t0:.1f}s")
-    for _ in range(3):
-        eng._decode()
+    for _ in eng.generate(prompt, SamplingParams(temperature=0.0, max_tokens=18)):
+        pass
+    log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    for _ in range(N_STEPS):
-        eng._decode()
-    dt = time.time() - t0
-    tok_s = N_STEPS / dt
+    # timed run: decode throughput from first to last streamed token
+    times = []
+    for ev in eng.generate(prompt, p):
+        times.append(time.time())
+    n_tok = len(times)
+    decode_s = times[-1] - times[0]
+    tok_s = (n_tok - 1) / decode_s if decode_s > 0 else 0.0
+    step_ms = eng._last_decode_s * 1000
+    eng.stop()
 
     roofline = V5E_HBM_GBS * 1e9 / weight_bytes if dev.platform == "tpu" else None
     result = {
@@ -160,8 +156,9 @@ def main() -> None:
         "model": "tinyllama-1.1b-q4km-shape",
         "batch": 1,
         "device": str(dev),
-        "decode_step_ms": round(dt / N_STEPS * 1000, 2),
+        "decode_step_ms": round(step_ms, 2),
         "weight_gb": round(weight_bytes / 1e9, 3),
+        "load_s": round(load_s, 1),
     }
     if roofline:
         result["roofline_tok_s"] = round(roofline, 1)

@@ -109,17 +109,31 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     k_cache = _write_kv(k_cache, k, offsets)
     v_cache = _write_kv(v_cache, v, offsets)
 
-    # grouped-query attention over the full cache buffer (masked)
     group = H // KVH
     S = k_cache.shape[1]
-    qh = q.reshape(B, T, KVH, group, hd)
-    scores = jnp.einsum("btkgd,bskd->bkgts", qh.astype(jnp.float32),
-                        k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
-    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache.astype(jnp.float32))
-    ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+    if _use_flash_attention(T, group, S):
+        from ..ops.flash_attention import flash_attention
+        ctx = flash_attention(q, k_cache, v_cache, offsets)
+        ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+    else:
+        # XLA reference path: masked softmax over the full cache buffer
+        qh = q.reshape(B, T, KVH, group, hd)
+        scores = jnp.einsum("btkgd,bskd->bkgts", qh.astype(jnp.float32),
+                            k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache.astype(jnp.float32))
+        ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
     return matmul(layer["attn_output"], ctx), k_cache, v_cache
+
+
+def _use_flash_attention(T: int, group: int, S: int) -> bool:
+    """Pallas flash attention on TPU for decode/small chunks; the XLA path
+    covers CPU tests, sharded meshes, and large prefill row counts (row
+    tiling lands with the paged allocator)."""
+    if jax.devices()[0].platform != "tpu":
+        return False
+    return group * T <= 1024 and S % 128 == 0
 
 
 def ffn_swiglu(layer: Params, x: jax.Array) -> jax.Array:

@@ -46,6 +46,7 @@ class EngineConfig:
     prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
     kv_dtype: Any = jnp.bfloat16
     mode: str = "quant"                # weight residency: "quant" | "dense"
+    multi_step: int = 1                # decode steps fused per dispatch (1 = off)
 
 
 @dataclasses.dataclass
@@ -139,6 +140,32 @@ class InferenceEngine:
             return tok, st, cache, tok_lp
 
         self._decode_step = decode_step
+
+        # multi-step decode: N forward+sample steps fused into ONE dispatch
+        # via lax.scan — sampling feedback stays on-device, host sees a
+        # (N, B) token batch.  Amortizes per-dispatch latency (hundreds of
+        # microseconds through a remote TPU runtime) across N tokens.
+        def make_multi(n_steps: int):
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_multi(params, cache: KVCache, tokens, offsets,
+                             st: SampleState):
+                def body(carry, _):
+                    cache, tok, off, st = carry
+                    logits, cache = forward(params, cfg, tok, off, cache,
+                                            jnp.ones(tok.shape[0], jnp.int32))
+                    last = logits[:, 0, :]
+                    nxt, st = sample(last, st)
+                    lp = jax.nn.log_softmax(last, axis=-1)
+                    tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+                    return (cache, nxt[:, None], off + 1, st), (nxt, tok_lp)
+
+                (cache, _, _, st), (toks, lps) = jax.lax.scan(
+                    body, (cache, tokens, offsets, st), None, length=n_steps)
+                return toks, st, cache, lps   # toks (N, B)
+            return decode_multi
+
+        self._decode_multi_fns: dict[int, Any] = {}
+        self._make_multi = make_multi
 
         # per-bucket prefill over a single slot's cache slice
         def make_prefill(T: int):
@@ -329,10 +356,27 @@ class InferenceEngine:
         return tok[b], st
 
     # -- batched decode ------------------------------------------------------
+    def _multi_steps_viable(self, active: list[int]) -> int:
+        """How many decode steps can be fused into one dispatch right now."""
+        n = self.ecfg.multi_step
+        if n <= 1:
+            return 1
+        if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
+            return 1   # stay responsive: admit waiting requests first
+        for b in active:
+            slot = self.slots[b]
+            remaining = min(slot.params.max_tokens - len(slot.generated),
+                            self.ecfg.ctx - slot.offset - 1)
+            n = min(n, max(1, remaining))
+        return n
+
     def _decode(self) -> bool:
         active = [b for b, s in enumerate(self.slots) if s.state == "active"]
         if not active:
             return False
+        n_steps = self._multi_steps_viable(active)
+        if n_steps > 1:
+            return self._decode_n(active, n_steps)
         B = self.ecfg.max_slots
         tokens = np.zeros((B, 1), np.int32)
         offsets = np.zeros(B, np.int32)
@@ -352,6 +396,37 @@ class InferenceEngine:
             slot = self.slots[b]
             slot.offset += 1
             self._emit_token(b, int(tok[b]), float(tok_lp[b]))
+        return True
+
+    def _decode_n(self, active: list[int], n_steps: int) -> bool:
+        """Fused multi-step decode (one dispatch, n_steps tokens per slot)."""
+        B = self.ecfg.max_slots
+        if n_steps not in self._decode_multi_fns:
+            self._decode_multi_fns[n_steps] = self._make_multi(n_steps)
+        fn = self._decode_multi_fns[n_steps]
+        tokens = np.zeros((B, 1), np.int32)
+        offsets = np.zeros(B, np.int32)
+        gen = {b: self.slots[b].request_id for b in active}
+        for b in active:
+            tokens[b, 0] = self.slots[b].generated[-1]
+            offsets[b] = self.slots[b].offset
+        t0 = time.monotonic()
+        toks, self.sample_state, self.cache, lps = fn(
+            self.params, self.cache, jnp.asarray(tokens), jnp.asarray(offsets),
+            self.sample_state)
+        toks = np.asarray(toks)       # (N, B)
+        lps = np.asarray(lps)
+        dt = (time.monotonic() - t0) / n_steps
+        self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
+            if self._last_decode_s else dt
+        for step in range(n_steps):
+            for b in active:
+                slot = self.slots[b]
+                # slot may have finished (EOG/stop) mid-batch: drop the rest
+                if slot.state != "active" or slot.request_id != gen[b]:
+                    continue
+                slot.offset += 1
+                self._emit_token(b, int(toks[step, b]), float(lps[step, b]))
         return True
 
     # -- emission / termination ---------------------------------------------
