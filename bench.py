@@ -3,10 +3,10 @@
 Prints ONE JSON line:
     {"metric": "decode_tok_s", "value": N, "unit": "tok/s", "vs_baseline": N}
 
-- model: TinyLlama-1.1B-shaped llama (dim 2048, 22 layers, GQA 32/4, ffn 5632,
-  vocab 32000) with random weights quantized to Q4_K (+ Q6_K output head) —
-  BASELINE.json configs 1-2 shape; the environment has no real weights, and
-  throughput is weight-shape-bound, not weight-value-bound.
+- model: Llama-3.2-1B-shaped llama (dim 2048, 16 layers, GQA 16/8, head_dim
+  128, ffn 8192, vocab 32000) with random weights quantized to Q4_K (+ Q6_K
+  output head) — BASELINE.json configs 1-2 shape; the environment has no real
+  weights, and throughput is weight-shape-bound, not weight-value-bound.
 - measurement: greedy decode steps at batch 1 after prefill, wall-clock over
   ``N_STEPS`` jitted steps (sampling included), compile excluded.
 - vs_baseline: ratio to the reference's published pass threshold of 20 tok/s
@@ -21,8 +21,10 @@ import os
 import sys
 import time
 
-MODEL = dict(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4, ffn_dim=5632)
-N_STEPS = 48
+# Llama-3.2-1B shape: dim 2048, 16 layers, GQA 32/8, head_dim 128 (MXU/lane
+# native), ffn 8192 — the modern small-llama family (BASELINE configs 1-2)
+MODEL = dict(dim=2048, n_layers=16, n_heads=16, n_kv_heads=8, ffn_dim=8192)
+N_STEPS = 96
 V5E_HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
 
 
@@ -37,7 +39,7 @@ def bench_model_path() -> str:
     from llama_gguf_inference_tpu.gguf.writer import GGUFWriter
     from llama_gguf_inference_tpu.utils.testing import make_tiny_vocab
 
-    path = os.environ.get("BENCH_MODEL", "/tmp/bench_tinyllama_q4k.gguf")
+    path = os.environ.get("BENCH_MODEL", "/tmp/bench_llama32_1b_q4k.gguf")
     if os.path.exists(path):
         return path
     log(f"[bench] generating {path} (1.1B Q4_K, one-time)...")
@@ -56,7 +58,7 @@ def bench_model_path() -> str:
 
     w = GGUFWriter(path)
     w.add(Keys.ARCHITECTURE, "llama")
-    w.add(Keys.NAME, "bench-tinyllama-1.1b-q4km")
+    w.add(Keys.NAME, "bench-llama3.2-1b-q4km")
     w.add("llama.context_length", 2048)
     w.add("llama.embedding_length", d["dim"])
     w.add("llama.block_count", d["n_layers"])
@@ -153,7 +155,7 @@ def main() -> None:
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 20.0, 3),
-        "model": "tinyllama-1.1b-q4km-shape",
+        "model": "llama32-1b-q4km-shape",
         "batch": 1,
         "device": str(dev),
         "decode_step_ms": round(step_ms, 2),

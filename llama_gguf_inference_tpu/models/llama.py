@@ -92,10 +92,9 @@ def _write_kv(cache: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array
 
 
 def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
-              cos: jax.Array, sin: jax.Array, k_cache: jax.Array,
-              v_cache: jax.Array, offsets: jax.Array,
-              mask: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """x: (B, T, D). Returns (out, new_k_cache, new_v_cache)."""
+              cos: jax.Array, sin: jax.Array, cache, layer_idx: int,
+              offsets: jax.Array, mask: jax.Array):
+    """x: (B, T, D). Returns (out, updated cache)."""
     B, T, _ = x.shape
     H, KVH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -106,12 +105,20 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     q = apply_rope(q, cos, sin, cfg.rope_interleaved)
     k = apply_rope(k, cos, sin, cfg.rope_interleaved)
 
-    k_cache = _write_kv(k_cache, k, offsets)
-    v_cache = _write_kv(v_cache, v, offsets)
+    from ..runtime.kv_cache import QuantKV
+    if isinstance(cache, QuantKV):
+        cache = cache.write(layer_idx, k, v, offsets)
+        k_cache = cache.k_full(layer_idx)
+        v_cache = cache.v_full(layer_idx)
+    else:
+        k_cache = _write_kv(cache.k[layer_idx], k, offsets)
+        v_cache = _write_kv(cache.v[layer_idx], v, offsets)
+        cache = KVCache(k=cache.k.at[layer_idx].set(k_cache),
+                        v=cache.v.at[layer_idx].set(v_cache))
 
     group = H // KVH
     S = k_cache.shape[1]
-    if _use_flash_attention(T, group, S):
+    if _use_flash_attention(T, group, S, hd):
         from ..ops.flash_attention import flash_attention
         ctx = flash_attention(q, k_cache, v_cache, offsets)
         ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
@@ -124,16 +131,17 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache.astype(jnp.float32))
         ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
-    return matmul(layer["attn_output"], ctx), k_cache, v_cache
+    return matmul(layer["attn_output"], ctx), cache
 
 
-def _use_flash_attention(T: int, group: int, S: int) -> bool:
+def _use_flash_attention(T: int, group: int, S: int, head_dim: int) -> bool:
     """Pallas flash attention on TPU for decode/small chunks; the XLA path
     covers CPU tests, sharded meshes, and large prefill row counts (row
-    tiling lands with the paged allocator)."""
+    tiling lands with the paged allocator).  head_dim must fill TPU lanes
+    (128) — smaller head dims hit Mosaic sub-lane slice alignment limits."""
     if jax.devices()[0].platform != "tpu":
         return False
-    return group * T <= 1024 and S % 128 == 0
+    return group * T <= 2048 and S % 128 == 0 and head_dim % 128 == 0
 
 
 def ffn_swiglu(layer: Params, x: jax.Array) -> jax.Array:
@@ -183,7 +191,7 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
       logits (B, T, vocab) f32 and the updated cache.
     """
     B, T = token_ids.shape
-    S = cache.k.shape[2]
+    S = cache.max_seq if hasattr(cache, "max_seq") else cache.k.shape[2]
 
     x = jnp.take(params["tok_embd"], token_ids, axis=0)       # (B, T, D)
 
@@ -198,14 +206,10 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
     valid_q = (jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None])
     mask = mask & valid_q[:, :, None]
 
-    new_k = []
-    new_v = []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-        attn_out, k_c, v_c = attention(layer, cfg, h, cos, sin,
-                                       cache.k[i], cache.v[i], offsets, mask)
-        new_k.append(k_c)
-        new_v.append(v_c)
+        attn_out, cache = attention(layer, cfg, h, cos, sin, cache, i,
+                                    offsets, mask)
         x = x + attn_out
         h = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
         if cfg.is_moe:
@@ -215,7 +219,6 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
 
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     logits = matmul(params["output"], x).astype(jnp.float32)
-    out_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
     if return_hidden:
-        return logits, out_cache, x
-    return logits, out_cache
+        return logits, cache, x
+    return logits, cache

@@ -44,7 +44,7 @@ class EngineConfig:
     max_slots: int = 4
     ctx: int = 2048                    # per-slot KV capacity (reference CTX env)
     prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
-    kv_dtype: Any = jnp.bfloat16
+    kv_dtype: Any = jnp.bfloat16       # jnp dtype, or "q8_0" for quantized KV
     mode: str = "quant"                # weight residency: "quant" | "dense"
     multi_step: int = 1                # decode steps fused per dispatch (1 = off)
 
@@ -111,7 +111,11 @@ class InferenceEngine:
         reader.close()
 
         B, S = self.ecfg.max_slots, self.ecfg.ctx
-        self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
+        if self.ecfg.kv_dtype == "q8_0":
+            from .kv_cache import QuantKV
+            self.cache = QuantKV.zeros(cfg, B, S)
+        else:
+            self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
@@ -211,7 +215,9 @@ class InferenceEngine:
         return rid, out
 
     def generate(self, prompt: str | list[int], params: SamplingParams | None = None,
-                 timeout: float = 300.0) -> Iterator[GenEvent]:
+                 timeout: float = 1800.0) -> Iterator[GenEvent]:
+        """First-event timeout covers cold-compile of the step graphs (minutes
+        on remote-compiled TPU runtimes)."""
         """Blocking convenience iterator over one request's stream."""
         _, out = self.submit(prompt, params or SamplingParams())
         while True:
@@ -254,13 +260,35 @@ class InferenceEngine:
 
     def _loop(self) -> None:
         while not self._stop_evt.is_set():
-            if not self.step():
+            try:
+                worked = self.step()
+            except Exception:  # noqa: BLE001 — engine must not die silently
+                import traceback
+                traceback.print_exc()
+                self._fail_all(f"engine error: {traceback.format_exc(limit=3)}")
+                continue
+            if not worked:
                 # idle: block briefly on the queue to avoid spinning
                 try:
                     item = self._queue.get(timeout=0.05)
                     self._queue.put(item)
                 except queue.Empty:
                     pass
+
+    def _fail_all(self, message: str) -> None:
+        """Terminate every active + queued request with an error event."""
+        for b, slot in enumerate(self.slots):
+            if slot.state != "free":
+                slot.out.put(GenEvent(finished=True, finish_reason="error",
+                                      text="", n_prompt=len(slot.prompt_ids),
+                                      n_generated=len(slot.generated)))
+                self._release(b)
+        while True:
+            try:
+                _, _, _, out = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            out.put(GenEvent(finished=True, finish_reason="error"))
 
     def n_active(self) -> int:
         return sum(s.state != "free" for s in self.slots)
@@ -310,10 +338,9 @@ class InferenceEngine:
         slot = self.slots[b]
         ids = slot.prompt_ids
         self.total_prompt_tokens += len(ids)
-        # slice this slot's cache out of the pool
-        k = self.cache.k[:, b:b + 1]
-        v = self.cache.v[:, b:b + 1]
-        cache_slice = KVCache(k=k, v=v)
+        # slice this slot's cache out of the pool (works for both bf16
+        # KVCache and q8_0 QuantKV: all leaves are (L, B, S, ...))
+        cache_slice = jax.tree_util.tree_map(lambda a: a[:, b:b + 1], self.cache)
         pos = 0
         logits_last = None
         while pos < len(ids):
@@ -326,10 +353,8 @@ class InferenceEngine:
                 self.params, cache_slice, jnp.asarray(tok),
                 jnp.int32(pos), jnp.int32(chunk))
             pos += chunk
-        self.cache = KVCache(
-            k=self.cache.k.at[:, b:b + 1].set(cache_slice.k),
-            v=self.cache.v.at[:, b:b + 1].set(cache_slice.v),
-        )
+        self.cache = jax.tree_util.tree_map(
+            lambda pool, s: pool.at[:, b:b + 1].set(s), self.cache, cache_slice)
         slot.offset = len(ids)
         # sample the first generated token from the prefill logits
         tok, self.sample_state = self._sample_one(b, logits_last)
@@ -363,11 +388,12 @@ class InferenceEngine:
             return 1
         if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
             return 1   # stay responsive: admit waiting requests first
+        # all-or-nothing: a variable scan length would compile a new graph
+        # per length.  A slot finishing mid-batch just ignores the tail —
+        # bounded waste (< n steps) beats recompilation.
         for b in active:
-            slot = self.slots[b]
-            remaining = min(slot.params.max_tokens - len(slot.generated),
-                            self.ecfg.ctx - slot.offset - 1)
-            n = min(n, max(1, remaining))
+            if self.ecfg.ctx - self.slots[b].offset - 1 < n:
+                return 1
         return n
 
     def _decode(self) -> bool:
