@@ -109,6 +109,13 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
     """Repack a (out, in) weight whose rows are contiguous wire blocks."""
     t = GGMLType(ggml_type)
     buf = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
+    if t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K):
+        # hot formats go through the multi-threaded C++ repacker when built
+        from ..native import native_repack
+        rp = native_repack(buf.reshape(-1), t.name.lower(),
+                           out_features, in_features)
+        if rp is not None:
+            return rp
     blk, nbytes = type_block_info(t)
     if in_features % blk != 0:
         raise ValueError(f"in_features {in_features} not divisible by block {blk}")

@@ -171,9 +171,11 @@ class InferenceEngine:
         self._decode_multi_fns: dict[int, Any] = {}
         self._make_multi = make_multi
 
-        # per-bucket prefill over a single slot's cache slice
+        # per-bucket prefill over a single slot's cache slice.  NO donation:
+        # when max_slots == 1 the slot slice is a whole-array view that jax
+        # aliases to the pool's buffer — donating it would delete the pool.
         def make_prefill(T: int):
-            @partial(jax.jit, donate_argnums=(1,))
+            @jax.jit
             def prefill(params, cache_slice: KVCache, tokens, offset, length):
                 # cache_slice buffers (L, 1, S, H, D); tokens (1, T)
                 logits, cache_slice = forward(

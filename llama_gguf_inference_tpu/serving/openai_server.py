@@ -362,10 +362,15 @@ def main() -> None:
         from ..runtime.mock import MockEngine
         engine = MockEngine(model_name=os.environ.get("MODEL_NAME", "mock-model"))
     else:
+        import jax.numpy as jnp
+
         from ..runtime.engine import EngineConfig, InferenceEngine
+        kv = os.environ.get("KV_CACHE_TYPE", "bf16").lower()
         ecfg = EngineConfig(
             max_slots=int(os.environ.get("MAX_SLOTS", 4)),
             ctx=int(os.environ.get("CTX", 2048)),
+            kv_dtype="q8_0" if kv == "q8_0" else jnp.bfloat16,
+            multi_step=int(os.environ.get("MULTI_STEP", 1)),
         )
         engine = InferenceEngine(model_path, ecfg)
     engine.start()
