@@ -140,6 +140,7 @@ def main() -> None:
     log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
 
     # timed run: decode throughput from first to last streamed token
+    eng._last_decode_s = 0.0   # reset EWMA (warmup seeded it with compile time)
     times = []
     for ev in eng.generate(prompt, p):
         times.append(time.time())
