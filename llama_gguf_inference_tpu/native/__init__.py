@@ -101,8 +101,11 @@ def native_repack(raw: np.ndarray, fmt: str, out_f: int, in_f: int,
                         _ptr(codes, ctypes.c_uint8), _ptr(d, ctypes.c_float),
                         _ptr(sc, ctypes.c_uint8), _ptr(dmin, ctypes.c_float),
                         _ptr(mn, ctypes.c_uint8), n_threads)
-        return RepackedWeight(codes=codes, d=d, sc=sc, dmin=dmin, mn=mn,
-                              fmt="q4_k", bits=4, sub_size=32, d_size=256,
+        # flatten hierarchy (see quant/repack.py rw): f32 products, bit-exact
+        s_eff = np.repeat(d, 8, axis=1) * sc.astype(np.float32)
+        m_eff = np.repeat(dmin, 8, axis=1) * mn.astype(np.float32)
+        return RepackedWeight(codes=codes, d=s_eff, sc=None, dmin=m_eff, mn=None,
+                              fmt="q4_k", bits=4, sub_size=32, d_size=32,
                               code_bias=0, out_features=out_f, in_features=in_f)
     if fmt == "q6_k":
         nd = in_f // 256
@@ -112,8 +115,9 @@ def native_repack(raw: np.ndarray, fmt: str, out_f: int, in_f: int,
         lib.repack_q6_k(_ptr(raw, ctypes.c_uint8), out_f, in_f,
                         _ptr(codes, ctypes.c_int8), _ptr(d, ctypes.c_float),
                         _ptr(sc, ctypes.c_int8), n_threads)
-        return RepackedWeight(codes=codes, d=d, sc=sc, dmin=None, mn=None,
-                              fmt="q6_k", bits=8, sub_size=16, d_size=256,
+        s_eff = np.repeat(d, 16, axis=1) * sc.astype(np.float32)
+        return RepackedWeight(codes=codes, d=s_eff, sc=None, dmin=None, mn=None,
+                              fmt="q6_k", bits=8, sub_size=16, d_size=16,
                               code_bias=0, out_features=out_f, in_features=in_f)
     return None
 

@@ -140,10 +140,10 @@ void repack_q4_k(const uint8_t* raw, int64_t O, int64_t I,
                 mrow[sb] = f16_to_f32(h);
                 uint8_t s8[8], m8[8];
                 k4_scale_min(blk + 4, s8, m8);
-                // scale order (s, sigma): scrow index s*nd + sb
+                // natural global sub-block order: index sb*8 + s
                 for (int s = 0; s < 8; ++s) {
-                    scrow[s * nd + sb] = s8[s];
-                    mnrow[s * nd + sb] = m8[s];
+                    scrow[sb * 8 + s] = s8[s];
+                    mnrow[sb * 8 + s] = m8[s];
                 }
                 const uint8_t* qs = blk + 16;
                 // wire: chunk c of 32 bytes -> elems 64c..64c+31 lo, +32..63 hi
@@ -156,8 +156,9 @@ void repack_q4_k(const uint8_t* raw, int64_t O, int64_t I,
                         // block-minor: i = sb*256 + s*32 + t
                         int64_t s1 = i1 / 32, t1 = i1 % 32;
                         int64_t s2 = i2 / 32, t2 = i2 % 32;
-                        qbm[t1 * (8 * nd) + s1 * nd + sb] = src[l] & 0x0F;
-                        qbm[t2 * (8 * nd) + s2 * nd + sb] = src[l] >> 4;
+                        // flattened block-minor: j = t*nsub + (sb*8 + s)
+                        qbm[t1 * (8 * nd) + sb * 8 + s1] = src[l] & 0x0F;
+                        qbm[t2 * (8 * nd) + sb * 8 + s2] = src[l] >> 4;
                     }
                 }
             }
@@ -186,7 +187,7 @@ void repack_q6_k(const uint8_t* raw, int64_t O, int64_t I,
                 std::memcpy(&h, blk + 208, 2);
                 drow[sb] = f16_to_f32(h);
                 for (int s = 0; s < 16; ++s)
-                    scrow[s * nd + sb] = scales[s];
+                    scrow[sb * 16 + s] = scales[s];
                 for (int half = 0; half < 2; ++half) {
                     const uint8_t* l_ = ql + 64 * half;
                     const uint8_t* l32 = ql + 64 * half + 32;
@@ -203,7 +204,7 @@ void repack_q6_k(const uint8_t* raw, int64_t O, int64_t I,
                         for (int k = 0; k < 4; ++k) {
                             int64_t i = li[k];                // logical in super
                             int64_t s = i / 16, t = i % 16;   // sub=16
-                            crow[t * (16 * nd) + s * nd + sb] = (int8_t)vals[k];
+                            crow[t * (16 * nd) + sb * 16 + s] = (int8_t)vals[k];
                         }
                     }
                 }

@@ -95,21 +95,56 @@ def _make_kernel(meta: tuple, B: int, TO: int, in_features: int):
             mn_ref = refs[idx]; idx += 1
         o_ref = refs[idx]
 
-        # everything below is in block-minor element order; the caller
-        # pre-transposed the activations to match
-        q = _unpack_planar(codes_ref[:], bits)                 # (TO, in) i32
+        # Everything below is in block-minor element order; the caller
+        # pre-transposed the activations to match.
+        #
+        # Scale hierarchy (small arrays, f32): s_sub = repeat(d)*sc, and the
+        # code bias + magic offset fold into a per-sub-block min term:
+        #   w = (raw - bias)*s - m  ==  raw*s - (bias*s + m)
         s_sub = _expand_scales(d_ref[:],
                                sc_ref[:] if sc_ref is not None else None,
-                               sub_size, d_size, in_features)   # (TO, g*nd)
-        s_full = pltpu.repeat(s_sub, sub_size, axis=1)          # (TO, in) f32
-
-        w = (q - bias).astype(jnp.float32) * s_full
+                               sub_size, d_size, in_features)   # (TO, g*nd) f32
+        m_sub = jnp.zeros_like(s_sub)
         if has_dmin:
             m_sub = _expand_scales(dmin_ref[:],
                                    mn_ref[:] if mn_ref is not None else None,
                                    sub_size, d_size, in_features)
-            w = w - pltpu.repeat(m_sub, sub_size, axis=1)
-        w = w.astype(jnp.bfloat16)
+
+        if bits == 4:
+            # bf16 magic-number unpack: for a 4-bit code q, the u16 pattern
+            # 0x4300 | q bitcasts to bf16 value (128 + q) exactly.  The 128
+            # offset is removed BEFORE scaling (exact bf16 integer subtract);
+            # folding it into the min term instead would catastrophically
+            # cancel in bf16.  All full-width ops run at u16/bf16 density.
+            # shift/mask in i32 (Mosaic legalizes i32 shifts only), then
+            # drop to u16 for the magic OR + bitcast
+            c32 = codes_ref[:].astype(jnp.int32)                # (TO, in/2)
+            q16 = jnp.concatenate([c32 & 0xF, c32 >> 4],
+                                  axis=1).astype(jnp.uint16)
+            v = pltpu.bitcast(q16 | jnp.uint16(0x4300), jnp.bfloat16)
+            v = v - jnp.bfloat16(128.0)                          # exact: v = q
+            m_sub = m_sub + float(bias) * s_sub                  # fold code bias
+        else:
+            # 8-bit codes can't ride the bf16 magic (9-bit int range exceeds
+            # bf16's 7 mantissa bits) — and the i32/f32 path already streams
+            # int8 formats at HBM roofline.  2-bit formats also go here.
+            q = _unpack_planar(codes_ref[:], bits)
+            v = (q - bias).astype(jnp.float32)
+            # bias handled directly; no fold
+            s_full = pltpu.repeat(s_sub, sub_size, axis=1)
+            w = v * s_full
+            if has_dmin:
+                w = w - pltpu.repeat(m_sub, sub_size, axis=1)
+            o_ref[:] = jax.lax.dot_general(
+                x_ref[:], w.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+
+        s_full = pltpu.repeat(s_sub.astype(jnp.bfloat16), sub_size, axis=1)
+        m_full = pltpu.repeat(m_sub.astype(jnp.bfloat16), sub_size, axis=1)
+        w = v * s_full - m_full                                  # bf16 FMA
 
         o_ref[:] = jax.lax.dot_general(
             x_ref[:], w,

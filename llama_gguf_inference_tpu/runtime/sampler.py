@@ -131,24 +131,40 @@ def sample(logits: jax.Array, st: SampleState) -> tuple[jax.Array, SampleState]:
     Jit-safe: all control flow is element-wise selects.
     """
     B, V = logits.shape
-    logits = apply_penalties(logits, st)
+
+    # each stage is gated on "any slot needs it" with lax.cond so disabled
+    # features cost nothing at runtime (top-k/top-p are full-vocab sorts)
+    def maybe(pred, fn, x):
+        return jax.lax.cond(pred, fn, lambda v: v, x)
+
+    logits = maybe(
+        jnp.any((st.presence != 0.0) | (st.frequency != 0.0) | (st.repeat != 1.0)),
+        lambda l: apply_penalties(l, st), logits)
 
     greedy = st.temperature <= 0.0
-    temp = jnp.where(greedy, 1.0, jnp.maximum(st.temperature, 1e-6))
-    scaled = logits / temp[:, None]
-    scaled = _mask_top_k(scaled, st.top_k)
-    scaled = _mask_min_p(scaled, st.min_p)
-    scaled = _mask_top_p(scaled, st.top_p)
-
-    # per-slot keys: fold seed and step into a counter-based key
-    def draw(seed, step, row):
-        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-        key = jax.random.fold_in(key, step)
-        return jax.random.categorical(key, row)
-
-    sampled = jax.vmap(draw)(st.seed, st.step.astype(jnp.uint32), scaled)
     argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    tok = jnp.where(greedy, argmax, sampled.astype(jnp.int32))
+
+    def do_sample(logits):
+        temp = jnp.where(greedy, 1.0, jnp.maximum(st.temperature, 1e-6))
+        scaled = logits / temp[:, None]
+        scaled = maybe(jnp.any(st.top_k > 0),
+                       lambda s: _mask_top_k(s, st.top_k), scaled)
+        scaled = maybe(jnp.any(st.min_p > 0.0),
+                       lambda s: _mask_min_p(s, st.min_p), scaled)
+        scaled = maybe(jnp.any(st.top_p < 1.0),
+                       lambda s: _mask_top_p(s, st.top_p), scaled)
+
+        # per-slot keys: fold seed and step into a counter-based key
+        def draw(seed, step, row):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+            key = jax.random.fold_in(key, step)
+            return jax.random.categorical(key, row)
+
+        return jax.vmap(draw)(st.seed, st.step.astype(jnp.uint32),
+                              scaled).astype(jnp.int32)
+
+    sampled = jax.lax.cond(jnp.all(greedy), lambda l: argmax, do_sample, logits)
+    tok = jnp.where(greedy, argmax, sampled)
 
     counts = st.counts.at[jnp.arange(B), tok].add(1)
     return tok, st._replace(counts=counts, step=st.step + 1)

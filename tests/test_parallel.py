@@ -59,20 +59,27 @@ def test_sharded_forward_matches_single_device(model_path, dp, tp):
     assert np.asarray(new_cache.k).any()
 
 
-def test_row_parallel_block_integrity_falls_back(tmp_path):
-    """Q4_K (256-blocks) with in_features/tp not a block multiple must
-    replicate (never split a super-block across shards)."""
+def test_row_parallel_block_granularity(tmp_path):
+    """With the flattened scale hierarchy, K-quant weights shard at 32-element
+    sub-block granularity: dim 256 / tp 2 = 128 is a legal in-axis split (and
+    numerics stay exact — covered by the parity test above)."""
     from jax.sharding import PartitionSpec as P
     p = tmp_path / "q4k.gguf"
     write_tiny_llama(p, dim=256, n_layers=1, n_heads=4, n_kv_heads=2,
                      ffn_dim=256, quant=GGMLType.Q4_K)
     cfg, params, _ = load_model(p, mode="quant")
-    mesh = make_mesh(tp=2, dp=4)   # 256/2 = 128, not a multiple of 256
+    assert params["layers"][0]["attn_output"].d_size == 32   # flattened
+    mesh = make_mesh(tp=2, dp=4)
     sp = shard_params(params, cfg, mesh)
     ao = sp["layers"][0]["attn_output"]
-    assert ao.codes.sharding.spec == P()      # replicated, block intact
-    aq = sp["layers"][0]["attn_q"]            # column-parallel still sharded
+    assert ao.codes.sharding.spec == P(None, "tp")   # row-parallel sharded
+    aq = sp["layers"][0]["attn_q"]                    # column-parallel sharded
     assert aq.codes.sharding.spec == P("tp", None)
+
+    # a split that would land inside a 32-element sub-block must replicate
+    mesh8 = make_mesh(tp=8, dp=1)   # 256/8 = 32 ok for codes but d has 8 subs
+    sp8 = shard_params(params, cfg, mesh8)
+    assert sp8["layers"][0]["attn_q"].codes.sharding.spec == P("tp", None)
 
 
 def test_mesh_shapes():
