@@ -139,6 +139,9 @@ def _use_flash_attention(T: int, group: int, S: int, head_dim: int) -> bool:
     covers CPU tests, sharded meshes, and large prefill row counts (row
     tiling lands with the paged allocator).  head_dim must fill TPU lanes
     (128) — smaller head dims hit Mosaic sub-lane slice alignment limits."""
+    import os
+    if os.environ.get("LGT_NO_FLASH"):
+        return False
     if jax.devices()[0].platform != "tpu":
         return False
     return group * T <= 2048 and S % 128 == 0 and head_dim % 128 == 0

@@ -230,23 +230,71 @@ class BPETokenizer(Tokenizer):
 
     @staticmethod
     def _pretokenize(text: str) -> list[str]:
+        """GPT-2-style pre-tokenization without the `regex` module.
+
+        Scanner equivalent of the gpt2 pattern
+        ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|
+        \\s+(?!\\S)|\\s+`` using unicodedata categories.
+        """
+        import unicodedata
+
+        def is_letter(c: str) -> bool:
+            return unicodedata.category(c).startswith("L")
+
+        def is_number(c: str) -> bool:
+            return unicodedata.category(c).startswith("N")
+
         out: list[str] = []
-        cur = ""
-        for ch in text:
-            if ch == " ":
-                if cur:
-                    out.append(cur)
-                cur = " "
-            elif ch in "\n\t":
-                if cur:
-                    out.append(cur)
-                out.append(ch)
-                cur = ""
+        i, n = 0, len(text)
+        contractions = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d",
+                        "'S", "'T", "'RE", "'VE", "'M", "'LL", "'D")
+        while i < n:
+            c = text[i]
+            matched = False
+            if c == "'":
+                for con in contractions:
+                    if text.startswith(con, i):
+                        out.append(con)
+                        i += len(con)
+                        matched = True
+                        break
+                if matched:
+                    continue
+            if c.isspace():
+                j = i
+                while j < n and text[j].isspace():
+                    j += 1
+                if j < n and j - i > 1:
+                    # \s+(?!\S): trailing space attaches to the next word
+                    out.append(text[i:j - 1])
+                    i = j - 1
+                elif j < n and j - i == 1 and text[i] == " ":
+                    i = i  # single space: falls through to the word branches
+                else:
+                    out.append(text[i:j])
+                    i = j
+                    continue
+            start = i
+            if text[i] == " " and i + 1 < n:
+                i += 1
+            if i < n and is_letter(text[i]):
+                while i < n and is_letter(text[i]):
+                    i += 1
+                out.append(text[start:i])
+            elif i < n and is_number(text[i]):
+                while i < n and is_number(text[i]):
+                    i += 1
+                out.append(text[start:i])
+            elif i < n and not text[i].isspace():
+                while i < n and not text[i].isspace() \
+                        and not is_letter(text[i]) and not is_number(text[i]):
+                    i += 1
+                out.append(text[start:i])
             else:
-                cur += ch
-        if cur:
-            out.append(cur)
-        return out
+                # lone space before whitespace/end
+                out.append(text[start:i + 1] if i < n else text[start:])
+                i = max(i + 1, start + 1)
+        return [t for t in out if t]
 
     def _bpe(self, word: str) -> list[str]:
         parts = list(word)
