@@ -98,9 +98,16 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     B, T, _ = x.shape
     H, KVH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    q = matmul(layer["attn_q"], x).reshape(B, T, H, hd)
-    k = matmul(layer["attn_k"], x).reshape(B, T, KVH, hd)
-    v = matmul(layer["attn_v"], x).reshape(B, T, KVH, hd)
+    if "attn_qkv" in layer:
+        qkv = matmul(layer["attn_qkv"], x)
+        q, k, v = jnp.split(qkv, [H * hd, (H + KVH) * hd], axis=-1)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, KVH, hd)
+        v = v.reshape(B, T, KVH, hd)
+    else:
+        q = matmul(layer["attn_q"], x).reshape(B, T, H, hd)
+        k = matmul(layer["attn_k"], x).reshape(B, T, KVH, hd)
+        v = matmul(layer["attn_v"], x).reshape(B, T, KVH, hd)
 
     q = apply_rope(q, cos, sin, cfg.rope_interleaved)
     k = apply_rope(k, cos, sin, cfg.rope_interleaved)
@@ -148,8 +155,12 @@ def _use_flash_attention(T: int, group: int, S: int, head_dim: int) -> bool:
 
 
 def ffn_swiglu(layer: Params, x: jax.Array) -> jax.Array:
-    gate = matmul(layer["ffn_gate"], x)
-    up = matmul(layer["ffn_up"], x)
+    if "ffn_gateup" in layer:
+        gu = matmul(layer["ffn_gateup"], x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = matmul(layer["ffn_gate"], x)
+        up = matmul(layer["ffn_up"], x)
     return matmul(layer["ffn_down"], jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
 
 

@@ -193,3 +193,43 @@ LinearWeight = DenseLinear | QuantLinear
 
 def matmul(w: LinearWeight, x: jax.Array) -> jax.Array:
     return w.matmul(x)
+
+
+def fuse_linears(ws: list[LinearWeight]) -> LinearWeight | None:
+    """Row-concatenate weights sharing in_features into one linear.
+
+    Quantized rows are independent (blocks run along in_features), so
+    concatenating codes/scales along the out axis is exact.  Returns None when
+    the weights aren't compatible (mixed formats/geometry) — callers keep
+    them separate.  Used to fuse QKV and gate+up projections, cutting kernel
+    launches per decode layer (launch overhead is significant at batch 1).
+    """
+    if all(isinstance(w, DenseLinear) for w in ws):
+        if len({w.in_features for w in ws}) != 1:
+            return None
+        cat = jnp.concatenate([w.w for w in ws], axis=0)
+        return DenseLinear(w=cat, out_features=sum(w.out_features for w in ws),
+                           in_features=ws[0].in_features)
+    if not all(isinstance(w, QuantLinear) for w in ws):
+        return None
+    w0 = ws[0]
+    key = (w0.fmt, w0.bits, w0.sub_size, w0.d_size, w0.code_bias,
+           w0.in_features, w0.sc is None, w0.dmin is None, w0.mn is None)
+    for w in ws[1:]:
+        if (w.fmt, w.bits, w.sub_size, w.d_size, w.code_bias, w.in_features,
+                w.sc is None, w.dmin is None, w.mn is None) != key:
+            return None
+
+    def cat(field):
+        vals = [getattr(w, field) for w in ws]
+        if vals[0] is None:
+            return None
+        return jnp.concatenate(vals, axis=0)
+
+    return QuantLinear(
+        codes=cat("codes"), d=cat("d"), sc=cat("sc"), dmin=cat("dmin"),
+        mn=cat("mn"), fmt=w0.fmt, bits=w0.bits, sub_size=w0.sub_size,
+        d_size=w0.d_size, code_bias=w0.code_bias,
+        out_features=sum(w.out_features for w in ws),
+        in_features=w0.in_features,
+    )

@@ -102,7 +102,8 @@ class InferenceEngine:
 
     def __init__(self, model_path: str, engine_cfg: EngineConfig | None = None):
         self.ecfg = engine_cfg or EngineConfig()
-        cfg, params, reader = load_model(model_path, mode=self.ecfg.mode)
+        cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,
+                                         fuse=True)
         self.cfg = cfg
         self.params = params
         self.metadata = dict(reader.metadata)

@@ -43,15 +43,21 @@ def _load_array(reader: GGUFReader, name: str, dtype=jnp.float32):
     return jnp.asarray(reader.tensor_f32(name), dtype=dtype)
 
 
-def load_model(path: str | Path, mode: str = "quant"):
-    """Returns (config, params, metadata)."""
+def load_model(path: str | Path, mode: str = "quant", fuse: bool = False):
+    """Returns (config, params, metadata).
+
+    ``fuse=True`` row-concatenates QKV and gate+up projections into single
+    linears (fewer kernel launches per layer; exact).  Leave False for
+    TP-sharded use — the partition rules split per-projection.
+    """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
-    params = load_params(reader, cfg, mode)
+    params = load_params(reader, cfg, mode, fuse=fuse)
     return cfg, params, reader
 
 
-def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant") -> dict[str, Any]:
+def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
+                fuse: bool = False) -> dict[str, Any]:
     t = reader.tensors
     params: dict[str, Any] = {
         "tok_embd": _load_array(reader, "token_embd.weight", jnp.bfloat16),
@@ -80,6 +86,17 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant") -> di
         else:
             for n in ("ffn_gate", "ffn_up", "ffn_down"):
                 layer[n] = _load_linear(reader, p + f"{n}.weight", mode)
+        if fuse:
+            from ..ops.linear import fuse_linears
+            qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
+            if qkv is not None:
+                layer["attn_qkv"] = qkv
+                del layer["attn_q"], layer["attn_k"], layer["attn_v"]
+            if not cfg.is_moe:
+                gu = fuse_linears([layer["ffn_gate"], layer["ffn_up"]])
+                if gu is not None:
+                    layer["ffn_gateup"] = gu
+                    del layer["ffn_gate"], layer["ffn_up"]
         layers.append(layer)
     params["layers"] = layers
     return params
