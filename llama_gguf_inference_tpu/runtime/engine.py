@@ -120,6 +120,7 @@ class InferenceEngine:
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
+        self._cancelled: set[str] = set()
         self._lock = threading.Lock()
         self._stop_evt = threading.Event()
         self._thread: threading.Thread | None = None
@@ -233,6 +234,12 @@ class InferenceEngine:
                       params: SamplingParams | None = None) -> str:
         return "".join(ev.text for ev in self.generate(prompt, params))
 
+    def cancel(self, request_id: str) -> bool:
+        """Abort a request: frees its slot at the next scheduler boundary
+        (client disconnects must not burn decode steps to max_tokens)."""
+        self._cancelled.add(request_id)
+        return True
+
     def embed(self, prompt: str | list[int]) -> tuple[list[float], int]:
         """Mean-pooled final-hidden-state embedding; returns (vector, n_tokens).
 
@@ -301,9 +308,38 @@ class InferenceEngine:
 
     def step(self) -> bool:
         """One scheduler iteration.  Returns True if any work was done."""
+        self._reap_cancelled()
         admitted = self._admit()
         decoded = self._decode()
         return admitted or decoded
+
+    def _reap_cancelled(self) -> None:
+        if not self._cancelled:
+            return
+        for b, slot in enumerate(self.slots):
+            if slot.state != "free" and slot.request_id in self._cancelled:
+                self._cancelled.discard(slot.request_id)
+                slot.out.put(GenEvent(finished=True, finish_reason="stop",
+                                      n_prompt=len(slot.prompt_ids),
+                                      n_generated=len(slot.generated)))
+                self._release(b)
+        # drop cancelled requests still waiting in the queue
+        if self._cancelled:
+            pending = []
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item[0] in self._cancelled:
+                    self._cancelled.discard(item[0])
+                    item[3].put(GenEvent(finished=True, finish_reason="stop"))
+                else:
+                    pending.append(item)
+            for item in pending:
+                self._queue.put(item)
+        # ids matching nothing were already finished — don't leak them
+        self._cancelled.clear()
 
     # -- admission + prefill -------------------------------------------------
     def _admit(self) -> bool:

@@ -342,20 +342,29 @@ class Gateway:
 
     async def proxy_request(self, req, writer, key_id: str | None,
                             origin: str | None) -> None:
+        from ..utils import logging as slog
         self.metrics.requests_active += 1
+        t0 = time.monotonic()
+
+        def done(status: int) -> None:
+            self.access_log.log(key_id, req.method, req.path, status)
+            slog.info("request", component="gateway", method=req.method,
+                      path=req.path, status=status, key_id=key_id or "-",
+                      duration_ms=round((time.monotonic() - t0) * 1000, 2))
+
         try:
             sent = await asyncio.wait_for(
                 self._do_proxy(req, writer, origin), self.cfg.request_timeout)
             self.metrics.bytes_sent += sent
             self.metrics.requests_success += 1
-            self.access_log.log(key_id, req.method, req.path, 200)
+            done(200)
         except asyncio.TimeoutError:
             self.metrics.requests_error += 1
             await send_error(writer, 504, "Request timed out", "timeout_error", 504)
-            self.access_log.log(key_id, req.method, req.path, 504)
+            done(504)
         except (OSError, ConnectionError):
             self.metrics.requests_error += 1
-            self.access_log.log(key_id, req.method, req.path, 502)
+            done(502)
         finally:
             self.metrics.requests_active -= 1
 

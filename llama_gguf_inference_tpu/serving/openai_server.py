@@ -251,14 +251,23 @@ class OpenAIServer:
     # -- generation plumbing -------------------------------------------------
     async def _collect(self, prompt: str, params: SamplingParams):
         """Run a generation on the engine, draining its thread-safe queue
-        without blocking the event loop."""
+        without blocking the event loop.  On consumer error (client gone),
+        the request is cancelled so the engine frees the slot."""
         loop = asyncio.get_running_loop()
-        _, out = self.engine.submit(prompt, params)
-        while True:
-            ev = await loop.run_in_executor(None, out.get)
-            yield ev
-            if ev.finished:
-                return
+        rid, out = self.engine.submit(prompt, params)
+        finished = False
+        try:
+            while True:
+                ev = await loop.run_in_executor(None, out.get)
+                if ev.finished:
+                    finished = True
+                yield ev
+                if finished:
+                    return
+        finally:
+            if not finished and hasattr(self.engine, "cancel"):
+                # generator closed early (client disconnect mid-stream)
+                self.engine.cancel(rid)
 
     async def _complete(self, writer, rid: str, obj: str, prompt: str,
                         params: SamplingParams, chat: bool) -> None:
