@@ -30,16 +30,32 @@ Params = dict[str, Any]  # nested dict pytree; layer i under params["layers"][i]
 
 
 class KVCache(NamedTuple):
-    """Per-layer ring buffers: k, v are (L, B, S_max, n_kv_heads, head_dim)."""
+    """Per-layer ring buffers: k, v are L-tuples of (B, S_max, KVH, head_dim).
 
-    k: jax.Array
-    v: jax.Array
+    Per-layer arrays (not one stacked (L, ...) buffer) so each layer's update
+    is a plain donated in-place dynamic-update-slice — a stacked buffer's
+    ``at[layer].set`` chains whole-cache copies when XLA fails to alias them.
+    """
+
+    k: tuple
+    v: tuple
 
     @staticmethod
     def zeros(cfg: ModelConfig, batch: int, max_seq: int,
               dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
-        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)),
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k[0].shape[1]
+
+
+def _tuple_set(t: tuple, i: int, v) -> tuple:
+    return t[:i] + (v,) + t[i + 1:]
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -120,8 +136,8 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     else:
         k_cache = _write_kv(cache.k[layer_idx], k, offsets)
         v_cache = _write_kv(cache.v[layer_idx], v, offsets)
-        cache = KVCache(k=cache.k.at[layer_idx].set(k_cache),
-                        v=cache.v.at[layer_idx].set(v_cache))
+        cache = KVCache(k=_tuple_set(cache.k, layer_idx, k_cache),
+                        v=_tuple_set(cache.v, layer_idx, v_cache))
 
     group = H // KVH
     S = k_cache.shape[1]
@@ -205,7 +221,7 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
       logits (B, T, vocab) f32 and the updated cache.
     """
     B, T = token_ids.shape
-    S = cache.max_seq if hasattr(cache, "max_seq") else cache.k.shape[2]
+    S = cache.max_seq
 
     x = jnp.take(params["tok_embd"], token_ids, axis=0)       # (B, T, D)
 

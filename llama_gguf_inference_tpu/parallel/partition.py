@@ -116,16 +116,15 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
 
 def cache_sharding(mesh: Mesh, n_kv_heads: int | None = None,
                    batch: int | None = None) -> NamedSharding:
-    """KV cache (L, B, S, H, D): batch over dp, kv heads over tp.
-
-    Axes that don't divide evenly (GQA models have few KV heads) fall back to
-    replication on that axis.
+    """KV cache leaves (B, S, H, D) per layer: batch over dp, kv heads over
+    tp.  Axes that don't divide evenly (GQA models have few KV heads) fall
+    back to replication on that axis.
     """
     h_axis = AXIS_TP if (n_kv_heads is None or
                          n_kv_heads % mesh.shape[AXIS_TP] == 0) else None
     b_axis = AXIS_DP if (batch is None or
                          batch % mesh.shape[AXIS_DP] == 0) else None
-    return NamedSharding(mesh, P(None, b_axis, None, h_axis, None))
+    return NamedSharding(mesh, P(b_axis, None, h_axis, None))
 
 
 def batch_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:

@@ -378,8 +378,8 @@ class InferenceEngine:
         ids = slot.prompt_ids
         self.total_prompt_tokens += len(ids)
         # slice this slot's cache out of the pool (works for both bf16
-        # KVCache and q8_0 QuantKV: all leaves are (L, B, S, ...))
-        cache_slice = jax.tree_util.tree_map(lambda a: a[:, b:b + 1], self.cache)
+        # KVCache and q8_0 QuantKV: all leaves are per-layer (B, S, ...))
+        cache_slice = jax.tree_util.tree_map(lambda a: a[b:b + 1], self.cache)
         pos = 0
         logits_last = None
         while pos < len(ids):
@@ -393,7 +393,7 @@ class InferenceEngine:
                 jnp.int32(pos), jnp.int32(chunk))
             pos += chunk
         self.cache = jax.tree_util.tree_map(
-            lambda pool, s: pool.at[:, b:b + 1].set(s), self.cache, cache_slice)
+            lambda pool, s: pool.at[b:b + 1].set(s), self.cache, cache_slice)
         slot.offset = len(ids)
         # sample the first generated token from the prefill logits
         tok, self.sample_state = self._sample_one(b, logits_last)

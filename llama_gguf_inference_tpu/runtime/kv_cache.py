@@ -44,24 +44,25 @@ def _write_at_offsets(buf: jax.Array, new: jax.Array, offsets: jax.Array) -> jax
 
 
 class QuantKV(NamedTuple):
-    """q8_0 KV: codes (L, B, S, H, D) int8, scales (L, B, S, H, D//32) f32."""
+    """q8_0 KV per layer: codes (B, S, H, D) int8, scales (B, S, H, D//32)
+    f32 — L-tuples (per-layer arrays keep updates in-place; see KVCache)."""
 
-    k_q: jax.Array
-    k_s: jax.Array
-    v_q: jax.Array
-    v_s: jax.Array
+    k_q: tuple
+    k_s: tuple
+    v_q: tuple
+    v_s: tuple
 
     @staticmethod
     def zeros(cfg: ModelConfig, batch: int, max_seq: int) -> "QuantKV":
         L, H, D = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
         blk = kv_block_for(D)
-        qshape = (L, batch, max_seq, H, D)
-        sshape = (L, batch, max_seq, H, D // blk)
+        qshape = (batch, max_seq, H, D)
+        sshape = (batch, max_seq, H, D // blk)
         return QuantKV(
-            k_q=jnp.zeros(qshape, jnp.int8),
-            k_s=jnp.zeros(sshape, jnp.float32),
-            v_q=jnp.zeros(qshape, jnp.int8),
-            v_s=jnp.zeros(sshape, jnp.float32),
+            k_q=tuple(jnp.zeros(qshape, jnp.int8) for _ in range(L)),
+            k_s=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(L)),
+            v_q=tuple(jnp.zeros(qshape, jnp.int8) for _ in range(L)),
+            v_s=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(L)),
         )
 
     # -- codec ---------------------------------------------------------------
@@ -89,14 +90,17 @@ class QuantKV(NamedTuple):
     # -- model-facing API ----------------------------------------------------
     def write(self, layer: int, k: jax.Array, v: jax.Array,
               offsets: jax.Array) -> "QuantKV":
-        blk = self.k_q.shape[-1] // self.k_s.shape[-1]
+        def ts(t, v_):
+            return t[:layer] + (v_,) + t[layer + 1:]
+
+        blk = self.k_q[0].shape[-1] // self.k_s[0].shape[-1]
         kq, ks = self.quantize(k, blk)
         vq, vs = self.quantize(v, blk)
         return QuantKV(
-            k_q=self.k_q.at[layer].set(_write_at_offsets(self.k_q[layer], kq, offsets)),
-            k_s=self.k_s.at[layer].set(_write_at_offsets(self.k_s[layer], ks, offsets)),
-            v_q=self.v_q.at[layer].set(_write_at_offsets(self.v_q[layer], vq, offsets)),
-            v_s=self.v_s.at[layer].set(_write_at_offsets(self.v_s[layer], vs, offsets)),
+            k_q=ts(self.k_q, _write_at_offsets(self.k_q[layer], kq, offsets)),
+            k_s=ts(self.k_s, _write_at_offsets(self.k_s[layer], ks, offsets)),
+            v_q=ts(self.v_q, _write_at_offsets(self.v_q[layer], vq, offsets)),
+            v_s=ts(self.v_s, _write_at_offsets(self.v_s[layer], vs, offsets)),
         )
 
     def k_full(self, layer: int, dtype=jnp.bfloat16) -> jax.Array:
@@ -107,4 +111,4 @@ class QuantKV(NamedTuple):
 
     @property
     def max_seq(self) -> int:
-        return self.k_q.shape[2]
+        return self.k_q[0].shape[1]
