@@ -99,18 +99,12 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 
 
 def _write_kv(cache: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
-    """cache (B, S, H, D) <- new (B, T, H, D) at per-sequence offsets (B,).
+    """cache (B, S, H, D) <- new (B, T, H, D) at per-sequence offsets (B,)."""
 
-    Unrolled per-batch dynamic_update_slice — NOT vmap: a vmapped DUS lowers
-    to scatter, which XLA will not alias in-place inside a scan carry, turning
-    every decode step into a full cache copy.  B is small (slot count).
-    """
-    B = cache.shape[0]
-    for b in range(B):
-        cache = jax.lax.dynamic_update_slice(
-            cache, new[b:b + 1].astype(cache.dtype),
-            (b, offsets[b], 0, 0))
-    return cache
+    def one(c, n, off):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (off, 0, 0))
+
+    return jax.vmap(one)(cache, new, offsets)
 
 
 def attention(layer: Params, cfg: ModelConfig, x: jax.Array,

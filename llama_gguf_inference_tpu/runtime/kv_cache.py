@@ -34,16 +34,13 @@ def kv_block_for(head_dim: int) -> int:
 
 
 def _write_at_offsets(buf: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
-    """buf (B, S, ...) <- new (B, T, ...) at per-sequence offsets (B,).
+    """buf (B, S, ...) <- new (B, T, ...) at per-sequence offsets (B,)."""
 
-    Unrolled per-batch DUS (not vmap): vmapped DUS lowers to scatter, which
-    XLA won't alias in-place in a scan carry (see models.llama._write_kv).
-    """
-    B = buf.shape[0]
-    for b in range(B):
-        idx = (b, offsets[b]) + (0,) * (buf.ndim - 2)
-        buf = jax.lax.dynamic_update_slice(buf, new[b:b + 1].astype(buf.dtype), idx)
-    return buf
+    def one(c, n, off):
+        idx = (off,) + (0,) * (c.ndim - 1)
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
+
+    return jax.vmap(one)(buf, new, offsets)
 
 
 class QuantKV(NamedTuple):
