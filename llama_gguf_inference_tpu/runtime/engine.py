@@ -100,6 +100,8 @@ def _utf8_split(buf: bytes, flush: bool = False) -> tuple[str, bytes]:
 class InferenceEngine:
     """Owns model weights, KV pool, jitted step functions, scheduler thread."""
 
+    TOP_LOGPROBS_K = 8   # top-k logprobs computed per step (OpenAI `logprobs`)
+
     def __init__(self, model_path: str, engine_cfg: EngineConfig | None = None):
         self.ecfg = engine_cfg or EngineConfig()
         cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,
@@ -133,6 +135,7 @@ class InferenceEngine:
     # ------------------------------------------------------------------ jit
     def _build_step_fns(self) -> None:
         cfg = self.cfg
+        K = self.TOP_LOGPROBS_K
 
         @partial(jax.jit, donate_argnums=(1,))
         def decode_step(params, cache: KVCache, tokens, offsets, st: SampleState):
@@ -143,7 +146,8 @@ class InferenceEngine:
             tok, st = sample(last, st)
             lp = jax.nn.log_softmax(last, axis=-1)
             tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
-            return tok, st, cache, tok_lp
+            top_v, top_i = jax.lax.top_k(lp, K)
+            return tok, st, cache, tok_lp, top_v, top_i
 
         self._decode_step = decode_step
 
@@ -163,11 +167,13 @@ class InferenceEngine:
                     nxt, st = sample(last, st)
                     lp = jax.nn.log_softmax(last, axis=-1)
                     tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
-                    return (cache, nxt[:, None], off + 1, st), (nxt, tok_lp)
+                    top_v, top_i = jax.lax.top_k(lp, K)
+                    return (cache, nxt[:, None], off + 1, st), \
+                        (nxt, tok_lp, top_v, top_i)
 
-                (cache, _, _, st), (toks, lps) = jax.lax.scan(
+                (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
                     body, (cache, tokens, offsets, st), None, length=n_steps)
-                return toks, st, cache, lps   # toks (N, B)
+                return toks, st, cache, lps, tv, ti   # toks (N, B)
             return decode_multi
 
         self._decode_multi_fns: dict[int, Any] = {}
@@ -397,7 +403,8 @@ class InferenceEngine:
         slot.offset = len(ids)
         # sample the first generated token from the prefill logits
         tok, self.sample_state = self._sample_one(b, logits_last)
-        self._emit_token(b, int(tok))
+        tok_lp, top = self._host_token_stats(slot, logits_last, int(tok))
+        self._emit_token(b, int(tok), tok_lp, top)
         if self.slots[b].state != "free":
             self.slots[b].state = "active"
 
@@ -450,18 +457,43 @@ class InferenceEngine:
                 tokens[b, 0] = slot.generated[-1]
                 offsets[b] = slot.offset
         t0 = time.monotonic()
-        tok, self.sample_state, self.cache, tok_lp = self._decode_step(
-            self.params, self.cache, jnp.asarray(tokens), jnp.asarray(offsets),
-            self.sample_state)
+        tok, self.sample_state, self.cache, tok_lp, top_v, top_i = \
+            self._decode_step(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(offsets), self.sample_state)
         tok = np.asarray(tok)
         tok_lp = np.asarray(tok_lp)
+        top_v = np.asarray(top_v)
+        top_i = np.asarray(top_i)
         dt = time.monotonic() - t0
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt if self._last_decode_s else dt
         for b in active:
             slot = self.slots[b]
             slot.offset += 1
-            self._emit_token(b, int(tok[b]), float(tok_lp[b]))
+            self._emit_token(b, int(tok[b]), float(tok_lp[b]),
+                             self._top_list(slot, top_i[b], top_v[b]))
         return True
+
+    def _host_token_stats(self, slot, logits_row, tok: int):
+        """First-token logprob/top-k computed host-side (once per request)."""
+        row = np.asarray(logits_row, dtype=np.float32)
+        m = float(row.max())
+        lse = m + float(np.log(np.exp(row - m).sum()))
+        tok_lp = float(row[tok]) - lse
+        top = None
+        if slot.params.n_probs > 0:
+            k = min(slot.params.n_probs, self.TOP_LOGPROBS_K)
+            idx = np.argpartition(-row, k)[:k]
+            idx = idx[np.argsort(-row[idx])]
+            top = [(int(i), float(row[i]) - lse) for i in idx]
+        return tok_lp, top
+
+    @staticmethod
+    def _top_list(slot, idx_row, val_row):
+        if slot.params.n_probs <= 0:
+            return None
+        n = min(slot.params.n_probs, len(idx_row))
+        return [(int(idx_row[j]), float(val_row[j])) for j in range(n)]
 
     def _decode_n(self, active: list[int], n_steps: int) -> bool:
         """Fused multi-step decode (one dispatch, n_steps tokens per slot)."""
@@ -476,11 +508,13 @@ class InferenceEngine:
             tokens[b, 0] = self.slots[b].generated[-1]
             offsets[b] = self.slots[b].offset
         t0 = time.monotonic()
-        toks, self.sample_state, self.cache, lps = fn(
+        toks, self.sample_state, self.cache, lps, tv, ti = fn(
             self.params, self.cache, jnp.asarray(tokens), jnp.asarray(offsets),
             self.sample_state)
         toks = np.asarray(toks)       # (N, B)
         lps = np.asarray(lps)
+        tv = np.asarray(tv)           # (N, B, K)
+        ti = np.asarray(ti)
         dt = (time.monotonic() - t0) / n_steps
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
             if self._last_decode_s else dt
@@ -491,11 +525,13 @@ class InferenceEngine:
                 if slot.state != "active" or slot.request_id != gen[b]:
                     continue
                 slot.offset += 1
-                self._emit_token(b, int(toks[step, b]), float(lps[step, b]))
+                self._emit_token(b, int(toks[step, b]), float(lps[step, b]),
+                                 self._top_list(slot, ti[step, b], tv[step, b]))
         return True
 
     # -- emission / termination ---------------------------------------------
-    def _emit_token(self, b: int, token_id: int, logprob: float | None = None) -> None:
+    def _emit_token(self, b: int, token_id: int, logprob: float | None = None,
+                    top: list[tuple[int, float]] | None = None) -> None:
         slot = self.slots[b]
         slot.generated.append(token_id)
         self.total_generated += 1
@@ -565,7 +601,7 @@ class InferenceEngine:
             token_id=token_id, text=emit_text,
             finished=finish is not None, finish_reason=finish,
             n_prompt=len(slot.prompt_ids), n_generated=n_gen,
-            logprob=logprob,
+            logprob=logprob, top_logprobs=top,
         )
         slot.out.put(ev)
         if finish is not None:

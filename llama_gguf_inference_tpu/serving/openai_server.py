@@ -73,7 +73,15 @@ def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
     seed = body.get("seed")
     max_tokens = body.get("max_tokens") or body.get("max_completion_tokens") \
         or body.get("n_predict") or default_max
+    n_probs = 0
+    if body.get("logprobs"):
+        lp = body.get("logprobs")
+        n_probs = int(body.get("top_logprobs") or
+                      (lp if isinstance(lp, int) and not isinstance(lp, bool)
+                       else 0))
+        n_probs = max(n_probs, 1) if body.get("logprobs") else n_probs
     return SamplingParams(
+        n_probs=min(n_probs, 8),
         temperature=float(body.get("temperature", 1.0)),
         top_p=float(body.get("top_p", 1.0)),
         top_k=int(body.get("top_k", 0)),
@@ -269,14 +277,31 @@ class OpenAIServer:
                 # generator closed early (client disconnect mid-stream)
                 self.engine.cancel(rid)
 
+    def _lp_entry(self, ev) -> dict:
+        tok = self.engine.tokenizer
+        entry = {
+            "token": ev.text,
+            "logprob": ev.logprob if ev.logprob is not None else 0.0,
+            "bytes": list(ev.text.encode("utf-8")),
+            "top_logprobs": [
+                {"token": tok.piece(i), "logprob": lp,
+                 "bytes": list(tok.piece(i).encode("utf-8"))}
+                for i, lp in (ev.top_logprobs or [])
+            ],
+        }
+        return entry
+
     async def _complete(self, writer, rid: str, obj: str, prompt: str,
                         params: SamplingParams, chat: bool) -> None:
         text = []
+        lp_content = []
         finish = "stop"
         n_prompt = n_gen = 0
         async for ev in self._collect(prompt, params):
             text.append(ev.text)
             n_prompt, n_gen = ev.n_prompt, ev.n_generated
+            if params.n_probs > 0:
+                lp_content.append(self._lp_entry(ev))
             if ev.finished:
                 finish = ev.finish_reason or "stop"
         content = "".join(text)
@@ -284,9 +309,19 @@ class OpenAIServer:
             choice = {"index": 0,
                       "message": {"role": "assistant", "content": content},
                       "finish_reason": finish}
+            if params.n_probs > 0:
+                choice["logprobs"] = {"content": lp_content}
         else:
             choice = {"index": 0, "text": content, "finish_reason": finish,
                       "logprobs": None}
+            if params.n_probs > 0:
+                choice["logprobs"] = {
+                    "tokens": [e["token"] for e in lp_content],
+                    "token_logprobs": [e["logprob"] for e in lp_content],
+                    "top_logprobs": [
+                        {t["token"]: t["logprob"] for t in e["top_logprobs"]}
+                        for e in lp_content],
+                }
         await send_response(writer, 200, json.dumps({
             "id": rid, "object": obj, "created": _now(),
             "model": self.engine.model_name,
@@ -324,7 +359,11 @@ class OpenAIServer:
             if ev.finished:
                 finish = ev.finish_reason or "stop"
             if ev.text:
-                writer.write(sse_event(chunk({"content": ev.text}, None)))
+                c = chunk({"content": ev.text}, None)
+                if chat and params.n_probs > 0:
+                    c["choices"][0]["logprobs"] = {
+                        "content": [self._lp_entry(ev)]}
+                writer.write(sse_event(c))
                 await writer.drain()
         writer.write(sse_event(chunk(None, finish)))
         if include_usage:
