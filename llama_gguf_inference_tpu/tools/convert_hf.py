@@ -1,0 +1,184 @@
+"""Convert a Hugging Face Llama checkpoint to GGUF — the llama.cpp
+``convert_hf_to_gguf.py`` counterpart.
+
+Reads a local HF directory (config.json + weights via transformers), maps
+tensors to GGUF names, applies the Q/K rope permutation (HF stores weights
+for half-split rope; GGUF's "norm" rope expects the llama.cpp permuted
+layout), and embeds the tokenizer from tokenizer.json (BPE vocab+merges).
+
+Usage:
+    python -m llama_gguf_inference_tpu.tools.convert_hf /path/to/hf_dir out.gguf \
+        [--dtype f16|f32|bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """llama.cpp convert permutation: half-split rope -> interleaved rope."""
+    out_f = w.shape[0]
+    return (w.reshape(n_head, 2, out_f // n_head // 2, *w.shape[1:])
+            .swapaxes(1, 2)
+            .reshape(w.shape))
+
+
+def _dtype_for(name: str, arg: str) -> GGMLType:
+    if name.endswith("_norm.weight") or name.endswith("norm.weight"):
+        return GGMLType.F32
+    return {"f16": GGMLType.F16, "f32": GGMLType.F32,
+            "bf16": GGMLType.BF16}[arg]
+
+
+def load_state_dict(hf_dir: str) -> dict[str, np.ndarray]:
+    """Weights via safetensors files or torch bins (cpu)."""
+    st_files = [f for f in os.listdir(hf_dir) if f.endswith(".safetensors")]
+    out: dict[str, np.ndarray] = {}
+    if st_files:
+        from safetensors import safe_open  # ships with transformers images
+
+        for f in sorted(st_files):
+            with safe_open(os.path.join(hf_dir, f), framework="np") as sf:
+                for k in sf.keys():
+                    out[k] = np.asarray(sf.get_tensor(k))
+        return out
+    import torch
+
+    bins = [f for f in os.listdir(hf_dir)
+            if f.startswith("pytorch_model") and f.endswith(".bin")]
+    for f in sorted(bins):
+        sd = torch.load(os.path.join(hf_dir, f), map_location="cpu",
+                        weights_only=True)
+        for k, v in sd.items():
+            out[k] = v.to(torch.float32).numpy()
+    if not out:
+        raise SystemExit(f"no weights found in {hf_dir}")
+    return out
+
+
+def tokenizer_metadata(hf_dir: str) -> dict:
+    """Extract BPE vocab/merges from tokenizer.json when present."""
+    tj = os.path.join(hf_dir, "tokenizer.json")
+    if not os.path.exists(tj):
+        return {}
+    data = json.load(open(tj, encoding="utf-8"))
+    model = data.get("model", {})
+    if model.get("type") != "BPE":
+        return {}
+    vocab: dict[str, int] = model["vocab"]
+    tokens = [""] * len(vocab)
+    for tok, idx in vocab.items():
+        if idx < len(tokens):
+            tokens[idx] = tok
+    merges = model.get("merges", [])
+    merges = [" ".join(m) if isinstance(m, list) else m for m in merges]
+    added = {a["id"]: a for a in data.get("added_tokens", [])}
+    # extend for added tokens beyond base vocab
+    max_id = max([len(tokens) - 1] + list(added))
+    while len(tokens) <= max_id:
+        tokens.append("")
+    types = [1] * len(tokens)
+    for i, a in added.items():
+        tokens[i] = a["content"]
+        types[i] = 3 if a.get("special") else 4
+    return {
+        Keys.TOKENIZER_MODEL: "gpt2",
+        Keys.TOKENIZER_TOKENS: tokens,
+        Keys.TOKENIZER_MERGES: merges,
+        Keys.TOKENIZER_TOKEN_TYPE: np.asarray(types, np.int32),
+    }
+
+
+def convert(hf_dir: str, dst: str, dtype: str = "f16",
+            verbose: bool = True) -> None:
+    cfg = json.load(open(os.path.join(hf_dir, "config.json")))
+    arch = cfg.get("model_type", "llama")
+    if arch not in ("llama", "mistral"):
+        raise SystemExit(f"unsupported model_type {arch!r}")
+    n_layers = cfg["num_hidden_layers"]
+    n_head = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads", n_head)
+    dim = cfg["hidden_size"]
+    head_dim = cfg.get("head_dim", dim // n_head)
+
+    sd = load_state_dict(hf_dir)
+
+    def get(name):
+        for cand in (name, "model." + name):
+            if cand in sd:
+                return sd[cand].astype(np.float32)
+        raise SystemExit(f"missing tensor {name}")
+
+    w = GGUFWriter(dst)
+    w.add(Keys.ARCHITECTURE, "llama")
+    w.add(Keys.NAME, os.path.basename(os.path.normpath(hf_dir)))
+    w.add("llama.context_length", cfg.get("max_position_embeddings", 4096))
+    w.add("llama.embedding_length", dim)
+    w.add("llama.block_count", n_layers)
+    w.add("llama.feed_forward_length", cfg["intermediate_size"])
+    w.add("llama.attention.head_count", n_head)
+    w.add("llama.attention.head_count_kv", n_kv)
+    w.add("llama.attention.layer_norm_rms_epsilon", cfg.get("rms_norm_eps", 1e-5))
+    w.add("llama.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    w.add("llama.rope.dimension_count", head_dim)
+    w.add("llama.vocab_size", cfg["vocab_size"])
+    tok_md = tokenizer_metadata(hf_dir)
+    for k, v in tok_md.items():
+        w.add(k, v)
+    if cfg.get("bos_token_id") is not None:
+        w.add(Keys.TOKENIZER_BOS, int(cfg["bos_token_id"]))
+    if cfg.get("eos_token_id") is not None:
+        eos = cfg["eos_token_id"]
+        w.add(Keys.TOKENIZER_EOS, int(eos[0] if isinstance(eos, list) else eos))
+
+    def put(name, data):
+        t = _dtype_for(name, dtype)
+        w.add_tensor(name, data, t)
+        if verbose:
+            print(f"  {name} {tuple(data.shape)} -> {t.name}", file=sys.stderr)
+
+    put("token_embd.weight", get("embed_tokens.weight"))
+    for i in range(n_layers):
+        p = f"layers.{i}."
+        g = f"blk.{i}."
+        put(g + "attn_norm.weight", get(p + "input_layernorm.weight"))
+        put(g + "attn_q.weight",
+            permute_rope(get(p + "self_attn.q_proj.weight"), n_head))
+        put(g + "attn_k.weight",
+            permute_rope(get(p + "self_attn.k_proj.weight"), n_kv))
+        put(g + "attn_v.weight", get(p + "self_attn.v_proj.weight"))
+        put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
+        put(g + "ffn_norm.weight", get(p + "post_attention_layernorm.weight"))
+        put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
+        put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
+        put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
+    put("output_norm.weight", get("norm.weight"))
+    if "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"].astype(np.float32))
+    # tied embeddings otherwise: loader falls back to token_embd
+    w.write()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="convert_hf")
+    p.add_argument("hf_dir")
+    p.add_argument("dst")
+    p.add_argument("--dtype", default="f16", choices=("f16", "f32", "bf16"))
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+    convert(args.hf_dir, args.dst, args.dtype, verbose=not args.quiet)
+    print(f"wrote {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
