@@ -137,25 +137,36 @@ class InferenceEngine:
         cfg = self.cfg
         K = self.TOP_LOGPROBS_K
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def decode_step(params, cache: KVCache, tokens, offsets, st: SampleState):
-            # tokens (B, 1); offsets (B,)
-            logits, cache = forward(params, cfg, tokens, offsets, cache,
-                                    jnp.ones(tokens.shape[0], jnp.int32))
-            last = logits[:, 0, :]
-            tok, st = sample(last, st)
-            lp = jax.nn.log_softmax(last, axis=-1)
-            tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
-            top_v, top_i = jax.lax.top_k(lp, K)
-            return tok, st, cache, tok_lp, top_v, top_i
+        # top-k over the full vocab is near-sort-cost on TPU, so the decode
+        # graphs come in two variants: with/without logprob extraction,
+        # selected per batch by whether any active slot asked for them.
+        def make_decode(with_lp: bool):
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_step(params, cache: KVCache, tokens, offsets,
+                            st: SampleState):
+                # tokens (B, 1); offsets (B,)
+                logits, cache = forward(params, cfg, tokens, offsets, cache,
+                                        jnp.ones(tokens.shape[0], jnp.int32))
+                last = logits[:, 0, :]
+                tok, st = sample(last, st)
+                lp = jax.nn.log_softmax(last, axis=-1)
+                tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+                if with_lp:
+                    top_v, top_i = jax.lax.top_k(lp, K)
+                else:
+                    B = tokens.shape[0]
+                    top_v = jnp.zeros((B, K), jnp.float32)
+                    top_i = jnp.zeros((B, K), jnp.int32)
+                return tok, st, cache, tok_lp, top_v, top_i
+            return decode_step
 
-        self._decode_step = decode_step
+        self._decode_fns = {False: make_decode(False), True: make_decode(True)}
 
         # multi-step decode: N forward+sample steps fused into ONE dispatch
         # via lax.scan — sampling feedback stays on-device, host sees a
         # (N, B) token batch.  Amortizes per-dispatch latency (hundreds of
         # microseconds through a remote TPU runtime) across N tokens.
-        def make_multi(n_steps: int):
+        def make_multi(n_steps: int, with_lp: bool = False):
             @partial(jax.jit, donate_argnums=(1,))
             def decode_multi(params, cache: KVCache, tokens, offsets,
                              st: SampleState):
@@ -167,7 +178,12 @@ class InferenceEngine:
                     nxt, st = sample(last, st)
                     lp = jax.nn.log_softmax(last, axis=-1)
                     tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
-                    top_v, top_i = jax.lax.top_k(lp, K)
+                    if with_lp:
+                        top_v, top_i = jax.lax.top_k(lp, K)
+                    else:
+                        B = tok.shape[0]
+                        top_v = jnp.zeros((B, K), jnp.float32)
+                        top_i = jnp.zeros((B, K), jnp.int32)
                     return (cache, nxt[:, None], off + 1, st), \
                         (nxt, tok_lp, top_v, top_i)
 
@@ -456,9 +472,10 @@ class InferenceEngine:
             if slot.state == "active":
                 tokens[b, 0] = slot.generated[-1]
                 offsets[b] = slot.offset
+        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
         t0 = time.monotonic()
         tok, self.sample_state, self.cache, tok_lp, top_v, top_i = \
-            self._decode_step(
+            self._decode_fns[want_lp](
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(offsets), self.sample_state)
         tok = np.asarray(tok)
@@ -498,9 +515,11 @@ class InferenceEngine:
     def _decode_n(self, active: list[int], n_steps: int) -> bool:
         """Fused multi-step decode (one dispatch, n_steps tokens per slot)."""
         B = self.ecfg.max_slots
-        if n_steps not in self._decode_multi_fns:
-            self._decode_multi_fns[n_steps] = self._make_multi(n_steps)
-        fn = self._decode_multi_fns[n_steps]
+        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
+        key = (n_steps, want_lp)
+        if key not in self._decode_multi_fns:
+            self._decode_multi_fns[key] = self._make_multi(n_steps, want_lp)
+        fn = self._decode_multi_fns[key]
         tokens = np.zeros((B, 1), np.int32)
         offsets = np.zeros(B, np.int32)
         gen = {b: self.slots[b].request_id for b in active}
