@@ -47,6 +47,8 @@ class EngineConfig:
     kv_dtype: Any = jnp.bfloat16       # jnp dtype, or "q8_0" for quantized KV
     mode: str = "quant"                # weight residency: "quant" | "dense"
     multi_step: int = 1                # decode steps fused per dispatch (1 = off)
+    tp: int = 1                        # tensor-parallel mesh axis
+    dp: int = 1                        # data-parallel mesh axis
 
 
 @dataclasses.dataclass
@@ -104,9 +106,16 @@ class InferenceEngine:
 
     def __init__(self, model_path: str, engine_cfg: EngineConfig | None = None):
         self.ecfg = engine_cfg or EngineConfig()
+        sharded = self.ecfg.tp * self.ecfg.dp > 1
         cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,
-                                         fuse=True)
+                                         fuse=not sharded)
         self.cfg = cfg
+        self.mesh = None
+        if sharded:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.partition import shard_params
+            self.mesh = make_mesh(tp=self.ecfg.tp, dp=self.ecfg.dp)
+            params = shard_params(params, cfg, self.mesh)
         self.params = params
         self.metadata = dict(reader.metadata)
         self.tokenizer: Tokenizer = from_gguf_metadata(reader.metadata)
@@ -119,6 +128,10 @@ class InferenceEngine:
             self.cache = QuantKV.zeros(cfg, B, S)
         else:
             self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
+        if self.mesh is not None:
+            from ..parallel.partition import cache_sharding
+            self.cache = jax.device_put(
+                self.cache, cache_sharding(self.mesh, cfg.n_kv_heads, B))
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()

@@ -419,6 +419,8 @@ def main() -> None:
             ctx=int(os.environ.get("CTX", 2048)),
             kv_dtype="q8_0" if kv == "q8_0" else jnp.bfloat16,
             multi_step=int(os.environ.get("MULTI_STEP", 1)),
+            tp=int(os.environ.get("TP", 1)),
+            dp=int(os.environ.get("DP", 1)),
         )
         engine = InferenceEngine(model_path, ecfg)
     engine.start()

@@ -87,3 +87,26 @@ def test_mesh_shapes():
     assert m.shape == {"dp": 2, "tp": 4}
     with pytest.raises(ValueError):
         make_mesh(tp=3, dp=3)
+
+
+def test_engine_on_mesh_matches_single_device(model_path):
+    """Full engine (prefill + multi-step decode + sampling) on a (dp,tp) mesh
+    produces the same tokens as the single-device engine."""
+    from llama_gguf_inference_tpu.runtime.engine import EngineConfig, InferenceEngine
+    from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+
+    p = SamplingParams(temperature=0.0, max_tokens=6)
+
+    def run(tp, dp):
+        eng = InferenceEngine(str(model_path), EngineConfig(
+            max_slots=2, ctx=64, prefill_buckets=(16,), mode="quant",
+            multi_step=2, tp=tp, dp=dp))
+        eng.start()
+        try:
+            return [ev.token_id for ev in eng.generate("hello world", p)]
+        finally:
+            eng.stop()
+
+    single = run(1, 1)
+    sharded = run(4, 2)
+    assert sharded == single
