@@ -20,6 +20,7 @@ SIGKILL; the backend key file is shredded (overwritten then unlinked).
 from __future__ import annotations
 
 import os
+import re
 import secrets
 import signal
 import socket
@@ -182,9 +183,35 @@ def main() -> None:
     signal.signal(signal.SIGTERM, lambda *_: sup.shutdown(0))
     signal.signal(signal.SIGINT, lambda *_: sup.shutdown(0))
 
+    # DEBUG_SHELL hold mode (reference start.sh:250-258): dump filtered env,
+    # sleep, exit — for interactive container debugging
+    if is_truthy(os.environ.get("DEBUG_SHELL")):
+        for k in sorted(os.environ):
+            if not any(s in k.lower() for s in ("key", "token", "secret",
+                                                "password", "credential")):
+                print(f"{k}={os.environ[k]}", flush=True)
+        print("[start] DEBUG_SHELL: holding for 300s", flush=True)
+        time.sleep(300)
+        sys.exit(0)
+
     data_dir = detect_data_dir()
     os.environ.setdefault("DATA_DIR", data_dir)
     os.makedirs(os.path.join(data_dir, "logs"), exist_ok=True)
+
+    # boot log: timestamped file + latest.txt pointer (reference
+    # start.sh:264-274); stdout still goes to the console via the platform
+    worker = re.sub(r"[^a-zA-Z0-9_-]", "_",
+                    os.environ.get("WORKER_TYPE", "worker"))[:64]
+    boot_dir = os.path.join(data_dir, "logs", "_boot")
+    os.makedirs(boot_dir, exist_ok=True)
+    ts = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    boot_log = os.path.join(boot_dir, f"{ts}_boot_{worker}.log")
+    try:
+        with open(os.path.join(boot_dir, "latest.txt"), "w") as f:
+            f.write(boot_log + "\n")
+        print(f"[start] boot log: {boot_log}", flush=True)
+    except OSError:
+        pass
 
     if os.environ.get("BACKEND_PORT") and not os.environ.get("PORT_BACKEND"):
         print("[start] WARNING: BACKEND_PORT is deprecated; use PORT_BACKEND",

@@ -167,9 +167,9 @@ class InferenceEngine:
                 if with_lp:
                     top_v, top_i = jax.lax.top_k(lp, K)
                 else:
-                    B = tokens.shape[0]
-                    top_v = jnp.zeros((B, K), jnp.float32)
-                    top_i = jnp.zeros((B, K), jnp.int32)
+                    nb = tokens.shape[0]
+                    top_v = jnp.zeros((nb, K), jnp.float32)
+                    top_i = jnp.zeros((nb, K), jnp.int32)
                 return tok, st, cache, tok_lp, top_v, top_i
             return decode_step
 
@@ -193,15 +193,21 @@ class InferenceEngine:
                     tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
                     if with_lp:
                         top_v, top_i = jax.lax.top_k(lp, K)
-                    else:
-                        B = tok.shape[0]
-                        top_v = jnp.zeros((B, K), jnp.float32)
-                        top_i = jnp.zeros((B, K), jnp.int32)
-                    return (cache, nxt[:, None], off + 1, st), \
-                        (nxt, tok_lp, top_v, top_i)
+                        return (cache, nxt[:, None], off + 1, st), \
+                            (nxt, tok_lp, top_v, top_i)
+                    return (cache, nxt[:, None], off + 1, st), (nxt, tok_lp)
 
-                (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
-                    body, (cache, tokens, offsets, st), None, length=n_steps)
+                if with_lp:
+                    (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
+                        body, (cache, tokens, offsets, st), None,
+                        length=n_steps)
+                else:
+                    (cache, _, _, st), (toks, lps) = jax.lax.scan(
+                        body, (cache, tokens, offsets, st), None,
+                        length=n_steps)
+                    B = tokens.shape[0]
+                    tv = jnp.zeros((n_steps, B, K), jnp.float32)
+                    ti = jnp.zeros((n_steps, B, K), jnp.int32)
                 return toks, st, cache, lps, tv, ti   # toks (N, B)
             return decode_multi
 
