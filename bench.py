@@ -118,9 +118,12 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"[bench] device: {dev} ({dev.platform})")
 
+    # BENCH_SLOTS>1 measures aggregate continuous-batching throughput
+    n_slots = int(os.environ.get("BENCH_SLOTS", 1))
+
     t0 = time.time()
     eng = InferenceEngine(path, EngineConfig(
-        max_slots=1, ctx=512, prefill_buckets=(128,), mode="quant",
+        max_slots=n_slots, ctx=512, prefill_buckets=(128,), mode="quant",
         multi_step=16))
     eng.start()
     load_s = time.time() - t0
@@ -141,12 +144,33 @@ def main() -> None:
 
     # timed run: decode throughput from first to last streamed token
     eng._last_decode_s = 0.0   # reset EWMA (warmup seeded it with compile time)
-    times = []
-    for ev in eng.generate(prompt, p):
-        times.append(time.time())
-    n_tok = len(times)
-    decode_s = times[-1] - times[0]
-    tok_s = (n_tok - 1) / decode_s if decode_s > 0 else 0.0
+    if n_slots == 1:
+        times = []
+        for ev in eng.generate(prompt, p):
+            times.append(time.time())
+        n_tok = len(times)
+        decode_s = times[-1] - times[0]
+        tok_s = (n_tok - 1) / decode_s if decode_s > 0 else 0.0
+    else:
+        # aggregate across n_slots concurrent requests
+        import threading
+        times = []
+        lock = threading.Lock()
+
+        def one():
+            for ev in eng.generate(prompt, p):
+                with lock:
+                    times.append(time.time())
+
+        threads = [threading.Thread(target=one) for _ in range(n_slots)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        times.sort()
+        n_tok = len(times)
+        decode_s = times[-1] - times[0]
+        tok_s = (n_tok - 1) / decode_s if decode_s > 0 else 0.0
     step_ms = eng._last_decode_s * 1000
     eng.stop()
 
@@ -157,7 +181,7 @@ def main() -> None:
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 20.0, 3),
         "model": "llama32-1b-q4km-shape",
-        "batch": 1,
+        "batch": n_slots,
         "device": str(dev),
         "decode_step_ms": round(step_ms, 2),
         "weight_gb": round(weight_bytes / 1e9, 3),
