@@ -166,11 +166,8 @@ class InferenceEngine:
                 tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
                 if with_lp:
                     top_v, top_i = jax.lax.top_k(lp, K)
-                else:
-                    nb = tokens.shape[0]
-                    top_v = jnp.zeros((nb, K), jnp.float32)
-                    top_i = jnp.zeros((nb, K), jnp.int32)
-                return tok, st, cache, tok_lp, top_v, top_i
+                    return tok, st, cache, tok_lp, top_v, top_i
+                return tok, st, cache, tok_lp
             return decode_step
 
         self._decode_fns = {False: make_decode(False), True: make_decode(True)}
@@ -201,14 +198,10 @@ class InferenceEngine:
                     (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
                         body, (cache, tokens, offsets, st), None,
                         length=n_steps)
-                else:
-                    (cache, _, _, st), (toks, lps) = jax.lax.scan(
-                        body, (cache, tokens, offsets, st), None,
-                        length=n_steps)
-                    B = tokens.shape[0]
-                    tv = jnp.zeros((n_steps, B, K), jnp.float32)
-                    ti = jnp.zeros((n_steps, B, K), jnp.int32)
-                return toks, st, cache, lps, tv, ti   # toks (N, B)
+                    return toks, st, cache, lps, tv, ti   # toks (N, B)
+                (cache, _, _, st), (toks, lps) = jax.lax.scan(
+                    body, (cache, tokens, offsets, st), None, length=n_steps)
+                return toks, st, cache, lps
             return decode_multi
 
         self._decode_multi_fns: dict[int, Any] = {}
@@ -493,10 +486,16 @@ class InferenceEngine:
                 offsets[b] = slot.offset
         want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
         t0 = time.monotonic()
-        tok, self.sample_state, self.cache, tok_lp, top_v, top_i = \
-            self._decode_fns[want_lp](
+        if want_lp:
+            tok, self.sample_state, self.cache, tok_lp, top_v, top_i = \
+                self._decode_fns[True](
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(offsets), self.sample_state)
+        else:
+            tok, self.sample_state, self.cache, tok_lp = self._decode_fns[False](
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(offsets), self.sample_state)
+            top_v = top_i = np.zeros((len(tok), self.TOP_LOGPROBS_K), np.float32)
         tok = np.asarray(tok)
         tok_lp = np.asarray(tok_lp)
         top_v = np.asarray(top_v)
@@ -546,13 +545,19 @@ class InferenceEngine:
             tokens[b, 0] = self.slots[b].generated[-1]
             offsets[b] = self.slots[b].offset
         t0 = time.monotonic()
-        toks, self.sample_state, self.cache, lps, tv, ti = fn(
-            self.params, self.cache, jnp.asarray(tokens), jnp.asarray(offsets),
-            self.sample_state)
+        if want_lp:
+            toks, self.sample_state, self.cache, lps, tv, ti = fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(offsets), self.sample_state)
+            tv = np.asarray(tv)       # (N, B, K)
+            ti = np.asarray(ti)
+        else:
+            toks, self.sample_state, self.cache, lps = fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(offsets), self.sample_state)
+            tv = ti = np.zeros((n_steps, B, self.TOP_LOGPROBS_K), np.float32)
         toks = np.asarray(toks)       # (N, B)
         lps = np.asarray(lps)
-        tv = np.asarray(tv)           # (N, B, K)
-        ti = np.asarray(ti)
         dt = (time.monotonic() - t0) / n_steps
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
             if self._last_decode_s else dt
