@@ -31,6 +31,12 @@ class ModelConfig:
     n_experts: int = 0               # MoE (mixtral): total experts
     n_experts_used: int = 0          # top-k routed experts
     tie_embeddings: bool = False
+    # rope scaling (long-context): "none" | "linear" | "yarn" | "llama3"
+    rope_scaling_type: str = "none"
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_orig_ctx: int = 0
 
     @property
     def is_moe(self) -> bool:
@@ -69,4 +75,12 @@ class ModelConfig:
             context_length=int(md.get(k(Keys.CONTEXT_LENGTH), 4096)),
             n_experts=int(md.get(k(Keys.EXPERT_COUNT), 0)),
             n_experts_used=int(md.get(k(Keys.EXPERT_USED_COUNT), 0)),
+            rope_scaling_type=str(md.get(k(Keys.ROPE_SCALING_TYPE), "none")),
+            rope_scaling_factor=float(md.get(k(Keys.ROPE_SCALING_FACTOR), 1.0)),
+            rope_low_freq_factor=float(
+                md.get(f"{arch}.rope.scaling.low_freq_factor", 1.0)),
+            rope_high_freq_factor=float(
+                md.get(f"{arch}.rope.scaling.high_freq_factor", 4.0)),
+            rope_orig_ctx=int(
+                md.get(f"{arch}.rope.scaling.original_context_length", 0)),
         )

@@ -65,11 +65,39 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
-                base: float) -> tuple[jax.Array, jax.Array]:
-    """cos/sin tables: positions (B, T) -> (B, T, rope_dim // 2) f32."""
+                base: float, cfg: ModelConfig | None = None
+                ) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables: positions (B, T) -> (B, T, rope_dim // 2) f32.
+
+    Applies the GGUF rope-scaling metadata when present: "linear"
+    (position/factor) and "llama3" (frequency-dependent wavelength
+    interpolation, the Llama-3.1+ long-context scheme).
+    """
     half = rope_dim // 2
     freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = positions.astype(jnp.float32)[..., None] * freqs  # (B, T, half)
+    pos = positions.astype(jnp.float32)
+
+    if cfg is not None and cfg.rope_scaling_type == "linear" \
+            and cfg.rope_scaling_factor > 1.0:
+        pos = pos / cfg.rope_scaling_factor
+    elif cfg is not None and cfg.rope_scaling_type == "llama3" \
+            and cfg.rope_orig_ctx > 0:
+        factor = cfg.rope_scaling_factor
+        low = cfg.rope_low_freq_factor
+        high = cfg.rope_high_freq_factor
+        old_len = float(cfg.rope_orig_ctx)
+        wavelen = 2.0 * jnp.pi / freqs
+        low_wl = old_len / low
+        high_wl = old_len / high
+        # long wavelengths fully interpolated; short untouched; smooth ramp
+        smooth = (old_len / wavelen - low) / jnp.maximum(high - low, 1e-6)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = freqs / factor
+        freqs = jnp.where(wavelen > low_wl, scaled,
+                          jnp.where(wavelen < high_wl, freqs,
+                                    (1.0 - smooth) * scaled + smooth * freqs))
+
+    ang = pos[..., None] * freqs  # (B, T, half)
     return jnp.cos(ang), jnp.sin(ang)
 
 
@@ -226,7 +254,8 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
     x = jnp.take(params["tok_embd"], token_ids, axis=0)       # (B, T, D)
 
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_dim, cfg.rope_base)
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_dim,
+                           cfg.rope_base, cfg)
 
     # mask (B, T, S): key s visible to query t iff s <= offset + t and s is
     # a written slot (s < offset + T chunk region or pre-existing)

@@ -116,3 +116,36 @@ def test_moe_forward_runs(tmp_path):
     logits, _ = forward(params, cfg, ids, jnp.zeros(1, jnp.int32), cache,
                         jnp.array([3], jnp.int32))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_rope_scaling_llama3():
+    """llama3 rope scaling: long wavelengths interpolated, short untouched."""
+    import jax.numpy as jnp
+    from llama_gguf_inference_tpu.models.config import ModelConfig
+    from llama_gguf_inference_tpu.models.llama import rope_angles
+
+    pos = jnp.asarray(np.array([[5000, 9000, 12000, 16000]]), jnp.int32)
+    base_cfg = ModelConfig(rope_scaling_type="none")
+    sc_cfg = ModelConfig(rope_scaling_type="llama3", rope_scaling_factor=8.0,
+                         rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+                         rope_orig_ctx=8192)
+    c0, s0 = rope_angles(pos, 128, 128, 500000.0, base_cfg)
+    c1, s1 = rope_angles(pos, 128, 128, 500000.0, sc_cfg)
+    c0, c1 = np.asarray(c0), np.asarray(c1)
+    # highest-frequency dims (short wavelength) unchanged
+    np.testing.assert_allclose(c1[..., 0], c0[..., 0], rtol=1e-6)
+    # lowest-frequency dims scaled (angles shrink by ~factor)
+    assert not np.allclose(c1[..., -1], c0[..., -1])
+
+
+def test_rope_scaling_linear():
+    import jax.numpy as jnp
+    from llama_gguf_inference_tpu.models.config import ModelConfig
+    from llama_gguf_inference_tpu.models.llama import rope_angles
+
+    pos = jnp.asarray(np.array([[8]]), jnp.int32)
+    cfg = ModelConfig(rope_scaling_type="linear", rope_scaling_factor=4.0)
+    c1, s1 = rope_angles(pos, 64, 64, 10000.0, cfg)
+    c0, s0 = rope_angles(jnp.asarray(np.array([[2]]), jnp.int32), 64, 64,
+                         10000.0, None)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-6)
