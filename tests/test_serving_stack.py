@@ -376,3 +376,62 @@ async def test_metrics_counters_track(tmp_path):
         assert m["bytes_sent"] > 0
     finally:
         await gw.close(); await backend.close()
+
+
+async def test_sighup_reloads_keys(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        keys = tmp_path / "api_keys.txt"
+        new_key = "sk-new-" + "n" * 24
+        keys.write_text(f"test:{VALID_KEY}\nsecond:{new_key}\n")
+        assert gw.validator.n_keys == 1
+        gw.handle_sighup()
+        assert gw.validator.n_keys == 2
+        status, _, _ = await http_request(gw.port, "GET", "/v1/models",
+                                          headers={"Authorization": f"Bearer {new_key}"})
+        assert status == 200
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_health_reports_backend_down(tmp_path):
+    keys = tmp_path / "api_keys.txt"
+    keys.write_text(f"test:{VALID_KEY}\n")
+    gw = Gateway(GatewayConfig(host="127.0.0.1", port=0,
+                               backend_host="127.0.0.1", backend_port=1,
+                               auth_keys_file=str(keys), access_log="",
+                               health_timeout=0.5))
+    await gw.start()
+    try:
+        status, _, body = await http_request(gw.port, "GET", "/health")
+        assert status == 200            # health endpoint itself stays up
+        h = json.loads(body)
+        assert h["status"] in ("error", "timeout")
+        assert h["backend"] == {}
+    finally:
+        await gw.close()
+
+
+async def test_head_and_unknown_methods_proxied(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        # unknown backend path proxies through and returns backend's 404
+        status, _, body = await http_request(gw.port, "GET", "/v1/unknown",
+                                             headers=AUTH)
+        assert status == 404
+        assert json.loads(body)["error"]["code"] == "not_found"
+    finally:
+        await gw.close(); await backend.close()
+
+
+async def test_props_via_gateway(tmp_path):
+    backend, gw = await make_stack(tmp_path)
+    try:
+        status, _, body = await http_request(gw.port, "GET", "/props",
+                                             headers=AUTH)
+        assert status == 200
+        data = json.loads(body)
+        assert data["model"] == "mock-model"
+        assert "slots_total" in data
+    finally:
+        await gw.close(); await backend.close()
