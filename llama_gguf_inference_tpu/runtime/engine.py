@@ -148,35 +148,25 @@ class InferenceEngine:
     # ------------------------------------------------------------------ jit
     def _build_step_fns(self) -> None:
         cfg = self.cfg
-        K = self.TOP_LOGPROBS_K
 
-        # top-k over the full vocab is near-sort-cost on TPU, so the decode
-        # graphs come in two variants: with/without logprob extraction,
-        # selected per batch by whether any active slot asked for them.
-        def make_decode(with_lp: bool):
-            @partial(jax.jit, donate_argnums=(1,))
-            def decode_step(params, cache: KVCache, tokens, offsets,
-                            st: SampleState):
-                # tokens (B, 1); offsets (B,)
-                logits, cache = forward(params, cfg, tokens, offsets, cache,
-                                        jnp.ones(tokens.shape[0], jnp.int32))
-                last = logits[:, 0, :]
-                tok, st = sample(last, st)
-                lp = jax.nn.log_softmax(last, axis=-1)
-                tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
-                if with_lp:
-                    top_v, top_i = jax.lax.top_k(lp, K)
-                    return tok, st, cache, tok_lp, top_v, top_i
-                return tok, st, cache, tok_lp
-            return decode_step
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_step(params, cache: KVCache, tokens, offsets, st: SampleState):
+            # tokens (B, 1); offsets (B,)
+            logits, cache = forward(params, cfg, tokens, offsets, cache,
+                                    jnp.ones(tokens.shape[0], jnp.int32))
+            last = logits[:, 0, :]
+            tok, st = sample(last, st)
+            lp = jax.nn.log_softmax(last, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+            return tok, st, cache, tok_lp
 
-        self._decode_fns = {False: make_decode(False), True: make_decode(True)}
+        self._decode_step = decode_step
 
         # multi-step decode: N forward+sample steps fused into ONE dispatch
         # via lax.scan — sampling feedback stays on-device, host sees a
         # (N, B) token batch.  Amortizes per-dispatch latency (hundreds of
         # microseconds through a remote TPU runtime) across N tokens.
-        def make_multi(n_steps: int, with_lp: bool = False):
+        def make_multi(n_steps: int):
             @partial(jax.jit, donate_argnums=(1,))
             def decode_multi(params, cache: KVCache, tokens, offsets,
                              st: SampleState):
@@ -188,24 +178,58 @@ class InferenceEngine:
                     nxt, st = sample(last, st)
                     lp = jax.nn.log_softmax(last, axis=-1)
                     tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
-                    if with_lp:
-                        top_v, top_i = jax.lax.top_k(lp, K)
-                        return (cache, nxt[:, None], off + 1, st), \
-                            (nxt, tok_lp, top_v, top_i)
                     return (cache, nxt[:, None], off + 1, st), (nxt, tok_lp)
 
-                if with_lp:
-                    (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
-                        body, (cache, tokens, offsets, st), None,
-                        length=n_steps)
-                    return toks, st, cache, lps, tv, ti   # toks (N, B)
                 (cache, _, _, st), (toks, lps) = jax.lax.scan(
                     body, (cache, tokens, offsets, st), None, length=n_steps)
-                return toks, st, cache, lps
+                return toks, st, cache, lps   # toks (N, B)
             return decode_multi
 
         self._decode_multi_fns: dict[int, Any] = {}
         self._make_multi = make_multi
+
+        # logprobs variants: SEPARATE builders so the default path's graphs
+        # stay untouched (empirically, sharing a parametrized builder cost
+        # ~25% decode throughput even with byte-identical jaxprs for the
+        # default variant — do not unify without paired benches)
+        K = self.TOP_LOGPROBS_K
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_step_lp(params, cache: KVCache, tokens, offsets,
+                           st: SampleState):
+            logits, cache = forward(params, cfg, tokens, offsets, cache,
+                                    jnp.ones(tokens.shape[0], jnp.int32))
+            last = logits[:, 0, :]
+            tok, st = sample(last, st)
+            lp = jax.nn.log_softmax(last, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+            top_v, top_i = jax.lax.top_k(lp, K)
+            return tok, st, cache, tok_lp, top_v, top_i
+
+        self._decode_step_lp = decode_step_lp
+
+        def make_multi_lp(n_steps: int):
+            @partial(jax.jit, donate_argnums=(1,))
+            def decode_multi_lp(params, cache: KVCache, tokens, offsets,
+                                st: SampleState):
+                def body(carry, _):
+                    cache, tok, off, st = carry
+                    logits, cache = forward(params, cfg, tok, off, cache,
+                                            jnp.ones(tok.shape[0], jnp.int32))
+                    last = logits[:, 0, :]
+                    nxt, st = sample(last, st)
+                    lp = jax.nn.log_softmax(last, axis=-1)
+                    tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+                    top_v, top_i = jax.lax.top_k(lp, K)
+                    return (cache, nxt[:, None], off + 1, st), \
+                        (nxt, tok_lp, top_v, top_i)
+
+                (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
+                    body, (cache, tokens, offsets, st), None, length=n_steps)
+                return toks, st, cache, lps, tv, ti
+            return decode_multi_lp
+
+        self._make_multi_lp = make_multi_lp
 
         # per-bucket prefill over a single slot's cache slice.  NO donation:
         # when max_slots == 1 the slot slice is a whole-array view that jax
@@ -488,26 +512,69 @@ class InferenceEngine:
         t0 = time.monotonic()
         if want_lp:
             tok, self.sample_state, self.cache, tok_lp, top_v, top_i = \
-                self._decode_fns[True](
+                self._decode_step_lp(
                     self.params, self.cache, jnp.asarray(tokens),
                     jnp.asarray(offsets), self.sample_state)
+            top_v, top_i = np.asarray(top_v), np.asarray(top_i)
         else:
-            tok, self.sample_state, self.cache, tok_lp = self._decode_fns[False](
+            tok, self.sample_state, self.cache, tok_lp = self._decode_step(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(offsets), self.sample_state)
-            top_v = top_i = np.zeros((len(tok), self.TOP_LOGPROBS_K), np.float32)
+            top_v = top_i = None
         tok = np.asarray(tok)
         tok_lp = np.asarray(tok_lp)
-        top_v = np.asarray(top_v)
-        top_i = np.asarray(top_i)
         dt = time.monotonic() - t0
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt if self._last_decode_s else dt
         for b in active:
             slot = self.slots[b]
             slot.offset += 1
-            self._emit_token(b, int(tok[b]), float(tok_lp[b]),
-                             self._top_list(slot, top_i[b], top_v[b]))
+            top = None if top_i is None else self._top_list(slot, top_i[b], top_v[b])
+            self._emit_token(b, int(tok[b]), float(tok_lp[b]), top)
         return True
+
+    def _decode_n(self, active: list[int], n_steps: int) -> bool:
+        """Fused multi-step decode (one dispatch, n_steps tokens per slot)."""
+        B = self.ecfg.max_slots
+        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
+        key = (n_steps, want_lp)
+        if key not in self._decode_multi_fns:
+            maker = self._make_multi_lp if want_lp else self._make_multi
+            self._decode_multi_fns[key] = maker(n_steps)
+        fn = self._decode_multi_fns[key]
+        tokens = np.zeros((B, 1), np.int32)
+        offsets = np.zeros(B, np.int32)
+        gen = {b: self.slots[b].request_id for b in active}
+        for b in active:
+            tokens[b, 0] = self.slots[b].generated[-1]
+            offsets[b] = self.slots[b].offset
+        t0 = time.monotonic()
+        if want_lp:
+            toks, self.sample_state, self.cache, lps, tv, ti = fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(offsets), self.sample_state)
+            tv, ti = np.asarray(tv), np.asarray(ti)
+        else:
+            toks, self.sample_state, self.cache, lps = fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(offsets), self.sample_state)
+            tv = ti = None
+        toks = np.asarray(toks)       # (N, B)
+        lps = np.asarray(lps)
+        dt = (time.monotonic() - t0) / n_steps
+        self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
+            if self._last_decode_s else dt
+        for step in range(n_steps):
+            for b in active:
+                slot = self.slots[b]
+                # slot may have finished (EOG/stop) mid-batch: drop the rest
+                if slot.state != "active" or slot.request_id != gen[b]:
+                    continue
+                slot.offset += 1
+                top = None if ti is None else \
+                    self._top_list(slot, ti[step, b], tv[step, b])
+                self._emit_token(b, int(toks[step, b]), float(lps[step, b]), top)
+        return True
+
 
     def _host_token_stats(self, slot, logits_row, tok: int):
         """First-token logprob/top-k computed host-side (once per request)."""
@@ -529,48 +596,6 @@ class InferenceEngine:
             return None
         n = min(slot.params.n_probs, len(idx_row))
         return [(int(idx_row[j]), float(val_row[j])) for j in range(n)]
-
-    def _decode_n(self, active: list[int], n_steps: int) -> bool:
-        """Fused multi-step decode (one dispatch, n_steps tokens per slot)."""
-        B = self.ecfg.max_slots
-        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
-        key = (n_steps, want_lp)
-        if key not in self._decode_multi_fns:
-            self._decode_multi_fns[key] = self._make_multi(n_steps, want_lp)
-        fn = self._decode_multi_fns[key]
-        tokens = np.zeros((B, 1), np.int32)
-        offsets = np.zeros(B, np.int32)
-        gen = {b: self.slots[b].request_id for b in active}
-        for b in active:
-            tokens[b, 0] = self.slots[b].generated[-1]
-            offsets[b] = self.slots[b].offset
-        t0 = time.monotonic()
-        if want_lp:
-            toks, self.sample_state, self.cache, lps, tv, ti = fn(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(offsets), self.sample_state)
-            tv = np.asarray(tv)       # (N, B, K)
-            ti = np.asarray(ti)
-        else:
-            toks, self.sample_state, self.cache, lps = fn(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(offsets), self.sample_state)
-            tv = ti = np.zeros((n_steps, B, self.TOP_LOGPROBS_K), np.float32)
-        toks = np.asarray(toks)       # (N, B)
-        lps = np.asarray(lps)
-        dt = (time.monotonic() - t0) / n_steps
-        self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
-            if self._last_decode_s else dt
-        for step in range(n_steps):
-            for b in active:
-                slot = self.slots[b]
-                # slot may have finished (EOG/stop) mid-batch: drop the rest
-                if slot.state != "active" or slot.request_id != gen[b]:
-                    continue
-                slot.offset += 1
-                self._emit_token(b, int(toks[step, b]), float(lps[step, b]),
-                                 self._top_list(slot, ti[step, b], tv[step, b]))
-        return True
 
     # -- emission / termination ---------------------------------------------
     def _emit_token(self, b: int, token_id: int, logprob: float | None = None,
