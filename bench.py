@@ -169,8 +169,11 @@ def main() -> None:
             t.join()
         times.sort()
         n_tok = len(times)
-        decode_s = times[-1] - times[0]
-        tok_s = (n_tok - 1) / decode_s if decode_s > 0 else 0.0
+        # steady-state window: middle 50% of token arrivals (excludes the
+        # staggered per-slot prefill ramp and the drain tail)
+        lo, hi = n_tok // 4, 3 * n_tok // 4
+        decode_s = times[hi] - times[lo]
+        tok_s = (hi - lo) / decode_s if decode_s > 0 else 0.0
     step_ms = eng._last_decode_s * 1000
     eng.stop()
 
