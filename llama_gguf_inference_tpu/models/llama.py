@@ -16,8 +16,6 @@ Design rules (XLA compilation model):
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -19,13 +19,10 @@ kernels (delegated by the reference to the llama-server binary, SURVEY.md
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.constants import GGMLType, QK_K
 
 
 def _register(cls):

@@ -19,7 +19,6 @@ import os
 from functools import lru_cache
 
 import jax
-import jax.numpy as jnp
 
 
 @lru_cache(maxsize=1)

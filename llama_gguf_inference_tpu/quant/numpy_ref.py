@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..gguf.constants import GGMLType, QK_K, type_block_info
+from ..gguf.constants import GGMLType, type_block_info
 
 __all__ = ["dequantize", "quantize", "SUPPORTED_TYPES"]
 

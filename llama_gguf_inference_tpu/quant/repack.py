@@ -21,7 +21,7 @@ import dataclasses
 
 import numpy as np
 
-from ..gguf.constants import GGMLType, QK_K, type_block_info
+from ..gguf.constants import GGMLType, type_block_info
 from .numpy_ref import (
     KVALUES_IQ4NL,
     _f16,

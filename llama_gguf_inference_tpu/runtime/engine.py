@@ -26,16 +26,15 @@ import threading
 import time
 import uuid
 from functools import partial
-from typing import Any, Callable, Iterator
+from typing import Any, Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.config import ModelConfig
 from ..models.llama import KVCache, forward
 from .loader import load_model
-from .sampler import SampleState, SamplingParams, sample, top_logprobs
+from .sampler import SampleState, SamplingParams, sample
 from .tokenizer import Tokenizer, from_gguf_metadata
 
 

@@ -13,8 +13,7 @@ Both variants expose the same functional surface used by the model graph:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

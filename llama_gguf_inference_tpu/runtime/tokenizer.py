@@ -14,7 +14,7 @@ overlaps with the previous batch's decode step in the scheduler).
 from __future__ import annotations
 
 import heapq
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Mapping, Sequence
 
 from ..gguf.constants import Keys, TokenType

@@ -27,13 +27,7 @@ import signal
 import time
 
 from .auth import AccessLogger, APIKeyValidator
-from .http import (
-    HttpLimitError,
-    error_body,
-    read_request,
-    send_error,
-    send_response,
-)
+from .http import HttpLimitError, read_request, send_error, send_response
 
 
 def _env_int(name: str, default: int) -> int:

@@ -20,7 +20,7 @@ import time
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFReader
 from ..gguf.writer import GGUFWriter
-from ..quant.numpy_ref import SUPPORTED_TYPES, quantize as encode
+from ..quant.numpy_ref import quantize as encode
 
 # user-facing names -> (matrix type, output-head type)
 PRESETS: dict[str, tuple[GGMLType, GGMLType]] = {
