@@ -124,7 +124,7 @@ def main() -> None:
     t0 = time.time()
     eng = InferenceEngine(path, EngineConfig(
         max_slots=n_slots, ctx=512, prefill_buckets=(128,), mode="quant",
-        multi_step=16))
+        multi_step=int(os.environ.get("BENCH_MULTI_STEP", 16))))
     eng.start()
     load_s = time.time() - t0
     log(f"[bench] load+repack: {load_s:.1f}s")
