@@ -98,3 +98,39 @@ def test_engine_stats(engine):
     assert s["slots_total"] == 2
     assert s["total_generated"] > 0
     assert s["ctx"] == 128
+
+
+def test_slot_churn_many_short_requests(engine):
+    """Rapid slot reuse across many short requests stays consistent."""
+    p = SamplingParams(temperature=0.0, max_tokens=2)
+    first = [ev.token_id for ev in engine.generate("the dog", p)]
+    for _ in range(10):
+        assert [ev.token_id for ev in engine.generate("the dog", p)] == first
+
+
+def test_interleaved_different_prompts(engine):
+    """Concurrent different prompts must match their solo runs."""
+    p = SamplingParams(temperature=0.0, max_tokens=5)
+    prompts = ["hello world", "the quick brown fox", "lazy dog"]
+    solo = {pr: [ev.token_id for ev in engine.generate(pr, p)] for pr in prompts}
+
+    results = {}
+
+    def worker(pr):
+        results[pr] = [ev.token_id for ev in engine.generate(pr, p)]
+
+    threads = [threading.Thread(target=worker, args=(pr,)) for pr in prompts
+               for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for pr in prompts:
+        assert results[pr] == solo[pr], f"{pr!r} diverged under interleaving"
+
+
+def test_empty_prompt(engine):
+    """Empty prompt still produces tokens (bos-only prefill)."""
+    p = SamplingParams(temperature=0.0, max_tokens=2)
+    evs = list(engine.generate("", p))
+    assert len(evs) >= 1 and evs[-1].finished
