@@ -134,9 +134,21 @@ class Supervisor:
         self._shutting_down = False
 
     def spawn(self, name: str, module: str, env: dict[str, str]) -> subprocess.Popen:
+        def _die_with_parent():
+            # children must never outlive the supervisor, even if it is
+            # SIGKILLed (crash-fast invariant; plain SIGTERM handling can't
+            # cover a killed parent)
+            try:
+                import ctypes
+                PR_SET_PDEATHSIG = 1
+                ctypes.CDLL("libc.so.6").prctl(PR_SET_PDEATHSIG, signal.SIGTERM)
+            except Exception:  # noqa: BLE001 — non-Linux: rely on shutdown()
+                pass
+
         proc = subprocess.Popen(
             [sys.executable, "-m", module],
             env=env, stdout=None, stderr=None,
+            preexec_fn=_die_with_parent,
         )
         self.children[name] = proc
         print(f"[start] spawned {name} (pid {proc.pid})", flush=True)

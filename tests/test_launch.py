@@ -112,5 +112,10 @@ def test_mock_stack_boot(tmp_path):
         assert leftovers == []
     finally:
         if proc.poll() is None:
-            proc.kill()
-            proc.wait(timeout=10)
+            # graceful first so the supervisor can reap its children
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=10)
