@@ -419,7 +419,10 @@ class InferenceEngine:
             slot.utf8_buf = b""
             slot.started = time.monotonic()
             slot.offset = 0
-            self.sample_state = self.sample_state.write_slot(b, params)
+            # seed counts with the prompt so repeat/frequency/presence
+            # penalties see "any token in the sequence so far" (llama.cpp
+            # semantics documented in sampler.py)
+            self.sample_state = self.sample_state.write_slot(b, params, ids)
             self._prefill_slot(b)
             did = True
         return did

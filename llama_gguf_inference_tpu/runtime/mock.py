@@ -45,10 +45,13 @@ class MockEngine:
     """Same submit/stream surface as InferenceEngine; emits `mock-token-N`."""
 
     def __init__(self, model_name: str = "mock-model", delay_s: float = 0.0,
-                 embedding_dim: int = 8):
+                 embedding_dim: int = 8, fail_after: int = -1):
         self.model_name = model_name
         self.tokenizer = MockTokenizer()
         self.delay_s = delay_s
+        # fail_after >= 0: emit that many tokens then a terminal
+        # finish_reason="error" event (simulates InferenceEngine._fail_all)
+        self.fail_after = fail_after
         self.embedding_dim = embedding_dim
         self.total_generated = 0
         self.total_prompt_tokens = 0
@@ -82,6 +85,15 @@ class MockEngine:
         self.total_prompt_tokens += len(ids)
         n = min(params.max_tokens, 16)
         try:
+            if self.fail_after >= 0:
+                for i in range(self.fail_after):
+                    out.put(GenEvent(token_id=100 + i,
+                                     text=("" if i == 0 else " ") + f"mock-token-{i}",
+                                     n_prompt=len(ids), n_generated=i + 1))
+                out.put(GenEvent(finished=True, finish_reason="error",
+                                 n_prompt=len(ids),
+                                 n_generated=self.fail_after))
+                return
             for i in range(n):
                 if self.delay_s:
                     time.sleep(self.delay_s)

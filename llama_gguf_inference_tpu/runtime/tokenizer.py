@@ -310,7 +310,10 @@ class BPETokenizer(Tokenizer):
             parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
         return parts
 
-    def decode(self, ids: Sequence[int]) -> str:
+    def decode(self, ids: Sequence[int], _strip_prefix: bool = True) -> str:
+        # _strip_prefix is accepted (and ignored — BPE has no SPM space
+        # prefix) so the base-class piece()/piece_bytes() streaming path
+        # works identically for both vocab families.
         buf = bytearray()
         for tid in ids:
             if not 0 <= tid < self.vocab_size:

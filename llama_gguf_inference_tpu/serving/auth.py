@@ -95,10 +95,15 @@ class APIKeyValidator:
         rate_limit = None
         expiration = None
         if len(parts) >= 3 and parts[2].strip():
+            # Fail-closed on malformed limits (reference auth.py line
+            # validation): a non-positive or unparseable rate-limit field
+            # rejects the whole line rather than loading an unlimited key.
             try:
-                rate_limit = max(0, int(parts[2].strip()))
+                rate_limit = int(parts[2].strip())
             except ValueError:
-                rate_limit = None
+                return None
+            if rate_limit <= 0:
+                return None
         if len(parts) >= 4 and parts[3].strip():
             # expiration may itself contain ':' (ISO datetime) — join the tail
             expiration = parse_expiration_ts(":".join(parts[3:]).strip())

@@ -25,8 +25,13 @@ def render_chat(messages: Sequence[Mapping[str, Any]],
     """Render an OpenAI-style messages list into a prompt string."""
     tpl_src = template or CHATML_TEMPLATE
     try:
-        import jinja2
-        env = jinja2.Environment(autoescape=False, keep_trailing_newline=True)
+        # GGUF chat templates are untrusted third-party content: render in
+        # jinja2's immutable sandbox (as HF transformers does) so a malicious
+        # template cannot reach Python internals; SecurityError falls through
+        # to the chatml fallback below.
+        from jinja2.sandbox import ImmutableSandboxedEnvironment
+        env = ImmutableSandboxedEnvironment(autoescape=False,
+                                            keep_trailing_newline=True)
         env.globals["raise_exception"] = _raise_exception
         tpl = env.from_string(tpl_src)
         return tpl.render(messages=list(messages), bos_token=bos_token,

@@ -303,20 +303,24 @@ class Gateway:
         extra = b"".join(f"{k}: {v}\r\n".encode("latin-1") for k, v in cors.items())
         return head + b"\r\n" + extra + rest
 
-    async def _do_proxy(self, req, writer, origin: str | None) -> int:
+    async def _do_proxy(self, req, writer, origin: str | None) -> tuple[int, int]:
+        """Returns (status, bytes_sent): status 200 for a streamed backend
+        response, 502 when the gateway answered with its own error (connect
+        failure, oversized backend headers) — so proxy_request can count
+        those as errors, matching the reference's metrics/audit behavior."""
         fut = asyncio.open_connection(self.cfg.backend_host, self.cfg.backend_port)
         try:
             breader, bwriter = await asyncio.wait_for(
                 fut, self.cfg.backend_connect_timeout)
         except (asyncio.TimeoutError, OSError):
-            return await send_response(writer, 502)
+            return 502, await send_response(writer, 502)
         sent = 0
         try:
             bwriter.write(self._build_backend_request(req))
             await bwriter.drain()
             buf = await self._read_backend_headers(breader)
             if buf is None:
-                return await send_response(writer, 502)
+                return 502, await send_response(writer, 502)
             head, sep, body_start = buf.partition(b"\r\n\r\n")
             out = self._inject_cors(head, origin) + sep + body_start
             writer.write(out)
@@ -330,7 +334,7 @@ class Gateway:
                 writer.write(chunk)
                 await writer.drain()
                 sent += len(chunk)
-            return sent
+            return 200, sent
         finally:
             bwriter.close()
 
@@ -347,11 +351,14 @@ class Gateway:
                       duration_ms=round((time.monotonic() - t0) * 1000, 2))
 
         try:
-            sent = await asyncio.wait_for(
+            status, sent = await asyncio.wait_for(
                 self._do_proxy(req, writer, origin), self.cfg.request_timeout)
             self.metrics.bytes_sent += sent
-            self.metrics.requests_success += 1
-            done(200)
+            if status == 200:
+                self.metrics.requests_success += 1
+            else:
+                self.metrics.requests_error += 1
+            done(status)
         except asyncio.TimeoutError:
             self.metrics.requests_error += 1
             await send_error(writer, 504, "Request timed out", "timeout_error", 504)

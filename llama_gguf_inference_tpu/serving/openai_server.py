@@ -304,6 +304,12 @@ class OpenAIServer:
                 lp_content.append(self._lp_entry(ev))
             if ev.finished:
                 finish = ev.finish_reason or "stop"
+        if finish == "error":
+            # a dead engine must surface as 5xx, not a 200 with an empty body
+            # (reference clients see 502/504 in the analogous states)
+            await send_error(writer, 500, "inference engine failure",
+                             "server_error", "engine_error")
+            return
         content = "".join(text)
         if chat:
             choice = {"index": 0,
@@ -337,8 +343,14 @@ class OpenAIServer:
                 "Content-Type: text/event-stream\r\n"
                 "Cache-Control: no-cache\r\n"
                 "Connection: close\r\n\r\n").encode()
-        writer.write(head)
-        await writer.drain()
+        head_sent = False
+
+        async def ensure_head():
+            nonlocal head_sent
+            if not head_sent:
+                head_sent = True
+                writer.write(head)
+                await writer.drain()
 
         def chunk(delta: dict | None, finish: str | None) -> dict:
             c: dict[str, Any] = {"index": 0, "finish_reason": finish}
@@ -349,15 +361,24 @@ class OpenAIServer:
             return {"id": rid, "object": obj, "created": _now(),
                     "model": self.engine.model_name, "choices": [c]}
 
-        if chat:
-            writer.write(sse_event(chunk({"role": "assistant"}, None)))
-            await writer.drain()
         n_prompt = n_gen = 0
         finish = "stop"
+        first = True
         async for ev in self._collect(prompt, params):
             n_prompt, n_gen = ev.n_prompt, ev.n_generated
             if ev.finished:
                 finish = ev.finish_reason or "stop"
+            if ev.finished and finish == "error" and not head_sent:
+                # engine died before any byte was streamed: a real 5xx is
+                # still possible — take it (reference clients see 502 here)
+                await send_error(writer, 500, "inference engine failure",
+                                 "server_error", "engine_error")
+                return
+            await ensure_head()
+            if first and chat:
+                first = False
+                writer.write(sse_event(chunk({"role": "assistant"}, None)))
+                await writer.drain()
             if ev.text:
                 c = chunk({"content": ev.text}, None)
                 if chat and params.n_probs > 0:
@@ -365,6 +386,15 @@ class OpenAIServer:
                         "content": [self._lp_entry(ev)]}
                 writer.write(sse_event(c))
                 await writer.drain()
+        await ensure_head()
+        if finish == "error":
+            # mid-stream failure: status line is gone — emit an SSE error
+            # event (llama.cpp behavior) and close WITHOUT [DONE]
+            writer.write(sse_event({"error": {
+                "message": "inference engine failure",
+                "type": "server_error", "code": "engine_error"}}))
+            await writer.drain()
+            return
         writer.write(sse_event(chunk(None, finish)))
         if include_usage:
             writer.write(sse_event({

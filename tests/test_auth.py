@@ -104,3 +104,22 @@ def test_access_logger_sanitizes(tmp_path):
     assert "\nInjected" not in content
     assert "key_id" in content or "key_" in content
     assert content.count("\n") == 1
+
+
+def test_nonpositive_rate_limit_line_rejected(tmp_path):
+    """ADVICE r1 low: a rate-limit field of 0/negative/garbage must reject
+    the whole line (fail-closed, reference line validation) — not load an
+    unlimited key."""
+    from llama_gguf_inference_tpu.serving.auth import APIKeyValidator
+    good = "sk-" + "g" * 24
+    kf = tmp_path / "keys.txt"
+    kf.write_text(
+        f"zero:sk-{'a' * 24}:0\n"
+        f"neg:sk-{'b' * 24}:-5\n"
+        f"bad:sk-{'c' * 24}:abc\n"
+        f"good:{good}:10\n"
+    )
+    v = APIKeyValidator(enabled=True, keys_file=str(kf))
+    assert len(v._keys) == 1
+    assert v._keys[good] == "good"
+    assert v._rate_limits["good"] == 10

@@ -63,3 +63,20 @@ def test_raise_exception_template_falls_back():
     tpl = "{{ raise_exception('unsupported role') }}"
     out = render_chat(MSGS, tpl)      # error -> chatml fallback
     assert "<|im_start|>" in out
+
+
+def test_sandbox_blocks_python_internals():
+    """ADVICE r1 high: GGUF templates are untrusted — attribute chains that
+    reach Python internals must not execute (sandboxed env -> fallback)."""
+    evil = ("{{ messages.__class__.__mro__[1].__subclasses__() }}")
+    out = render_chat(MSGS, evil)
+    assert "subclasses" not in out
+    assert "<class" not in out
+    assert "<|im_start|>user\nHi<|im_end|>" in out  # chatml fallback
+
+
+def test_sandbox_blocks_attribute_mutation():
+    evil = "{% set x = messages.__init__.__globals__ %}{{ x }}"
+    out = render_chat(MSGS, evil)
+    assert "__builtins__" not in out
+    assert "<|im_start|>" in out

@@ -28,15 +28,25 @@ def free_port() -> int:
     return p
 
 
-def get(url, key=None, timeout=2.0):
+def get(url, key=None, timeout=2.0, retry_for=0.0):
+    """GET returning a status code.  ``retry_for`` > 0 retries connection-level
+    failures (URLError/refused) for that many seconds — the 3 stack processes
+    come up independently, so each port's first contact must poll, not assert
+    (a raw URLError here was the one flaky test of round 1)."""
     req = urllib.request.Request(url)
     if key:
         req.add_header("Authorization", f"Bearer {key}")
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as r:
-            return r.status
-    except urllib.error.HTTPError as e:
-        return e.code
+    deadline = time.monotonic() + retry_for
+    while True:
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+        except OSError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.2)
 
 
 def test_is_truthy():
@@ -97,11 +107,12 @@ def test_mock_stack_boot(tmp_path):
             time.sleep(0.3)
         assert ok, "gateway /ping never came up"
 
-        assert get(f"http://127.0.0.1:{gw_port}/v1/models") == 401
-        assert get(f"http://127.0.0.1:{gw_port}/v1/models", api_key) == 200
-        assert get(f"http://127.0.0.1:{health_port}/") == 200
+        assert get(f"http://127.0.0.1:{gw_port}/v1/models", retry_for=10) == 401
+        assert get(f"http://127.0.0.1:{gw_port}/v1/models", api_key,
+                   retry_for=10) == 200
+        assert get(f"http://127.0.0.1:{health_port}/", retry_for=30) == 200
         assert get(f"http://127.0.0.1:{health_port}/anything") == 200
-        assert get(f"http://127.0.0.1:{gw_port}/health") == 200
+        assert get(f"http://127.0.0.1:{gw_port}/health", retry_for=10) == 200
 
         # graceful shutdown on SIGTERM
         proc.send_signal(signal.SIGTERM)

@@ -301,6 +301,11 @@ async def test_backend_down_502(tmp_path):
         assert status == 502
         assert body == b""       # empty body per contract
         assert hdrs.get("content-length") == "0"
+        # ADVICE r1 medium: gateway-originated 502s count as errors (not
+        # success) and audit-log 502, matching the reference metrics contract
+        m = gw.metrics
+        assert m.requests_error >= 1
+        assert m.requests_success == 0
     finally:
         await gw.close()
 

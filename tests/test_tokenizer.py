@@ -81,3 +81,21 @@ def test_streaming_piece_concat_equals_decode():
     streamed = "".join(t.piece(i) for i in ids)
     # piece-wise decode loses the leading-space strip; allow leading space
     assert streamed.lstrip(" ") == "the lazy dog jumps"
+
+
+def test_bpe_streaming_piece_and_piece_bytes():
+    """ADVICE r1 high: BPE piece()/piece_bytes() must not TypeError (the
+    base-class piece() passes _strip_prefix; BPE generation depends on it)."""
+    from llama_gguf_inference_tpu.runtime.tokenizer import _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+    tokens = [b2u[b] for b in range(256)]
+    tokens += ["he", "ll", "llo", "Ġhe"]
+    types = [int(TokenType.NORMAL)] * len(tokens)
+    merges = ["h e", "l l", "ll o", "Ġ he"]
+    t = BPETokenizer(tokens, types, merges,
+                     SpecialTokens(bos_id=-1, eos_id=-1, add_bos=False))
+    ids = t.encode("hello hello")
+    streamed = "".join(t.piece(i) for i in ids)
+    assert streamed == "hello hello"
+    byte_streamed = b"".join(t.piece_bytes(i) for i in ids)
+    assert byte_streamed.decode("utf-8") == "hello hello"
