@@ -22,7 +22,6 @@ from .constants import (
     GGMLType,
     GGUFValueType,
 )
-from ..quant.numpy_ref import quantize
 
 _SCALAR_FMT = {
     GGUFValueType.UINT8: "<B",
@@ -86,6 +85,11 @@ class GGUFWriter:
         ``data`` has numpy shape (slowest ... fastest); stored ggml dims are
         the reverse.  Quantization blocks run along the last (contiguous) axis.
         """
+        # imported here, not at module top: quant.numpy_ref imports
+        # gguf.constants, so a top-level import would be circular when the
+        # quant package loads first (e.g. via runtime.layout_cache)
+        from ..quant.numpy_ref import quantize
+
         ggml_type = GGMLType(ggml_type)
         data = np.ascontiguousarray(data, dtype=np.float32)
         raw = quantize(data, ggml_type)

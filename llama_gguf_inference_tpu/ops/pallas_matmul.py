@@ -23,6 +23,7 @@ specialized kernel, cached.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .linear import QuantLinear
 
 _LANE = 128
+
+
+def _variant() -> str:
+    """Kernel variant for 4-bit formats (A/B knob, see tools/kernel_bench.py):
+
+    base  — bf16 magic unpack, full-width scale+min expansion (round-1 kernel)
+    xsum  — min/bias term moved OFF the hot loop: y = x@(v*s).T - xsum@m'.T
+            where xsum[b,σ] = Σ_{k∈σ} x[b,k] rides the MXU as a tiny second
+            dot; saves the (TO, in)-wide min expansion + subtract on the VPU
+    int8  — Q8_1-style per-32-block int8 activation quantization + integer
+            MXU dot per sub-block (codes never expand past int8 width), then
+            per-sub-block rescale on the small (nd, B, TO) partials
+    """
+    return os.environ.get("LGT_MM_VARIANT", "base")
 
 
 def _pick_tile(out_features: int, in_features: int, code_bytes_per_row: int) -> int:
@@ -208,6 +223,234 @@ def _quant_matmul_2d(x, codes, d, sc, dmin, mn, *, meta, shapes,
     )(*args)
 
 
+# ---------------------------------------------------------------- variants
+#
+# Post-repack invariants (quant.repack.rw): the scale hierarchy is flattened
+# to ONE f32 effective scale (+ min) per sub-block, so d_size == sub_size,
+# g == 1, and sc/mn are None.  The variants below rely on that.
+
+
+def _make_kernel_xsum(meta: tuple, B: int, TO: int, in_features: int):
+    """bits==4 kernel with the min/bias term as a second (tiny) MXU dot.
+
+    y[b, o] = Σ_k x[b,k] * (q[o,k] * s[o, σ(k)])  -  Σ_σ xsum[b,σ] * m'[o,σ]
+
+    with m' = m + bias*s computed once per tile on the small (TO, nsub)
+    arrays.  Removes the (TO, in)-wide min expansion + subtract from the
+    round-1 kernel — the VPU streams only unpack + one bf16 multiply.
+    The min term is MORE precise than round 1 (f32 MXU dot, not bf16 FMA).
+    """
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+
+    def kernel(*refs):
+        idx = 0
+        x_ref = refs[idx]; idx += 1
+        xsum_ref = refs[idx]; idx += 1
+        codes_ref = refs[idx]; idx += 1
+        d_ref = refs[idx]; idx += 1
+        dmin_ref = None
+        if has_dmin:
+            dmin_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]
+
+        s_sub = d_ref[:]                                   # (TO, nsub) f32
+        m_sub = float(bias) * s_sub
+        if has_dmin:
+            m_sub = m_sub + dmin_ref[:]
+
+        c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
+        q16 = jnp.concatenate([c32 & 0xF, c32 >> 4],
+                              axis=1).astype(jnp.uint16)
+        v = pltpu.bitcast(q16 | jnp.uint16(0x4300), jnp.bfloat16)
+        v = v - jnp.bfloat16(128.0)                        # exact: v = q
+        s_full = pltpu.repeat(s_sub.astype(jnp.bfloat16), sub_size, axis=1)
+        w = v * s_full                                     # (TO, in) bf16
+
+        y = jax.lax.dot_general(
+            x_ref[:], w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_min = jax.lax.dot_general(
+            xsum_ref[:], m_sub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = y - y_min
+
+    return kernel
+
+
+def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
+    """bits==4 kernel with per-sub-block integer MXU dots.
+
+    Codes stay int8-width end to end: unpack is mask/shift/concat only; the
+    sub-block partial dots p[σ, b, o] = Σ_t xq[b, σ, t] * q[o, σ, t] run on
+    the MXU in int8 (q in [0,15]); scales apply to the small (nd, B, TO)
+    partial tensor.  Activations arrive pre-quantized per 32-block (Q8_1
+    style: xq int8 + xs f32 per (b, σ)), min/bias term via exact xsum.
+
+    The block-minor storage order (quant.repack.block_minor_perm with g==1)
+    makes stored position j = t*nd + σ, so the (TO, in) -> (TO, sub, nd)
+    reshape is free and σ is the lane-minor batch dimension.
+    """
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    nd = in_features // sub_size
+
+    def kernel(*refs):
+        idx = 0
+        xq_ref = refs[idx]; idx += 1       # (B, in) int8, block-minor
+        xs_ref = refs[idx]; idx += 1       # (B, nd) f32 activation scales
+        xsum_ref = refs[idx]; idx += 1     # (B, nd) f32 exact block sums
+        codes_ref = refs[idx]; idx += 1
+        d_ref = refs[idx]; idx += 1
+        dmin_ref = None
+        if has_dmin:
+            dmin_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]
+
+        s_sub = d_ref[:]                                   # (TO, nd) f32
+        m_sub = float(bias) * s_sub
+        if has_dmin:
+            m_sub = m_sub + dmin_ref[:]
+
+        c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
+        w8 = jnp.concatenate([c32 & 0xF, c32 >> 4],
+                             axis=1).astype(jnp.int8)      # (TO, in)
+
+        w3 = w8.reshape(TO, sub_size, nd)
+        x3 = xq_ref[:].reshape(B, sub_size, nd)
+        # batched over σ (minor dim), contracting t: (nd, B, TO) int32
+        p = jax.lax.dot_general(
+            x3, w3,
+            dimension_numbers=(((1,), (1,)), ((2,), (2,))),
+            preferred_element_type=jnp.int32,
+        )
+        sT = s_sub.T                                       # (nd, TO) f32
+        xsT = xs_ref[:].T                                  # (nd, B)  f32
+        y = jnp.sum(p.astype(jnp.float32) * xsT[:, :, None] * sT[:, None, :],
+                    axis=0)                                # (B, TO)
+        y_min = jax.lax.dot_general(
+            xsum_ref[:], m_sub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = y - y_min
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "shapes", "interpret"))
+def _quant_matmul_2d_xsum(x, xsum, codes, d, dmin, *, meta, shapes,
+                          interpret=False):
+    (B, in_features, out_features, TO) = shapes
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    n_tiles = out_features // TO
+    cb = codes.shape[1]
+    nd = in_features // d_size
+
+    in_specs = [
+        pl.BlockSpec((B, in_features), lambda o: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, nd), lambda o: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TO, cb), lambda o: (o, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TO, nd), lambda o: (o, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, xsum, codes, d]
+    if has_dmin:
+        in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dmin)
+
+    kernel = _make_kernel_xsum(meta, B, TO, in_features)
+    flops = 2 * B * in_features * out_features
+    bytes_accessed = (codes.size + d.size * 4
+                      + (dmin.size * 4 if has_dmin else 0)
+                      + B * in_features * 2 + B * out_features * 4)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, TO), lambda o: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "shapes", "interpret"))
+def _quant_matmul_2d_int8(xq, xs, xsum, codes, d, dmin, *, meta, shapes,
+                          interpret=False):
+    (B, in_features, out_features, TO) = shapes
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    n_tiles = out_features // TO
+    cb = codes.shape[1]
+    nd = in_features // d_size
+
+    in_specs = [
+        pl.BlockSpec((B, in_features), lambda o: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, nd), lambda o: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, nd), lambda o: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TO, cb), lambda o: (o, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TO, nd), lambda o: (o, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xq, xs, xsum, codes, d]
+    if has_dmin:
+        in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(dmin)
+
+    kernel = _make_kernel_int8(meta, B, TO, in_features)
+    flops = 2 * B * in_features * out_features
+    bytes_accessed = (codes.size + d.size * 4
+                      + (dmin.size * 4 if has_dmin else 0)
+                      + B * in_features + B * out_features * 4)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, TO), lambda o: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_features), jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
+def _block_sums(x2: jax.Array, sub: int) -> jax.Array:
+    """(B, in) block-minor activations -> (B, nd) per-sub-block sums, f32."""
+    B, in_f = x2.shape
+    nd = in_f // sub
+    return jnp.sum(x2.astype(jnp.float32).reshape(B, sub, nd), axis=1)
+
+
+def _quantize_acts(x2: jax.Array, sub: int) -> tuple[jax.Array, jax.Array]:
+    """Per-sub-block symmetric int8 activation quantization (Q8_1 style).
+
+    x2 (B, in) block-minor -> (codes int8 (B, in), scales f32 (B, nd)).
+    Remember the block-minor layout: block σ's elements sit at positions
+    t*nd + σ, so the reshape is (B, sub, nd) with σ minor.
+    """
+    B, in_f = x2.shape
+    nd = in_f // sub
+    xb = x2.astype(jnp.float32).reshape(B, sub, nd)
+    amax = jnp.max(jnp.abs(xb), axis=1)                     # (B, nd)
+    s = amax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s == 0, 1.0, s), 0.0)
+    q = jnp.clip(jnp.round(xb * inv[:, None, :]), -127, 127).astype(jnp.int8)
+    return q.reshape(B, in_f), s
+
+
 def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
     """x (..., in) -> (..., out).  Falls back to XLA when shapes don't tile."""
     in_f, out_f = w.in_features, w.out_features
@@ -228,13 +471,35 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
     Bp = max(8, (B + 7) // 8 * 8)
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
-    x2 = x2.astype(jnp.bfloat16)
 
     meta = (w.fmt, w.bits, w.sub_size, w.d_size, w.code_bias,
             w.sc is not None, w.dmin is not None, w.mn is not None,
             w.sc is not None and w.sc.dtype == jnp.int8)
     shapes = (Bp, in_f, out_f, TO)
     interpret = jax.devices()[0].platform != "tpu"
+
+    # variant kernels: only for 4-bit formats in the flattened-hierarchy
+    # layout (sub_size == d_size, no sc/mn) — every 4-bit format post-repack
+    var = _variant()
+    if (w.bits == 4 and w.sub_size == w.d_size and w.sc is None
+            and w.mn is None and in_f % w.sub_size == 0
+            and (in_f // w.sub_size) % 8 == 0 and var in ("xsum", "int8")):
+        if var == "xsum":
+            xsum = _block_sums(x2, w.sub_size)
+            out = _quant_matmul_2d_xsum(
+                x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.dmin,
+                meta=meta, shapes=shapes, interpret=interpret)
+        else:
+            xq, xs = _quantize_acts(x2, w.sub_size)
+            xsum = _block_sums(x2, w.sub_size)
+            out = _quant_matmul_2d_int8(
+                xq, xs, xsum, w.codes, w.d, w.dmin,
+                meta=meta, shapes=shapes, interpret=interpret)
+        if Bp != B:
+            out = out[:B]
+        return out.reshape(*lead, out_f).astype(x.dtype)
+
+    x2 = x2.astype(jnp.bfloat16)
     out = _quant_matmul_2d(x2, w.codes, w.d, w.sc, w.dmin, w.mn,
                            meta=meta, shapes=shapes, interpret=interpret)
     if Bp != B:

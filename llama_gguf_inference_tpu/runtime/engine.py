@@ -104,6 +104,8 @@ class InferenceEngine:
     TOP_LOGPROBS_K = 8   # top-k logprobs computed per step (OpenAI `logprobs`)
 
     def __init__(self, model_path: str, engine_cfg: EngineConfig | None = None):
+        from ..utils.platform import enable_compile_cache
+        enable_compile_cache()   # warm boots skip the minutes of Mosaic compiles
         self.ecfg = engine_cfg or EngineConfig()
         sharded = self.ecfg.tp * self.ecfg.dp > 1
         cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,

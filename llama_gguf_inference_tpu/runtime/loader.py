@@ -29,13 +29,20 @@ from ..quant.repack import repack, to_quant_linear
 _FLOAT_TYPES = (GGMLType.F32, GGMLType.F16, GGMLType.BF16)
 
 
-def _load_linear(reader: GGUFReader, name: str, mode: str) -> LinearWeight:
+def _load_linear(reader: GGUFReader, name: str, mode: str,
+                 cache=None) -> LinearWeight:
     info = reader.tensors[name]
     out_f, in_f = info.shape  # numpy order (out, in); blocks run along in
     if mode == "dense" or info.ggml_type in _FLOAT_TYPES:
         w = reader.tensor_f32(name)
         return DenseLinear.from_f32(w, dtype=jnp.bfloat16)
+    if cache is not None:
+        rp = cache.get(name)
+        if rp is not None:
+            return to_quant_linear(rp)
     rp = repack(reader.tensor_bytes(name), info.ggml_type, out_f, in_f)
+    if cache is not None:
+        cache.put(name, rp)
     return to_quant_linear(rp)
 
 
@@ -52,19 +59,25 @@ def load_model(path: str | Path, mode: str = "quant", fuse: bool = False):
     """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
-    params = load_params(reader, cfg, mode, fuse=fuse)
+    cache = None
+    if mode == "quant":
+        from .layout_cache import LayoutCache
+        cache = LayoutCache.open(path)
+    params = load_params(reader, cfg, mode, fuse=fuse, cache=cache)
+    if cache is not None:
+        cache.finalize()
     return cfg, params, reader
 
 
 def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
-                fuse: bool = False) -> dict[str, Any]:
+                fuse: bool = False, cache=None) -> dict[str, Any]:
     t = reader.tensors
     params: dict[str, Any] = {
         "tok_embd": _load_array(reader, "token_embd.weight", jnp.bfloat16),
         "output_norm": _load_array(reader, "output_norm.weight"),
     }
     if "output.weight" in t:
-        params["output"] = _load_linear(reader, "output.weight", mode)
+        params["output"] = _load_linear(reader, "output.weight", mode, cache)
     else:  # tied embeddings
         w = reader.tensor_f32("token_embd.weight")
         params["output"] = DenseLinear.from_f32(w, dtype=jnp.bfloat16)
@@ -74,18 +87,19 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         p = f"blk.{i}."
         layer: dict[str, Any] = {
             "attn_norm": _load_array(reader, p + "attn_norm.weight"),
-            "attn_q": _load_linear(reader, p + "attn_q.weight", mode),
-            "attn_k": _load_linear(reader, p + "attn_k.weight", mode),
-            "attn_v": _load_linear(reader, p + "attn_v.weight", mode),
-            "attn_output": _load_linear(reader, p + "attn_output.weight", mode),
+            "attn_q": _load_linear(reader, p + "attn_q.weight", mode, cache),
+            "attn_k": _load_linear(reader, p + "attn_k.weight", mode, cache),
+            "attn_v": _load_linear(reader, p + "attn_v.weight", mode, cache),
+            "attn_output": _load_linear(reader, p + "attn_output.weight", mode, cache),
             "ffn_norm": _load_array(reader, p + "ffn_norm.weight"),
         }
         if cfg.is_moe:
-            layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight", mode)
-            layer["experts"] = _load_experts(reader, p, cfg, mode)
+            layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight",
+                                                 mode, cache)
+            layer["experts"] = _load_experts(reader, p, cfg, mode, cache)
         else:
             for n in ("ffn_gate", "ffn_up", "ffn_down"):
-                layer[n] = _load_linear(reader, p + f"{n}.weight", mode)
+                layer[n] = _load_linear(reader, p + f"{n}.weight", mode, cache)
         if fuse:
             from ..ops.linear import fuse_linears
             qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
@@ -103,7 +117,7 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
 
 
 def _load_experts(reader: GGUFReader, prefix: str, cfg: ModelConfig,
-                  mode: str) -> list[dict[str, LinearWeight]]:
+                  mode: str, cache=None) -> list[dict[str, LinearWeight]]:
     """Both modern stacked ``ffn_*_exps`` 3D tensors and legacy per-expert
     ``ffn_*.{e}`` tensors."""
     t = reader.tensors
@@ -119,15 +133,21 @@ def _load_experts(reader: GGUFReader, prefix: str, cfg: ModelConfig,
                     w = reader.tensor_f32(name)[e]
                     ex[n] = DenseLinear.from_f32(w, dtype=jnp.bfloat16)
                 else:
-                    raw = reader.tensor_bytes(name)
-                    per = info.nbytes // n_exp
-                    ex[n] = to_quant_linear(
-                        repack(raw[e * per:(e + 1) * per], info.ggml_type, out_f, in_f))
+                    ckey = f"{name}#{e}"
+                    rp = cache.get(ckey) if cache is not None else None
+                    if rp is None:
+                        raw = reader.tensor_bytes(name)
+                        per = info.nbytes // n_exp
+                        rp = repack(raw[e * per:(e + 1) * per],
+                                    info.ggml_type, out_f, in_f)
+                        if cache is not None:
+                            cache.put(ckey, rp)
+                    ex[n] = to_quant_linear(rp)
             experts.append(ex)
         return experts
     for e in range(cfg.n_experts):
         experts.append({
-            n: _load_linear(reader, prefix + f"{n}.{e}.weight", mode)
+            n: _load_linear(reader, prefix + f"{n}.{e}.weight", mode, cache)
             for n in ("ffn_gate", "ffn_up", "ffn_down")
         })
     return experts

@@ -28,3 +28,18 @@ def apply_platform_env(default: str | None = None) -> str | None:
         return want
     except Exception:  # noqa: BLE001 — jax absent or backends already initialized
         return None
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on jax's persistent compilation cache (cold-start item: Mosaic
+    compiles run minutes on remote TPU runtimes; the cache makes them
+    one-time per machine).  $JAX_COMPILATION_CACHE_DIR overrides."""
+    target = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+              or "/tmp/jax_comp_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass

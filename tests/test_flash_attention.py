@@ -62,3 +62,40 @@ def test_flash_offset_zero_single_token(rng):
     for h in range(H):
         np.testing.assert_allclose(got[0, 0, h], v[0, 0, h // 2],
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_flash_streaming_multiblock(rng):
+    """S spans many grid blocks with early-exit clamping (offset << S)."""
+    B, T, H, KVH, D, S = 2, 1, 4, 2, 64, 256
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    offsets = np.array([5, 200], np.int32)
+    want = naive_attention(q, k, v, offsets)
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), jnp.asarray(offsets),
+                                     blk_s=32))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("D", [64, 128])
+def test_flash_q8_matches_naive(D, rng):
+    from llama_gguf_inference_tpu.ops.flash_attention import flash_attention_q8
+    from llama_gguf_inference_tpu.runtime.kv_cache import QuantKV
+
+    B, T, H, KVH, S = 2, 4, 4, 2, 64
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    offsets = np.array([3, 40], np.int32)
+
+    kq, ks = QuantKV.quantize(jnp.asarray(k))
+    vq, vs = QuantKV.quantize(jnp.asarray(v))
+    # reference uses the dequantized cache (isolates kernel error from
+    # quantization error)
+    kd = np.asarray(QuantKV.dequantize(kq, ks, jnp.float32))
+    vd = np.asarray(QuantKV.dequantize(vq, vs, jnp.float32))
+    want = naive_attention(q, kd, vd, offsets)
+    got = np.asarray(flash_attention_q8(
+        jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(offsets), blk_s=32))
+    np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)

@@ -70,3 +70,29 @@ def test_fallback_on_untileable_shapes(rng):
     x = rng.normal(size=(2, 256)).astype(np.float32)
     got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
     assert got.shape == (2, 120)
+
+
+FOUR_BIT = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q3_K, GGMLType.Q4_K]
+
+
+@pytest.mark.parametrize("variant", ["xsum", "int8"])
+@pytest.mark.parametrize("gtype", FOUR_BIT, ids=lambda t: t.name)
+def test_variant_kernels_match_xla(gtype, variant, rng, monkeypatch):
+    """4-bit variant kernels (round-2 bandwidth work) vs the XLA reference.
+
+    int8 re-quantizes activations per 32-block (Q8_1 style), so its
+    tolerance is wider — it trades ~0.4% activation rounding for an
+    integer-MXU data path (llama.cpp's vec_dot_q makes the same trade).
+    """
+    monkeypatch.setenv("LGT_MM_VARIANT", variant)
+    out_f, in_f = 256, 512
+    ql = _weight(gtype, out_f, in_f, rng)
+    x = rng.normal(size=(4, in_f)).astype(np.float32)
+
+    import jax.numpy as jnp
+    want = np.asarray(ql.matmul_xla(jnp.asarray(x, jnp.bfloat16)))
+    got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
+    scale = np.abs(want).max() + 1e-6
+    tol = 3e-2 if variant == "int8" else 2e-2
+    assert np.abs(got - want).max() / scale < tol, \
+        f"{gtype.name}/{variant}: rel err {np.abs(got - want).max() / scale}"
