@@ -127,6 +127,26 @@ def cache_sharding(mesh: Mesh, n_kv_heads: int | None = None,
     return NamedSharding(mesh, P(b_axis, None, h_axis, None))
 
 
+def shard_cache(cache, mesh: Mesh, n_kv_heads: int | None = None,
+                batch: int | None = None):
+    """Place a KV cache pytree on the mesh, rank-aware per leaf.
+
+    bf16 KVCache leaves are (B, S, H, D); QuantKV scale leaves are
+    (B, S, H) — the per-(token, head) f32 scales — so the PartitionSpec is
+    trimmed to each leaf's rank.
+    """
+    h_axis = AXIS_TP if (n_kv_heads is None or
+                         n_kv_heads % mesh.shape[AXIS_TP] == 0) else None
+    b_axis = AXIS_DP if (batch is None or
+                         batch % mesh.shape[AXIS_DP] == 0) else None
+
+    def put(leaf):
+        spec = (b_axis, None, h_axis, None)[:leaf.ndim]
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, cache)
+
+
 def batch_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:
     """(B, ...) request tensors: batch over dp."""
     if batch is not None and batch % mesh.shape[AXIS_DP] != 0:

@@ -130,9 +130,8 @@ class InferenceEngine:
         else:
             self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
         if self.mesh is not None:
-            from ..parallel.partition import cache_sharding
-            self.cache = jax.device_put(
-                self.cache, cache_sharding(self.mesh, cfg.n_kv_heads, B))
+            from ..parallel.partition import shard_cache
+            self.cache = shard_cache(self.cache, self.mesh, cfg.n_kv_heads, B)
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
@@ -143,6 +142,12 @@ class InferenceEngine:
         self._last_decode_s = 0.0      # EWMA of decode step wall time
         self.total_generated = 0
         self.total_prompt_tokens = 0
+        # multi-host lockstep hooks (parallel.multihost.MultiHostEngine):
+        # fire on host 0 right before the matching device op so followers
+        # can replay the identical call sequence
+        self._admit_hook = None        # (b, ids, params) -> None
+        self._decode_hook = None       # (tokens, offsets, n_steps, want_lp)
+        self._tick_hook = None         # (worked: bool) -> bool
 
         self._build_step_fns()
 
@@ -336,7 +341,12 @@ class InferenceEngine:
                 traceback.print_exc()
                 self._fail_all(f"engine error: {traceback.format_exc(limit=3)}")
                 continue
-            if not worked:
+            if self._tick_hook is not None:
+                # multi-host leader: serve embed commands + keep followers
+                # fed with idle heartbeats (the hook sleeps when idle)
+                if self._tick_hook(worked):
+                    continue
+            elif not worked:
                 # idle: block briefly on the queue to avoid spinning
                 try:
                     item = self._queue.get(timeout=0.05)
@@ -421,6 +431,8 @@ class InferenceEngine:
             slot.utf8_buf = b""
             slot.started = time.monotonic()
             slot.offset = 0
+            if self._admit_hook is not None:
+                self._admit_hook(b, ids, params)
             # seed counts with the prompt so repeat/frequency/presence
             # penalties see "any token in the sequence so far" (llama.cpp
             # semantics documented in sampler.py)
@@ -435,10 +447,11 @@ class InferenceEngine:
                 return t
         return self.ecfg.prefill_buckets[-1]
 
-    def _prefill_slot(self, b: int) -> None:
-        slot = self.slots[b]
-        ids = slot.prompt_ids
-        self.total_prompt_tokens += len(ids)
+    def _prefill_device(self, b: int, ids: list[int]):
+        """Device-side admission work for slot b: prefill chunks into the
+        slot's cache slice, then sample the first token.  Deterministic given
+        (b, ids, sample_state) — the multi-host follower path replays exactly
+        this (parallel.multihost).  Returns (token, last-position logits)."""
         # slice this slot's cache out of the pool (works for both bf16
         # KVCache and q8_0 QuantKV: all leaves are per-layer (B, S, ...))
         cache_slice = jax.tree_util.tree_map(lambda a: a[b:b + 1], self.cache)
@@ -456,11 +469,17 @@ class InferenceEngine:
             pos += chunk
         self.cache = jax.tree_util.tree_map(
             lambda pool, s: pool.at[b:b + 1].set(s), self.cache, cache_slice)
-        slot.offset = len(ids)
-        # sample the first generated token from the prefill logits
         tok, self.sample_state = self._sample_one(b, logits_last)
-        tok_lp, top = self._host_token_stats(slot, logits_last, int(tok))
-        self._emit_token(b, int(tok), tok_lp, top)
+        return int(tok), logits_last
+
+    def _prefill_slot(self, b: int) -> None:
+        slot = self.slots[b]
+        ids = slot.prompt_ids
+        self.total_prompt_tokens += len(ids)
+        tok, logits_last = self._prefill_device(b, ids)
+        slot.offset = len(ids)
+        tok_lp, top = self._host_token_stats(slot, logits_last, tok)
+        self._emit_token(b, tok, tok_lp, top)
         if self.slots[b].state != "free":
             self.slots[b].state = "active"
 
@@ -498,60 +517,31 @@ class InferenceEngine:
                 return 1
         return n
 
-    def _decode(self) -> bool:
-        active = [b for b, s in enumerate(self.slots) if s.state == "active"]
-        if not active:
-            return False
-        n_steps = self._multi_steps_viable(active)
-        if n_steps > 1:
-            return self._decode_n(active, n_steps)
-        B = self.ecfg.max_slots
-        tokens = np.zeros((B, 1), np.int32)
-        offsets = np.zeros(B, np.int32)
-        for b, slot in enumerate(self.slots):
-            if slot.state == "active":
-                tokens[b, 0] = slot.generated[-1]
-                offsets[b] = slot.offset
-        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
-        t0 = time.monotonic()
-        if want_lp:
-            tok, self.sample_state, self.cache, tok_lp, top_v, top_i = \
-                self._decode_step_lp(
+    def _decode_exec(self, tokens: np.ndarray, offsets: np.ndarray,
+                     n_steps: int, want_lp: bool):
+        """Device-side decode over the full slot batch: ``n_steps`` fused
+        steps from the given (B, 1) token / (B,) offset arrays.  The
+        multi-host follower replays exactly this call sequence
+        (parallel.multihost).  Returns numpy (toks (N, B), lps (N, B),
+        top_v, top_i) — top_* None without logprobs."""
+        if n_steps == 1:
+            if want_lp:
+                tok, self.sample_state, self.cache, tok_lp, tv, ti = \
+                    self._decode_step_lp(
+                        self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(offsets), self.sample_state)
+                tv, ti = np.asarray(tv)[None], np.asarray(ti)[None]
+            else:
+                tok, self.sample_state, self.cache, tok_lp = self._decode_step(
                     self.params, self.cache, jnp.asarray(tokens),
                     jnp.asarray(offsets), self.sample_state)
-            top_v, top_i = np.asarray(top_v), np.asarray(top_i)
-        else:
-            tok, self.sample_state, self.cache, tok_lp = self._decode_step(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(offsets), self.sample_state)
-            top_v = top_i = None
-        tok = np.asarray(tok)
-        tok_lp = np.asarray(tok_lp)
-        dt = time.monotonic() - t0
-        self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt if self._last_decode_s else dt
-        for b in active:
-            slot = self.slots[b]
-            slot.offset += 1
-            top = None if top_i is None else self._top_list(slot, top_i[b], top_v[b])
-            self._emit_token(b, int(tok[b]), float(tok_lp[b]), top)
-        return True
-
-    def _decode_n(self, active: list[int], n_steps: int) -> bool:
-        """Fused multi-step decode (one dispatch, n_steps tokens per slot)."""
-        B = self.ecfg.max_slots
-        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
+                tv = ti = None
+            return (np.asarray(tok)[None], np.asarray(tok_lp)[None], tv, ti)
         key = (n_steps, want_lp)
         if key not in self._decode_multi_fns:
             maker = self._make_multi_lp if want_lp else self._make_multi
             self._decode_multi_fns[key] = maker(n_steps)
         fn = self._decode_multi_fns[key]
-        tokens = np.zeros((B, 1), np.int32)
-        offsets = np.zeros(B, np.int32)
-        gen = {b: self.slots[b].request_id for b in active}
-        for b in active:
-            tokens[b, 0] = self.slots[b].generated[-1]
-            offsets[b] = self.slots[b].offset
-        t0 = time.monotonic()
         if want_lp:
             toks, self.sample_state, self.cache, lps, tv, ti = fn(
                 self.params, self.cache, jnp.asarray(tokens),
@@ -562,8 +552,29 @@ class InferenceEngine:
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(offsets), self.sample_state)
             tv = ti = None
-        toks = np.asarray(toks)       # (N, B)
-        lps = np.asarray(lps)
+        return np.asarray(toks), np.asarray(lps), tv, ti
+
+    def _decode_inputs(self, active: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        B = self.ecfg.max_slots
+        tokens = np.zeros((B, 1), np.int32)
+        offsets = np.zeros(B, np.int32)
+        for b in active:
+            tokens[b, 0] = self.slots[b].generated[-1]
+            offsets[b] = self.slots[b].offset
+        return tokens, offsets
+
+    def _decode(self) -> bool:
+        active = [b for b, s in enumerate(self.slots) if s.state == "active"]
+        if not active:
+            return False
+        n_steps = self._multi_steps_viable(active)
+        want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
+        tokens, offsets = self._decode_inputs(active)
+        if self._decode_hook is not None:
+            self._decode_hook(tokens, offsets, n_steps, want_lp)
+        gen = {b: self.slots[b].request_id for b in active}
+        t0 = time.monotonic()
+        toks, lps, tv, ti = self._decode_exec(tokens, offsets, n_steps, want_lp)
         dt = (time.monotonic() - t0) / n_steps
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
             if self._last_decode_s else dt

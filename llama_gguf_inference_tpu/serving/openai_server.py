@@ -442,7 +442,9 @@ def main() -> None:
     else:
         import jax.numpy as jnp
 
+        from ..parallel import multihost
         from ..runtime.engine import EngineConfig, InferenceEngine
+        distributed = multihost.initialize_from_env()
         kv = os.environ.get("KV_CACHE_TYPE", "bf16").lower()
         ecfg = EngineConfig(
             max_slots=int(os.environ.get("MAX_SLOTS", 4)),
@@ -453,11 +455,24 @@ def main() -> None:
             dp=int(os.environ.get("DP", 1)),
         )
         engine = InferenceEngine(model_path, ecfg)
+        if distributed:
+            engine = multihost.MultiHostEngine(engine)
+            if not multihost.serving_host():
+                # workers never expose sockets: replay leader commands
+                # until shutdown (reference localhost-only invariant
+                # translated to pods — SURVEY §5.8)
+                print(f"[backend] follower host {multihost.jax.process_index()}"
+                      f" joined; replaying leader ops", flush=True)
+                engine.run_follower()
+                return
     engine.start()
     srv = OpenAIServer(engine)
     print(f"[backend] {engine.model_name} on {srv.cfg.host}:{srv.cfg.port} "
           f"(auth={'on' if srv.cfg.api_key else 'off'})", flush=True)
-    asyncio.run(srv.serve_forever())
+    try:
+        asyncio.run(srv.serve_forever())
+    finally:
+        engine.stop()
 
 
 if __name__ == "__main__":
