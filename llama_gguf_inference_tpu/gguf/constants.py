@@ -95,6 +95,14 @@ GGML_BLOCK_INFO: dict[GGMLType, tuple[int, int]] = {
     GGMLType.Q8_K: (QK_K, 292),   # f32 d + 256 int8 + 16 i16 bsums
     GGMLType.IQ4_NL: (32, 18),    # f16 d + 16B nibble indices into kvalues table
     GGMLType.IQ4_XS: (QK_K, 136),  # f16 d + u16 scales_h + 4B scales_l + 128B nibbles
+    # importance-matrix codebook formats (quant.iq_grids)
+    GGMLType.IQ2_XXS: (QK_K, 66),  # f16 d + 32 u16 (grid idx + 7b signs + 4b scale)
+    GGMLType.IQ2_XS: (QK_K, 74),   # f16 d + 32 u16 (9b grid idx + 7b signs) + 8B scales
+    GGMLType.IQ2_S: (QK_K, 82),    # f16 d + 32B idx-lo + 32B signs + 8B qh + 8B scales
+    GGMLType.IQ3_XXS: (QK_K, 98),  # f16 d + 64B grid idx + 32B (signs+scale u32 per 32)
+    GGMLType.IQ3_S: (QK_K, 110),   # f16 d + 64B idx-lo + 8B qh + 32B signs + 4B scales
+    GGMLType.IQ1_S: (QK_K, 50),    # f16 d + 32B idx-lo + 16B (u16: idx-hi+scale+delta)
+    GGMLType.IQ1_M: (QK_K, 56),    # 32B idx-lo + 16B qh nibbles + 8B scales (d hidden)
 }
 
 

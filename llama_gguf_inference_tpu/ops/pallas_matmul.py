@@ -50,13 +50,24 @@ def _variant() -> str:
 
 
 def _pick_tile(out_features: int, in_features: int, code_bytes_per_row: int) -> int:
-    """Largest out-tile that divides out_features and keeps VMEM modest."""
-    # budget ~6MB for (2x codes tile + bf16 w tile + scales)
+    """Largest out-tile that divides out_features and fits VMEM (~16MB/core).
+
+    The budget must count the UNPACK INTERMEDIATES, not just the resident
+    tiles: the 4-bit path materializes ~(i32 masked halves + u16 concat +
+    bf16 v/s_full/w) ≈ 10 bytes per logical element while double-buffering
+    the packed codes.  Round 1 budgeted only codes+w and picked TO=512 at
+    in=4096 — Mosaic spilled to HBM and streamed at 51 of 819 GB/s on the
+    8B shapes (kernel_bench, r2).  Override with LGT_MM_TO for A/B sweeps.
+    """
+    forced = int(os.environ.get("LGT_MM_TO", 0))
+    if forced and out_features % forced == 0:
+        return forced
+    budget = int(os.environ.get("LGT_MM_VMEM_BUDGET", 10 * 1024 * 1024))
     for to in (512, 256, 128, 64, 32, 16, 8):
         if out_features % to:
             continue
-        vmem = to * code_bytes_per_row * 2 + to * in_features * 2
-        if vmem <= 6 * 1024 * 1024:
+        vmem = to * in_features * 10 + to * code_bytes_per_row * 2
+        if vmem <= budget:
             return to
     return 0
 
@@ -131,11 +142,12 @@ def _make_kernel(meta: tuple, B: int, TO: int, in_features: int):
             # offset is removed BEFORE scaling (exact bf16 integer subtract);
             # folding it into the min term instead would catastrophically
             # cancel in bf16.  All full-width ops run at u16/bf16 density.
-            # shift/mask in i32 (Mosaic legalizes i32 shifts only), then
-            # drop to u16 for the magic OR + bitcast
+            # shift/mask in i32 (Mosaic legalizes i32 shifts only); drop each
+            # half to u16 BEFORE the concat so the lane-relayout copy runs at
+            # 2B/elem, not 4B (VMEM pressure: see _pick_tile)
             c32 = codes_ref[:].astype(jnp.int32)                # (TO, in/2)
-            q16 = jnp.concatenate([c32 & 0xF, c32 >> 4],
-                                  axis=1).astype(jnp.uint16)
+            q16 = jnp.concatenate([(c32 & 0xF).astype(jnp.uint16),
+                                   (c32 >> 4).astype(jnp.uint16)], axis=1)
             v = pltpu.bitcast(q16 | jnp.uint16(0x4300), jnp.bfloat16)
             v = v - jnp.bfloat16(128.0)                          # exact: v = q
             m_sub = m_sub + float(bias) * s_sub                  # fold code bias
@@ -219,6 +231,8 @@ def _quant_matmul_2d(x, codes, d, sc, dmin, mn, *, meta, shapes,
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
 
@@ -260,8 +274,8 @@ def _make_kernel_xsum(meta: tuple, B: int, TO: int, in_features: int):
             m_sub = m_sub + dmin_ref[:]
 
         c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
-        q16 = jnp.concatenate([c32 & 0xF, c32 >> 4],
-                              axis=1).astype(jnp.uint16)
+        q16 = jnp.concatenate([(c32 & 0xF).astype(jnp.uint16),
+                               (c32 >> 4).astype(jnp.uint16)], axis=1)
         v = pltpu.bitcast(q16 | jnp.uint16(0x4300), jnp.bfloat16)
         v = v - jnp.bfloat16(128.0)                        # exact: v = q
         s_full = pltpu.repeat(s_sub.astype(jnp.bfloat16), sub_size, axis=1)
@@ -380,6 +394,8 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, dmin, *, meta, shapes,
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
 
@@ -423,6 +439,8 @@ def _quant_matmul_2d_int8(xq, xs, xsum, codes, d, dmin, *, meta, shapes,
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
 

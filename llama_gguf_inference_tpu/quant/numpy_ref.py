@@ -292,7 +292,10 @@ def _dequant_iq4_xs(blocks: np.ndarray) -> np.ndarray:
 # dispatch
 # ---------------------------------------------------------------------------
 
+from .iq_ref import IQ_DEQUANT, IQ_QUANT  # noqa: E402  (grid-codebook formats)
+
 _DEQUANT = {
+    **IQ_DEQUANT,
     GGMLType.Q4_0: _dequant_q4_0,
     GGMLType.Q4_1: _dequant_q4_1,
     GGMLType.Q5_0: _dequant_q5_0,
@@ -651,6 +654,7 @@ def _quant_iq4_xs(x: np.ndarray) -> np.ndarray:
 
 
 _QUANT = {
+    **IQ_QUANT,
     GGMLType.Q4_0: _quant_q4_0,
     GGMLType.Q4_1: _quant_q4_1,
     GGMLType.Q5_0: _quant_q5_0,

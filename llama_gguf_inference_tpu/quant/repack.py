@@ -318,6 +318,19 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
         codes = KVALUES_IQ4NL[idx].astype(np.int8).reshape(O, I)
         return rw(codes, d, sc=ls, bits=8, sub=32, dsz=256)
 
+    if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+             GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M):
+        # codebook formats decode to signed int8 element values + f32
+        # per-sub-block scale (+ IQ1 delta min term) — the planes ARE the
+        # QuantLinear decode rule, so repack is exact by construction
+        # (quant.iq_ref module docstring).  int8 widening costs HBM bytes
+        # like q5/q6; a native 2-bit+sign kernel layout is a later perf item.
+        from .iq_ref import IQ_PLANES
+        codes, s, m, sub = IQ_PLANES[t](blocks)
+        return rw(codes.reshape(O, I), s.reshape(O, I // sub),
+                  dmin=None if m is None else m.reshape(O, I // sub),
+                  bits=8, sub=sub, dsz=sub)
+
     raise NotImplementedError(f"repack for {t!r}")
 
 

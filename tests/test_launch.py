@@ -89,15 +89,21 @@ def test_mock_stack_boot(tmp_path):
         "BACKEND_KEY_DIR": str(tmp_path),
         "JAX_PLATFORMS": "cpu",
     })
+    log_path = tmp_path / "stack.log"
+    log_f = open(log_path, "wb")
     proc = subprocess.Popen(
         [sys.executable, "-m", "llama_gguf_inference_tpu.launch.start"],
         env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=log_f, stderr=subprocess.STDOUT,
     )
     try:
-        # wait for gateway /ping (generous under parallel test-suite load)
-        deadline = time.monotonic() + 60
+        # wait for gateway /ping (generous: the suite may be paging/compiling
+        # in other processes and interpreter start alone can take seconds)
+        deadline = time.monotonic() + 120
         ok = False
         while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                break   # supervisor died — fail below with its output
             try:
                 if get(f"http://127.0.0.1:{gw_port}/ping") == 200:
                     ok = True
@@ -105,7 +111,12 @@ def test_mock_stack_boot(tmp_path):
             except OSError:
                 pass
             time.sleep(0.3)
-        assert ok, "gateway /ping never came up"
+        if not ok:
+            log_f.flush()
+            tail = log_path.read_bytes()[-4000:].decode("utf-8", "replace")
+            raise AssertionError(
+                f"gateway /ping never came up (supervisor rc={proc.poll()});"
+                f" stack log tail:\n{tail}")
 
         assert get(f"http://127.0.0.1:{gw_port}/v1/models", retry_for=10) == 401
         assert get(f"http://127.0.0.1:{gw_port}/v1/models", api_key,
@@ -130,3 +141,4 @@ def test_mock_stack_boot(tmp_path):
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait(timeout=10)
+        log_f.close()
