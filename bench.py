@@ -1,14 +1,19 @@
-"""Round benchmark: single-chip decode throughput on a 1.1B Q4_K_M model.
+"""Round benchmark: single-chip decode throughput on the 8B Q4_K_M shape.
 
 Prints ONE JSON line:
     {"metric": "decode_tok_s", "value": N, "unit": "tok/s", "vs_baseline": N}
 
-- model: Llama-3.2-1B-shaped llama (dim 2048, 16 layers, GQA 16/8, head_dim
-  128, ffn 8192, vocab 32000) with random weights quantized to Q4_K (+ Q6_K
-  output head) — BASELINE.json configs 1-2 shape; the environment has no real
-  weights, and throughput is weight-shape-bound, not weight-value-bound.
-- measurement: greedy decode steps at batch 1 after prefill, wall-clock over
-  ``N_STEPS`` jitted steps (sampling included), compile excluded.
+- model (BENCH_SHAPE=8b, default): Llama-3-8B-shaped llama (dim 4096,
+  32 layers, GQA 32/8, head_dim 128, ffn 14336, vocab 128256) with random
+  weights quantized to Q4_K (+ Q6_K output head) — BASELINE.json config 2.
+  BENCH_SHAPE=1b selects the round-1 1.1B shape for continuity.  The
+  environment has no real weights; decode throughput is weight-shape-bound,
+  not weight-value-bound.
+- measurement: greedy decode steps at batch 1 after prefill, wall-clock
+  between the first and last streamed token (sampling + detokenize + the
+  engine's pipelined dispatch/fetch all included), compile excluded.
+  TTFT is measured separately on 512-token prompts (p50/p95 across
+  BENCH_TTFT_REQS requests, warm graphs).
 - vs_baseline: ratio to the reference's published pass threshold of 20 tok/s
   (reference docs/LIVE_TESTING_GUIDE.md:279 — its only throughput number).
   Extra context fields: roofline estimate for v5e HBM and % of roofline.
@@ -21,9 +26,14 @@ import os
 import sys
 import time
 
-# Llama-3.2-1B shape: dim 2048, 16 layers, GQA 32/8, head_dim 128 (MXU/lane
-# native), ffn 8192 — the modern small-llama family (BASELINE configs 1-2)
-MODEL = dict(dim=2048, n_layers=16, n_heads=16, n_kv_heads=8, ffn_dim=8192)
+SHAPES = {
+    # Llama-3-8B (BASELINE config 2): the shape the north-star targets
+    "8b": dict(dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+               ffn_dim=14336, vocab=128256, rope_base=500000.0),
+    # Llama-3.2-1B-ish (round-1 shape, kept for A/B continuity)
+    "1b": dict(dim=2048, n_layers=16, n_heads=16, n_kv_heads=8,
+               ffn_dim=8192, vocab=32000, rope_base=10000.0),
+}
 N_STEPS = 96
 V5E_HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
 
@@ -32,41 +42,41 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_model_path() -> str:
+def bench_model_path(shape: str) -> str:
     import numpy as np
 
     from llama_gguf_inference_tpu.gguf.constants import GGMLType, Keys
     from llama_gguf_inference_tpu.gguf.writer import GGUFWriter
     from llama_gguf_inference_tpu.utils.testing import make_tiny_vocab
 
-    path = os.environ.get("BENCH_MODEL", "/tmp/bench_llama32_1b_q4k.gguf")
+    d = SHAPES[shape]
+    path = os.environ.get("BENCH_MODEL",
+                          f"/tmp/bench_llama3_{shape}_q4k.gguf")
     if os.path.exists(path):
         return path
-    log(f"[bench] generating {path} (1.1B Q4_K, one-time)...")
+    log(f"[bench] generating {path} ({shape} Q4_K, one-time)...")
     t0 = time.time()
     rng = np.random.default_rng(0)
-    d = MODEL
     head_dim = d["dim"] // d["n_heads"]
-    vocab = 32000
+    vocab = d["vocab"]
 
     tokens, scores, types = make_tiny_vocab()
-    # pad the synthetic vocab to 32000 with filler pieces
-    for i in range(len(tokens), vocab):
-        tokens.append(f"<extra_{i}>")
-        scores.append(-1e6)
-        types.append(5)  # UNUSED
+    # pad the synthetic vocab with filler pieces
+    tokens += [f"<extra_{i}>" for i in range(len(tokens), vocab)]
+    scores += [-1e6] * (vocab - len(scores))
+    types += [5] * (vocab - len(types))  # UNUSED
 
     w = GGUFWriter(path)
     w.add(Keys.ARCHITECTURE, "llama")
-    w.add(Keys.NAME, "bench-llama3.2-1b-q4km")
-    w.add("llama.context_length", 2048)
+    w.add(Keys.NAME, f"bench-llama3-{shape}-q4km")
+    w.add("llama.context_length", 8192)
     w.add("llama.embedding_length", d["dim"])
     w.add("llama.block_count", d["n_layers"])
     w.add("llama.feed_forward_length", d["ffn_dim"])
     w.add("llama.attention.head_count", d["n_heads"])
     w.add("llama.attention.head_count_kv", d["n_kv_heads"])
     w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add("llama.rope.freq_base", 10000.0)
+    w.add("llama.rope.freq_base", d["rope_base"])
     w.add("llama.rope.dimension_count", head_dim)
     w.add(Keys.TOKENIZER_MODEL, "llama")
     w.add(Keys.TOKENIZER_TOKENS, tokens)
@@ -76,8 +86,8 @@ def bench_model_path() -> str:
     w.add(Keys.TOKENIZER_EOS, 2)
     w.add(Keys.TOKENIZER_UNK, 0)
 
-    def rand(*shape):
-        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+    def rand(*shape_):
+        return (rng.standard_normal(shape_) * 0.02).astype(np.float32)
 
     w.add_tensor("token_embd.weight", rand(vocab, d["dim"]), GGMLType.Q4_K)
     for i in range(d["n_layers"]):
@@ -93,6 +103,9 @@ def bench_model_path() -> str:
         w.add_tensor(p + "ffn_gate.weight", rand(d["ffn_dim"], d["dim"]), GGMLType.Q4_K)
         w.add_tensor(p + "ffn_up.weight", rand(d["ffn_dim"], d["dim"]), GGMLType.Q4_K)
         w.add_tensor(p + "ffn_down.weight", rand(d["dim"], d["ffn_dim"]), GGMLType.Q4_K)
+        if i % 8 == 0:
+            log(f"[bench] ... layer {i}/{d['n_layers']} "
+                f"({time.time() - t0:.0f}s)")
     w.add_tensor("output_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
     w.add_tensor("output.weight", rand(vocab, d["dim"]), GGMLType.Q6_K)
     w.write()
@@ -102,7 +115,8 @@ def bench_model_path() -> str:
 
 
 def main() -> None:
-    path = bench_model_path()
+    shape = os.environ.get("BENCH_SHAPE", "8b")
+    path = bench_model_path(shape)
 
     import jax
 
@@ -123,8 +137,8 @@ def main() -> None:
 
     t0 = time.time()
     eng = InferenceEngine(path, EngineConfig(
-        max_slots=n_slots, ctx=512, prefill_buckets=(128,), mode="quant",
-        multi_step=int(os.environ.get("BENCH_MULTI_STEP", 16))))
+        max_slots=n_slots, ctx=1024, prefill_buckets=(128, 512), mode="quant",
+        multi_step=int(os.environ.get("BENCH_MULTI_STEP", 32))))
     eng.start()
     load_s = time.time() - t0
     log(f"[bench] load+repack: {load_s:.1f}s")
@@ -138,9 +152,25 @@ def main() -> None:
 
     # warmup: compiles prefill + multi-step decode graphs
     t0 = time.time()
-    for _ in eng.generate(prompt, SamplingParams(temperature=0.0, max_tokens=18)):
+    for _ in eng.generate(prompt, SamplingParams(temperature=0.0, max_tokens=34)):
         pass
     log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
+
+    # TTFT: 512-token prompts, submit -> first streamed event (warm graphs)
+    long_prompt = list(range(3, 3 + 500))
+    ttfts = []
+    for _ in range(int(os.environ.get("BENCH_TTFT_REQS", 3))):
+        t0 = time.time()
+        gen = eng.generate(long_prompt, SamplingParams(temperature=0.0,
+                                                       max_tokens=2))
+        next(gen)
+        ttfts.append((time.time() - t0) * 1000)
+        for _ in gen:
+            pass
+    ttfts.sort()
+    ttft_p50 = ttfts[len(ttfts) // 2]
+    log(f"[bench] TTFT(512) p50: {ttft_p50:.0f} ms  (all: "
+        f"{[round(t) for t in ttfts]})")
 
     # timed run: decode throughput from first to last streamed token
     eng._last_decode_s = 0.0   # reset EWMA (warmup seeded it with compile time)
@@ -183,10 +213,11 @@ def main() -> None:
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 20.0, 3),
-        "model": "llama32-1b-q4km-shape",
+        "model": f"llama3-{shape}-q4km-shape",
         "batch": n_slots,
         "device": str(dev),
         "decode_step_ms": round(step_ms, 2),
+        "ttft512_p50_ms": round(ttft_p50, 1),
         "weight_gb": round(weight_bytes / 1e9, 3),
         "load_s": round(load_s, 1),
     }

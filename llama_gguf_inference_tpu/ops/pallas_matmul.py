@@ -42,33 +42,44 @@ def _variant() -> str:
     xsum  — min/bias term moved OFF the hot loop: y = x@(v*s).T - xsum@m'.T
             where xsum[b,σ] = Σ_{k∈σ} x[b,k] rides the MXU as a tiny second
             dot; saves the (TO, in)-wide min expansion + subtract on the VPU
+    split — like xsum but dequantizes the low/high nibble planes separately
+            into TWO half-width MXU dots (no lane-relayout concat); wins on
+            small out_features, loses slightly on large (kernel_bench r2)
     int8  — Q8_1-style per-32-block int8 activation quantization + integer
             MXU dot per sub-block (codes never expand past int8 width), then
             per-sub-block rescale on the small (nd, B, TO) partials
+
+    Default is xsum: 465 vs base's 353 GB/s on the 8B shapes (marginal-
+    timed kernel_bench, v5e, r2).
     """
-    return os.environ.get("LGT_MM_VARIANT", "base")
+    return os.environ.get("LGT_MM_VARIANT", "xsum")
 
 
 def _pick_tile(out_features: int, in_features: int, code_bytes_per_row: int) -> int:
-    """Largest out-tile that divides out_features and fits VMEM (~16MB/core).
+    """Largest out-tile that divides out_features and fits a VMEM budget.
 
-    The budget must count the UNPACK INTERMEDIATES, not just the resident
-    tiles: the 4-bit path materializes ~(i32 masked halves + u16 concat +
-    bf16 v/s_full/w) ≈ 10 bytes per logical element while double-buffering
-    the packed codes.  Round 1 budgeted only codes+w and picked TO=512 at
-    in=4096 — Mosaic spilled to HBM and streamed at 51 of 819 GB/s on the
-    8B shapes (kernel_bench, r2).  Override with LGT_MM_TO for A/B sweeps.
+    The budget counts the UNPACK INTERMEDIATES (~10 B per logical element
+    for the 4-bit path: i32 masked halves + u16 concat + bf16 v/s_full/w)
+    plus double-buffered packed codes.  Empirically (kernel_bench, marginal
+    timing) tile size barely moves throughput on v5e between 128 and 512 —
+    its VMEM comfortably fits these — so the default budget just keeps
+    worst-case shapes sane.  Override with LGT_MM_TO for A/B sweeps.
+
+    The out-tile must be >= 128 (or the whole out dim): Pallas requires the
+    output block's last dimension be a multiple of 128 or the full axis.
     """
     forced = int(os.environ.get("LGT_MM_TO", 0))
     if forced and out_features % forced == 0:
         return forced
-    budget = int(os.environ.get("LGT_MM_VMEM_BUDGET", 10 * 1024 * 1024))
-    for to in (512, 256, 128, 64, 32, 16, 8):
+    budget = int(os.environ.get("LGT_MM_VMEM_BUDGET", 48 * 1024 * 1024))
+    for to in (512, 256, 128):
         if out_features % to:
             continue
         vmem = to * in_features * 10 + to * code_bytes_per_row * 2
         if vmem <= budget:
             return to
+    if out_features < 128 or out_features % 128 == 0:
+        return out_features if out_features <= 512 else 0
     return 0
 
 
@@ -296,6 +307,64 @@ def _make_kernel_xsum(meta: tuple, B: int, TO: int, in_features: int):
     return kernel
 
 
+def _make_kernel_split(meta: tuple, B: int, TO: int, in_features: int):
+    """bits==4 kernel with NO unpack concat: two half-width MXU dots.
+
+    The planar pack stores elements [0, in/2) in low nibbles and
+    [in/2, in) in high nibbles, and block-minor order puts the first half
+    of every sub-block in the low plane — so each plane's scale expansion
+    is still a clean ``pltpu.repeat(s, sub/2)`` tile.  Dequantizing each
+    plane separately removes the lane-relayout copy the concat cost
+    (kernel_bench r2: xsum 465 GB/s vs q6_k's concat-free 760 GB/s — the
+    relayout was the remaining 4-bit gap).  Min/bias handled like xsum.
+    """
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    h = in_features // 2
+
+    def kernel(*refs):
+        idx = 0
+        x_ref = refs[idx]; idx += 1
+        xsum_ref = refs[idx]; idx += 1
+        codes_ref = refs[idx]; idx += 1
+        d_ref = refs[idx]; idx += 1
+        dmin_ref = None
+        if has_dmin:
+            dmin_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]
+
+        s_sub = d_ref[:]                                   # (TO, nsub) f32
+        m_sub = float(bias) * s_sub
+        if has_dmin:
+            m_sub = m_sub + dmin_ref[:]
+
+        c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
+        vlo = pltpu.bitcast((c32 & 0xF).astype(jnp.uint16)
+                            | jnp.uint16(0x4300), jnp.bfloat16)
+        vhi = pltpu.bitcast((c32 >> 4).astype(jnp.uint16)
+                            | jnp.uint16(0x4300), jnp.bfloat16)
+        off = jnp.bfloat16(128.0)
+        sh = pltpu.repeat(s_sub.astype(jnp.bfloat16), sub_size // 2, axis=1)
+        y = jax.lax.dot_general(
+            x_ref[:, :h], (vlo - off) * sh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jax.lax.dot_general(
+            x_ref[:, h:], (vhi - off) * sh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_min = jax.lax.dot_general(
+            xsum_ref[:], m_sub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = y - y_min
+
+    return kernel
+
+
 def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
     """bits==4 kernel with per-sub-block integer MXU dots.
 
@@ -356,9 +425,10 @@ def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "shapes", "interpret"))
+@functools.partial(jax.jit, static_argnames=("meta", "shapes", "interpret",
+                                             "kern"))
 def _quant_matmul_2d_xsum(x, xsum, codes, d, dmin, *, meta, shapes,
-                          interpret=False):
+                          interpret=False, kern="xsum"):
     (B, in_features, out_features, TO) = shapes
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
      sc_signed) = meta
@@ -379,7 +449,8 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, dmin, *, meta, shapes,
                                      memory_space=pltpu.VMEM))
         args.append(dmin)
 
-    kernel = _make_kernel_xsum(meta, B, TO, in_features)
+    maker = _make_kernel_split if kern == "split" else _make_kernel_xsum
+    kernel = maker(meta, B, TO, in_features)
     flops = 2 * B * in_features * out_features
     bytes_accessed = (codes.size + d.size * 4
                       + (dmin.size * 4 if has_dmin else 0)
@@ -501,12 +572,13 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
     var = _variant()
     if (w.bits == 4 and w.sub_size == w.d_size and w.sc is None
             and w.mn is None and in_f % w.sub_size == 0
-            and (in_f // w.sub_size) % 8 == 0 and var in ("xsum", "int8")):
-        if var == "xsum":
+            and (in_f // w.sub_size) % 8 == 0
+            and var in ("xsum", "split", "int8")):
+        if var in ("xsum", "split"):
             xsum = _block_sums(x2, w.sub_size)
             out = _quant_matmul_2d_xsum(
                 x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.dmin,
-                meta=meta, shapes=shapes, interpret=interpret)
+                meta=meta, shapes=shapes, interpret=interpret, kern=var)
         else:
             xq, xs = _quantize_acts(x2, w.sub_size)
             xsum = _block_sums(x2, w.sub_size)

@@ -51,8 +51,16 @@ def packed_bytes(ql) -> int:
     return total
 
 
-def bench_one(ql, batch: int, steps: int, reps: int = 3) -> float:
-    """Seconds per matmul call (median of reps scan chains)."""
+def bench_one(ql, batch: int, steps: int, reps: int = 5) -> float:
+    """Seconds per matmul call — MARGINAL cost from two chain lengths.
+
+    The remote (axon) TPU runtime costs ~30 ms per dispatch+result-fetch,
+    and ``block_until_ready`` can return before execution completes, so a
+    single chain's wall clock measures the relay, not the kernel (this
+    artifact produced the bogus round-2 "51 GB/s" readings).  Instead: time
+    chains of ``steps`` and ``5*steps`` matmuls with a forced host fetch of
+    the scalar result, and report the slope — fixed overhead cancels.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -62,24 +70,37 @@ def bench_one(ql, batch: int, steps: int, reps: int = 3) -> float:
     x = jnp.asarray(np.random.default_rng(1).standard_normal(
         (batch, in_f)).astype(np.float32), jnp.bfloat16)
 
-    @jax.jit
-    def chain(x0):
-        def body(c, _):
-            # serial dependency: each step's input depends on the previous
-            # step's output so XLA cannot hoist or parallelize the matmuls
-            y = pallas_quant_matmul(ql, x0 * (1.0 + c * 1e-30))
-            return y.astype(jnp.float32).ravel()[0] * 1e-30, None
+    def make_chain(n):
+        # the weight rides as a jit ARG, not a closure constant: closed-over
+        # arrays embed into the HLO, which the remote-compile relay rejects
+        # for GB-scale weights (HTTP 413) and which skews compile time
+        @jax.jit
+        def chain(w, x0):
+            def body(c, _):
+                # serial dependency: each step's input depends on the
+                # previous step's output so XLA cannot hoist or parallelize
+                y = pallas_quant_matmul(w, x0 * (1.0 + c * 1e-30))
+                return y.astype(jnp.float32).ravel()[0] * 1e-30, None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
-        return c
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
+        return chain
 
-    chain(x).block_until_ready()          # compile + warm
-    times = []
-    for _ in range(reps):
+    short, long_ = steps, 5 * steps
+    chains = {n: make_chain(n) for n in (short, long_)}
+    for n, fn in chains.items():
+        float(np.asarray(fn(ql, x)))      # compile + warm (forced fetch)
+
+    def timed(n):
         t0 = time.perf_counter()
-        chain(x).block_until_ready()
-        times.append((time.perf_counter() - t0) / steps)
-    return float(np.median(times))
+        float(np.asarray(chains[n](ql, x)))   # host fetch == real completion
+        return time.perf_counter() - t0
+
+    # alternate short/long to decorrelate drift; median of per-pair slopes
+    slopes = []
+    for _ in range(reps):
+        slopes.append((timed(long_) - timed(short)) / (long_ - short))
+    return float(np.median(slopes))
 
 
 def main(argv=None) -> int:
@@ -88,7 +109,7 @@ def main(argv=None) -> int:
     ap.add_argument("--variants", default="base,xsum,int8")
     ap.add_argument("--shapes", default="4096x4096,14336x4096,4096x14336")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
