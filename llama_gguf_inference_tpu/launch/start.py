@@ -115,6 +115,48 @@ def wait_backend_ready(port: int, key: str, tries: int = 30) -> bool:
     return False
 
 
+_LOOPBACK4 = "0100007F"                     # 127.0.0.1, /proc/net hex
+
+
+def verify_localhost_bind(port: int) -> bool | None:
+    """True if every LISTEN socket on ``port`` is loopback-bound, False if
+    any is not, None if undeterminable (no /proc — non-Linux).
+
+    The reference verifies via netstat/ss that llama-server never exposes
+    itself off-host (start.sh:562-590); we parse /proc/net/tcp{,6} directly
+    (state 0A = LISTEN; address field is little-endian hex).
+    """
+    found = None
+    for path in ("/proc/net/tcp", "/proc/net/tcp6"):
+        try:
+            with open(path) as f:
+                lines = f.readlines()[1:]
+        except OSError:
+            continue
+        for line in lines:
+            parts = line.split()
+            if len(parts) < 4 or parts[3] != "0A":
+                continue
+            addr, _, phex = parts[1].partition(":")
+            if int(phex, 16) != port:
+                continue
+            found = True if found is None else found
+            loop = (addr == _LOOPBACK4 if len(addr) == 8
+                    else addr == "00000000000000000000000001000000")
+            if not loop:
+                return False
+    return found
+
+
+_AUTH_FAIL_RE = re.compile(r"\b401\b|unauthorized", re.IGNORECASE)
+
+
+def scan_auth_failure(line: str) -> bool:
+    """True if a backend log line indicates an auth failure — the tailer
+    surfaces these as audit events (reference start.sh:656-667)."""
+    return bool(_AUTH_FAIL_RE.search(line))
+
+
 def verify_backend_auth(port: int) -> bool:
     """Security gate: unauthenticated /v1 requests must FAIL
     (reference start.sh:562-647)."""
@@ -133,7 +175,8 @@ class Supervisor:
         self.key_file: str | None = None
         self._shutting_down = False
 
-    def spawn(self, name: str, module: str, env: dict[str, str]) -> subprocess.Popen:
+    def spawn(self, name: str, module: str, env: dict[str, str],
+              tail_auth: bool = False) -> subprocess.Popen:
         def _die_with_parent():
             # children must never outlive the supervisor, even if it is
             # SIGKILLed (crash-fast invariant; plain SIGTERM handling can't
@@ -147,9 +190,29 @@ class Supervisor:
 
         proc = subprocess.Popen(
             [sys.executable, "-m", module],
-            env=env, stdout=None, stderr=None,
+            env=env,
+            stdout=subprocess.PIPE if tail_auth else None,
+            stderr=subprocess.STDOUT if tail_auth else None,
             preexec_fn=_die_with_parent,
         )
+        if tail_auth:
+            # pass the child's output through while flagging auth failures
+            # as audit events (reference start.sh:656-667 tails the backend
+            # log for 401|unauthorized)
+            import threading
+
+            def _tail():
+                assert proc.stdout is not None
+                for raw in proc.stdout:
+                    line = raw.decode("utf-8", "replace")
+                    sys.stdout.write(line)
+                    sys.stdout.flush()
+                    if scan_auth_failure(line):
+                        print(f"[start] BACKEND AUTH FAILURE detected in "
+                              f"{name} log", flush=True)
+
+            threading.Thread(target=_tail, daemon=True,
+                             name=f"tail-{name}").start()
         self.children[name] = proc
         print(f"[start] spawned {name} (pid {proc.pid})", flush=True)
         return proc
@@ -252,7 +315,8 @@ def main() -> None:
         child_env["MOCK_BACKEND"] = "true"
         child_env.pop("MODEL_PATH", None)
 
-    sup.spawn("backend", "llama_gguf_inference_tpu.serving.openai_server", child_env)
+    sup.spawn("backend", "llama_gguf_inference_tpu.serving.openai_server",
+              child_env, tail_auth=True)
 
     if not wait_backend_ready(backend_port, key):
         print("[start] FATAL: backend did not become ready", flush=True)
@@ -261,7 +325,14 @@ def main() -> None:
         print("[start] FATAL: backend accepts unauthenticated requests — "
               "refusing to start", flush=True)
         sup.shutdown(1)
-    print("[start] backend ready, auth verified", flush=True)
+    bind_ok = verify_localhost_bind(backend_port)
+    if bind_ok is False:
+        print("[start] FATAL: backend is listening on a non-loopback "
+              "address — refusing to start", flush=True)
+        sup.shutdown(1)
+    print(f"[start] backend ready, auth verified, localhost bind "
+          f"{'verified' if bind_ok else 'unverifiable (no /proc)'}",
+          flush=True)
 
     sup.spawn("health", "llama_gguf_inference_tpu.serving.health_server", child_env)
 

@@ -73,6 +73,40 @@ def _device_put_tree(tree, sharding: NamedSharding):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def stack_experts(experts: list[dict[str, Any]], role: str):
+    """Stack one expert role (gate/up/down) across all experts: each array
+    field gains a leading (E,) axis.  Static geometry must match across
+    experts (same GGUF quant type per role — guaranteed by the converter)."""
+    import jax.numpy as jnp
+    ws = [ex[role] for ex in experts]
+    w0 = ws[0]
+    if isinstance(w0, DenseLinear):
+        return DenseLinear(w=jnp.stack([w.w for w in ws]),
+                           out_features=w0.out_features,
+                           in_features=w0.in_features)
+
+    def cat(field):
+        vals = [getattr(w, field) for w in ws]
+        if vals[0] is None:
+            return None
+        return jnp.stack(vals)
+
+    import dataclasses as _dc
+    return _dc.replace(w0, codes=cat("codes"), d=cat("d"), sc=cat("sc"),
+                       dmin=cat("dmin"), mn=cat("mn"))
+
+
+def _shard_experts_ep(experts: list[dict[str, Any]], mesh: Mesh):
+    """Stacked expert weights, expert axis sharded over tp (parallel.ep)."""
+    out = {}
+    for role in ("ffn_gate", "ffn_up", "ffn_down"):
+        st = stack_experts(experts, role)
+        spec = NamedSharding(mesh, P(AXIS_TP))
+        out[role] = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, spec), st)
+    return out
+
+
 def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[str, Any]:
     """Place a loaded params pytree onto the mesh with TP rules."""
     rep = NamedSharding(mesh, P())
@@ -94,17 +128,27 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
             "attn_output": _shard_linear(layer["attn_output"], mesh, AXIS_TP, 1),
         }
         if "experts" in layer:
-            # EP-lite this round: router replicated, experts TP-sharded like
-            # dense FFN (true expert-parallel all-to-all is the next step)
             new["ffn_gate_inp"] = _device_put_tree(layer["ffn_gate_inp"], rep)
-            new["experts"] = [
-                {
-                    "ffn_gate": _shard_linear(ex["ffn_gate"], mesh, AXIS_TP, 0),
-                    "ffn_up": _shard_linear(ex["ffn_up"], mesh, AXIS_TP, 0),
-                    "ffn_down": _shard_linear(ex["ffn_down"], mesh, AXIS_TP, 1),
-                }
-                for ex in layer["experts"]
-            ]
+            tp = mesh.shape[AXIS_TP]
+            import os
+            if (tp > 1 and cfg.n_experts % tp == 0
+                    and not os.environ.get("LGT_NO_EP")):
+                # expert parallelism: whole experts sharded over tp, tokens
+                # replicated, psum combine (parallel.ep)
+                from .ep import set_ep_mesh
+                set_ep_mesh(mesh)
+                new["experts_ep"] = _shard_experts_ep(layer["experts"], mesh)
+            else:
+                # EP-lite fallback (tp doesn't divide E): router replicated,
+                # experts TP-sharded like dense FFN
+                new["experts"] = [
+                    {
+                        "ffn_gate": _shard_linear(ex["ffn_gate"], mesh, AXIS_TP, 0),
+                        "ffn_up": _shard_linear(ex["ffn_up"], mesh, AXIS_TP, 0),
+                        "ffn_down": _shard_linear(ex["ffn_down"], mesh, AXIS_TP, 1),
+                    }
+                    for ex in layer["experts"]
+                ]
         else:
             new["ffn_gate"] = _shard_linear(layer["ffn_gate"], mesh, AXIS_TP, 0)
             new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)

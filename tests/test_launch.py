@@ -142,3 +142,41 @@ def test_mock_stack_boot(tmp_path):
                 proc.kill()
                 proc.wait(timeout=10)
         log_f.close()
+
+
+def test_verify_localhost_bind_loopback():
+    from llama_gguf_inference_tpu.launch.start import verify_localhost_bind
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    s.listen(1)
+    port = s.getsockname()[1]
+    try:
+        assert verify_localhost_bind(port) is True
+    finally:
+        s.close()
+
+
+def test_verify_localhost_bind_wildcard():
+    from llama_gguf_inference_tpu.launch.start import verify_localhost_bind
+    s = socket.socket()
+    s.bind(("0.0.0.0", 0))
+    s.listen(1)
+    port = s.getsockname()[1]
+    try:
+        assert verify_localhost_bind(port) is False
+    finally:
+        s.close()
+
+
+def test_verify_localhost_bind_absent_port():
+    from llama_gguf_inference_tpu.launch.start import verify_localhost_bind
+    # a port with no listener: nothing found -> None (unverifiable)
+    assert verify_localhost_bind(free_port()) is None
+
+
+def test_scan_auth_failure():
+    from llama_gguf_inference_tpu.launch.start import scan_auth_failure
+    assert scan_auth_failure('GET /v1/models -> 401')
+    assert scan_auth_failure('Unauthorized request from 10.0.0.9')
+    assert not scan_auth_failure('status=200 path=/v1/models')
+    assert not scan_auth_failure('committed 4012 bytes')  # word boundary
