@@ -11,6 +11,8 @@ Commands map to the tool/server modules (each also runnable directly):
     quantize     requantize a GGUF file
     convert-hf   convert a Hugging Face Llama checkpoint to GGUF
     perplexity   perplexity / delta-ppl harness
+    profile      jax.profiler trace capture around decode steps
+    kernel-bench dequant-matmul kernel bandwidth microbenchmark
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ _COMMANDS = {
     "quantize": ("llama_gguf_inference_tpu.tools.quantize", "main"),
     "convert-hf": ("llama_gguf_inference_tpu.tools.convert_hf", "main"),
     "perplexity": ("llama_gguf_inference_tpu.tools.perplexity", "main"),
+    "profile": ("llama_gguf_inference_tpu.tools.profile", "main"),
+    "kernel-bench": ("llama_gguf_inference_tpu.tools.kernel_bench", "main"),
 }
 
 
@@ -44,8 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     import importlib
 
     fn = getattr(importlib.import_module(module), fn_name)
-    rc = fn(argv[1:]) if cmd in ("keys", "benchmark", "quantize",
-                                 "convert-hf", "perplexity") else fn()
+    rc = fn(argv[1:]) if cmd in ("keys", "benchmark", "quantize", "convert-hf",
+                                 "perplexity", "profile", "kernel-bench") \
+        else fn()
     return int(rc or 0)
 
 
