@@ -86,8 +86,15 @@ def bench_model_path(shape: str) -> str:
     w.add(Keys.TOKENIZER_EOS, 2)
     w.add(Keys.TOKENIZER_UNK, 0)
 
+    # throughput is weight-SHAPE-bound, not value-bound: tile a small random
+    # pool instead of drawing 8B gaussians (standard_normal runs ~1.6M/s on
+    # this host — it alone took >45 min for the 8B model)
+    pool = (rng.standard_normal(1 << 20) * 0.02).astype(np.float32)
+
     def rand(*shape_):
-        return (rng.standard_normal(shape_) * 0.02).astype(np.float32)
+        n = int(np.prod(shape_))
+        reps = -(-n // pool.size)
+        return np.tile(pool, reps)[:n].reshape(shape_)
 
     w.add_tensor("token_embd.weight", rand(vocab, d["dim"]), GGMLType.Q4_K)
     for i in range(d["n_layers"]):
