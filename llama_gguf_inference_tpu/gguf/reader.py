@@ -84,6 +84,9 @@ class GGUFReader:
 
     def _string(self) -> str:
         n = self._scalar("<Q")
+        if n > len(self._buf) - self._pos:
+            raise ValueError(
+                f"GGUF string length {n} at offset {self._pos} exceeds file size")
         return self._read(n).decode("utf-8", errors="replace")
 
     def _value(self, vtype: GGUFValueType):
@@ -96,6 +99,9 @@ class GGUFReader:
             if item_type in _SCALAR_FMT and item_type != GGUFValueType.BOOL:
                 fmt = _SCALAR_FMT[item_type]
                 itemsize = struct.calcsize(fmt)
+                if count * itemsize > len(self._buf) - self._pos:
+                    raise ValueError(
+                        f"GGUF array of {count} items exceeds file size")
                 raw = self._read(count * itemsize)
                 return np.frombuffer(raw, dtype=np.dtype(fmt)).copy()
             return [self._value(item_type) for _ in range(count)]
@@ -117,12 +123,19 @@ class GGUFReader:
             self.metadata[key] = self._value(vtype)
 
         self.alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+        if self.alignment <= 0 or self.alignment & (self.alignment - 1):
+            raise ValueError(f"invalid general.alignment {self.alignment} "
+                             "(must be a positive power of two)")
 
         pending: list[tuple[str, tuple[int, ...], GGMLType, int]] = []
         for _ in range(n_tensors):
             name = self._string()
             n_dims = self._scalar("<I")
+            if n_dims > 8:  # GGML_MAX_DIMS is 4; anything larger is garbage
+                raise ValueError(f"tensor {name!r}: implausible n_dims {n_dims}")
             ggml_shape = tuple(self._scalar("<Q") for _ in range(n_dims))
+            if any(d <= 0 for d in ggml_shape):
+                raise ValueError(f"tensor {name!r}: non-positive dim in {ggml_shape}")
             ggml_type = GGMLType(self._scalar("<I"))
             rel_offset = self._scalar("<Q")
             pending.append((name, ggml_shape, ggml_type, rel_offset))
@@ -135,6 +148,11 @@ class GGUFReader:
             for d in ggml_shape:
                 n_el *= d
             nbytes = tensor_nbytes(n_el, ggml_type)
+            if data_start + rel + nbytes > len(self._buf):
+                raise ValueError(
+                    f"tensor {name!r}: data [{data_start + rel}, "
+                    f"{data_start + rel + nbytes}) extends past end of file "
+                    f"({len(self._buf)} bytes)")
             self.tensors[name] = TensorInfo(
                 name=name, shape=shape, ggml_shape=ggml_shape,
                 ggml_type=ggml_type, offset=data_start + rel, nbytes=nbytes,

@@ -85,3 +85,77 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOTGGUF!" * 4)
     with pytest.raises(ValueError, match="magic"):
         GGUFReader(p)
+
+
+# ---- hostile-input robustness (SECURITY_AUDIT.md N-02): malformed files
+# must fail with a typed error, never read out of bounds or hang ----------
+
+def _valid_file(path):
+    w = GGUFWriter(path)
+    w.add("general.name", "victim")
+    w.add_tensor("t", np.ones((2, 32), np.float32), GGMLType.F32)
+    w.write()
+    return path.read_bytes()
+
+
+def test_truncated_file(tmp_path):
+    raw = _valid_file(tmp_path / "ok.gguf")
+    for cut in (6, 20, len(raw) // 2):
+        p = tmp_path / f"cut{cut}.gguf"
+        p.write_bytes(raw[:cut])
+        with pytest.raises((EOFError, ValueError)):
+            r = GGUFReader(p)
+            r.tensor_bytes("t")
+
+
+def test_oversized_string_length(tmp_path):
+    raw = bytearray(_valid_file(tmp_path / "ok.gguf"))
+    # first metadata key starts right after magic/version/counts (4+4+8+8);
+    # its u64 length field is attacker-controlled — claim 2**60 bytes
+    raw[24:32] = (1 << 60).to_bytes(8, "little")
+    p = tmp_path / "bigstr.gguf"
+    p.write_bytes(raw)
+    with pytest.raises(ValueError, match="exceeds file size"):
+        GGUFReader(p)
+
+
+def test_tensor_extent_past_eof(tmp_path):
+    p = tmp_path / "ext.gguf"
+    w = GGUFWriter(p)
+    w.add_tensor("t", np.ones((2, 32), np.float32), GGMLType.F32)
+    w.write()
+    # chop tensor data so the declared extent overruns the mmap
+    raw = p.read_bytes()
+    p.write_bytes(raw[:-64])
+    with pytest.raises(ValueError, match="past end of file"):
+        GGUFReader(p)
+
+
+def test_bad_version(tmp_path):
+    import struct as _s
+    p = tmp_path / "v9.gguf"
+    p.write_bytes(_s.pack("<IIQQ", 0x46554747, 9, 0, 0))
+    with pytest.raises(ValueError, match="version"):
+        GGUFReader(p)
+
+
+def test_bad_alignment(tmp_gguf):
+    w = GGUFWriter(tmp_gguf)
+    w.add("general.alignment", 0)
+    w.write()
+    with pytest.raises(ValueError, match="alignment"):
+        GGUFReader(tmp_gguf)
+
+
+def test_huge_metadata_array_count(tmp_path):
+    raw = bytearray(_valid_file(tmp_path / "ok.gguf"))
+    # rewrite first KV into an ARRAY claiming 2**59 f32 items:
+    # key len(12)+"general.name", vtype -> ARRAY(9), item_type F32(6), count
+    off = 24 + 8 + 12          # past key string
+    raw[off:off + 4] = (9).to_bytes(4, "little")
+    payload = (6).to_bytes(4, "little") + (1 << 59).to_bytes(8, "little")
+    raw[off + 4:off + 4 + len(payload)] = payload
+    p = tmp_path / "bigarr.gguf"
+    p.write_bytes(raw)
+    with pytest.raises((ValueError, EOFError)):
+        GGUFReader(p)
