@@ -105,8 +105,13 @@ class APIKeyValidator:
             if rate_limit <= 0:
                 return None
         if len(parts) >= 4 and parts[3].strip():
-            # expiration may itself contain ':' (ISO datetime) — join the tail
+            # expiration may itself contain ':' (ISO datetime) — join the tail.
+            # Fail-closed on unparseable expirations (reference auth.py:176-185
+            # skips the line): loading the key WITHOUT its intended expiry
+            # would silently grant a permanent credential.
             expiration = parse_expiration_ts(":".join(parts[3:]).strip())
+            if expiration is None:
+                return None
         return key_id, api_key, rate_limit, expiration
 
     def _load_keys(self, path: str) -> int:
@@ -120,6 +125,10 @@ class APIKeyValidator:
                     if parsed is None:
                         continue
                     key_id, api_key, rl, exp = parsed
+                    if api_key in keys:
+                        # duplicate api_key: first line wins (reference
+                        # auth.py:188-193 skips later duplicates)
+                        continue
                     keys[api_key] = key_id
                     if rl is not None:
                         limits[key_id] = rl
