@@ -119,9 +119,15 @@ void repack_q8_0(const uint8_t* raw, int64_t O, int64_t I,
 }
 
 // ---- Q4_K: 144-byte super-blocks of 256 ------------------------------------
+//
+// compact == 0 (flat layout): sub-block index is the NATURAL order sb*8 + s
+// (matches numpy rw's flattened layout where dsz == sub).
+// compact == 1 (hierarchical): sub-block index is the TRANSPOSED order
+// s*nd + sb (quant.repack.block_minor_perm with dsz=256), so the kernel's
+// pltpu.repeat tile expansion d[k mod nd] indexes the right super-block.
 void repack_q4_k(const uint8_t* raw, int64_t O, int64_t I,
                  uint8_t* codes, float* d, uint8_t* sc,
-                 float* dmin, uint8_t* mn, int n_threads) {
+                 float* dmin, uint8_t* mn, int n_threads, int compact) {
     const int64_t nd = I / 256;
     parallel_rows(O, n_threads, [&](int64_t lo, int64_t hi) {
         std::vector<uint8_t> qbm(I);      // block-minor codes before packing
@@ -140,10 +146,10 @@ void repack_q4_k(const uint8_t* raw, int64_t O, int64_t I,
                 mrow[sb] = f16_to_f32(h);
                 uint8_t s8[8], m8[8];
                 k4_scale_min(blk + 4, s8, m8);
-                // natural global sub-block order: index sb*8 + s
                 for (int s = 0; s < 8; ++s) {
-                    scrow[sb * 8 + s] = s8[s];
-                    mnrow[sb * 8 + s] = m8[s];
+                    int64_t k = compact ? (int64_t)s * nd + sb : sb * 8 + s;
+                    scrow[k] = s8[s];
+                    mnrow[k] = m8[s];
                 }
                 const uint8_t* qs = blk + 16;
                 // wire: chunk c of 32 bytes -> elems 64c..64c+31 lo, +32..63 hi
@@ -156,9 +162,11 @@ void repack_q4_k(const uint8_t* raw, int64_t O, int64_t I,
                         // block-minor: i = sb*256 + s*32 + t
                         int64_t s1 = i1 / 32, t1 = i1 % 32;
                         int64_t s2 = i2 / 32, t2 = i2 % 32;
-                        // flattened block-minor: j = t*nsub + (sb*8 + s)
-                        qbm[t1 * (8 * nd) + sb * 8 + s1] = src[l] & 0x0F;
-                        qbm[t2 * (8 * nd) + sb * 8 + s2] = src[l] >> 4;
+                        // block-minor: j = t*nsub + sub_index
+                        int64_t k1 = compact ? s1 * nd + sb : sb * 8 + s1;
+                        int64_t k2 = compact ? s2 * nd + sb : sb * 8 + s2;
+                        qbm[t1 * (8 * nd) + k1] = src[l] & 0x0F;
+                        qbm[t2 * (8 * nd) + k2] = src[l] >> 4;
                     }
                 }
             }
@@ -169,9 +177,10 @@ void repack_q4_k(const uint8_t* raw, int64_t O, int64_t I,
 
 // ---- Q6_K: 210-byte super-blocks of 256 -> int8 codes ----------------------
 void repack_q6_k(const uint8_t* raw, int64_t O, int64_t I,
-                 int8_t* codes, float* d, int8_t* sc, int n_threads) {
+                 int8_t* codes, float* d, int8_t* sc, int n_threads,
+                 int compact) {
     const int64_t nd = I / 256;
-    // sub = 16, g = 16
+    // sub = 16, g = 16; compact flag: see repack_q4_k
     parallel_rows(O, n_threads, [&](int64_t lo, int64_t hi) {
         for (int64_t o = lo; o < hi; ++o) {
             const uint8_t* row = raw + o * nd * 210;
@@ -187,7 +196,7 @@ void repack_q6_k(const uint8_t* raw, int64_t O, int64_t I,
                 std::memcpy(&h, blk + 208, 2);
                 drow[sb] = f16_to_f32(h);
                 for (int s = 0; s < 16; ++s)
-                    scrow[sb * 16 + s] = scales[s];
+                    scrow[compact ? (int64_t)s * nd + sb : sb * 16 + s] = scales[s];
                 for (int half = 0; half < 2; ++half) {
                     const uint8_t* l_ = ql + 64 * half;
                     const uint8_t* l32 = ql + 64 * half + 32;
@@ -204,7 +213,8 @@ void repack_q6_k(const uint8_t* raw, int64_t O, int64_t I,
                         for (int k = 0; k < 4; ++k) {
                             int64_t i = li[k];                // logical in super
                             int64_t s = i / 16, t = i % 16;   // sub=16
-                            crow[t * (16 * nd) + sb * 16 + s] = (int8_t)vals[k];
+                            int64_t sk = compact ? s * nd + sb : sb * 16 + s;
+                            crow[t * (16 * nd) + sk] = (int8_t)vals[k];
                         }
                     }
                 }

@@ -255,6 +255,34 @@ def _quant_matmul_2d(x, codes, d, sc, dmin, mn, *, meta, shapes,
 # g == 1, and sc/mn are None.  The variants below rely on that.
 
 
+def _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref):
+    """Per-SUB-block effective scale + min term, (TO, nsub) f32, in VMEM.
+
+    Flat layout (d_size == sub_size, sc/mn None): s_sub = d, m = dmin.
+    Compact layout: s_sub = repeat(d, g) * sc and m = repeat(dmin, g) * mn —
+    tile expansion over the tiny (TO, nd) arrays (pltpu.repeat matches the
+    (s, σ) sub-block order of quant.repack.block_minor_perm).  The code
+    bias folds into the min term: w = q*s - (bias*s + m).
+    """
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    g = d_size // sub_size
+    s_sub = d_ref[:]                                       # (TO, nd) f32
+    if g > 1:
+        s_sub = pltpu.repeat(s_sub, g, axis=1)             # (TO, nsub)
+    if sc_ref is not None:
+        s_sub = s_sub * sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    m_sub = float(bias) * s_sub
+    if dmin_ref is not None:
+        m = dmin_ref[:]
+        if g > 1:
+            m = pltpu.repeat(m, g, axis=1)
+        if mn_ref is not None:
+            m = m * mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        m_sub = m_sub + m
+    return s_sub, m_sub
+
+
 def _make_kernel_xsum(meta: tuple, B: int, TO: int, in_features: int):
     """bits==4 kernel with the min/bias term as a second (tiny) MXU dot.
 
@@ -274,15 +302,16 @@ def _make_kernel_xsum(meta: tuple, B: int, TO: int, in_features: int):
         xsum_ref = refs[idx]; idx += 1
         codes_ref = refs[idx]; idx += 1
         d_ref = refs[idx]; idx += 1
-        dmin_ref = None
+        sc_ref = dmin_ref = mn_ref = None
+        if has_sc:
+            sc_ref = refs[idx]; idx += 1
         if has_dmin:
             dmin_ref = refs[idx]; idx += 1
+        if has_mn:
+            mn_ref = refs[idx]; idx += 1
         o_ref = refs[idx]
 
-        s_sub = d_ref[:]                                   # (TO, nsub) f32
-        m_sub = float(bias) * s_sub
-        if has_dmin:
-            m_sub = m_sub + dmin_ref[:]
+        s_sub, m_sub = _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref)
 
         c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
         q16 = jnp.concatenate([(c32 & 0xF).astype(jnp.uint16),
@@ -328,15 +357,16 @@ def _make_kernel_split(meta: tuple, B: int, TO: int, in_features: int):
         xsum_ref = refs[idx]; idx += 1
         codes_ref = refs[idx]; idx += 1
         d_ref = refs[idx]; idx += 1
-        dmin_ref = None
+        sc_ref = dmin_ref = mn_ref = None
+        if has_sc:
+            sc_ref = refs[idx]; idx += 1
         if has_dmin:
             dmin_ref = refs[idx]; idx += 1
+        if has_mn:
+            mn_ref = refs[idx]; idx += 1
         o_ref = refs[idx]
 
-        s_sub = d_ref[:]                                   # (TO, nsub) f32
-        m_sub = float(bias) * s_sub
-        if has_dmin:
-            m_sub = m_sub + dmin_ref[:]
+        s_sub, m_sub = _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref)
 
         c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
         vlo = pltpu.bitcast((c32 & 0xF).astype(jnp.uint16)
@@ -389,15 +419,16 @@ def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
         xsum_ref = refs[idx]; idx += 1     # (B, nd) f32 exact block sums
         codes_ref = refs[idx]; idx += 1
         d_ref = refs[idx]; idx += 1
-        dmin_ref = None
+        sc_ref = dmin_ref = mn_ref = None
+        if has_sc:
+            sc_ref = refs[idx]; idx += 1
         if has_dmin:
             dmin_ref = refs[idx]; idx += 1
+        if has_mn:
+            mn_ref = refs[idx]; idx += 1
         o_ref = refs[idx]
 
-        s_sub = d_ref[:]                                   # (TO, nd) f32
-        m_sub = float(bias) * s_sub
-        if has_dmin:
-            m_sub = m_sub + dmin_ref[:]
+        s_sub, m_sub = _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref)
 
         c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
         w8 = jnp.concatenate([c32 & 0xF, c32 >> 4],
@@ -427,33 +458,44 @@ def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
 
 @functools.partial(jax.jit, static_argnames=("meta", "shapes", "interpret",
                                              "kern"))
-def _quant_matmul_2d_xsum(x, xsum, codes, d, dmin, *, meta, shapes,
+def _quant_matmul_2d_xsum(x, xsum, codes, d, sc, dmin, mn, *, meta, shapes,
                           interpret=False, kern="xsum"):
     (B, in_features, out_features, TO) = shapes
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
      sc_signed) = meta
     n_tiles = out_features // TO
     cb = codes.shape[1]
-    nd = in_features // d_size
+    nd = in_features // d_size          # super-blocks per row (d/dmin width)
+    nsub = in_features // sub_size      # sub-blocks per row (sc/mn/xsum width)
 
     in_specs = [
         pl.BlockSpec((B, in_features), lambda o: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, nd), lambda o: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, nsub), lambda o: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((TO, cb), lambda o: (o, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((TO, nd), lambda o: (o, 0), memory_space=pltpu.VMEM),
     ]
     args = [x, xsum, codes, d]
+    if has_sc:
+        in_specs.append(pl.BlockSpec((TO, nsub), lambda o: (o, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sc)
     if has_dmin:
         in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dmin)
+    if has_mn:
+        in_specs.append(pl.BlockSpec((TO, nsub), lambda o: (o, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mn)
 
     maker = _make_kernel_split if kern == "split" else _make_kernel_xsum
     kernel = maker(meta, B, TO, in_features)
     flops = 2 * B * in_features * out_features
     bytes_accessed = (codes.size + d.size * 4
+                      + (sc.size if has_sc else 0)
                       + (dmin.size * 4 if has_dmin else 0)
+                      + (mn.size if has_mn else 0)
                       + B * in_features * 2 + B * out_features * 4)
     return pl.pallas_call(
         kernel,
@@ -472,33 +514,44 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, dmin, *, meta, shapes,
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "shapes", "interpret"))
-def _quant_matmul_2d_int8(xq, xs, xsum, codes, d, dmin, *, meta, shapes,
-                          interpret=False):
+def _quant_matmul_2d_int8(xq, xs, xsum, codes, d, sc, dmin, mn, *, meta,
+                          shapes, interpret=False):
     (B, in_features, out_features, TO) = shapes
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
      sc_signed) = meta
     n_tiles = out_features // TO
     cb = codes.shape[1]
-    nd = in_features // d_size
+    nd = in_features // d_size          # super-blocks per row
+    nsub = in_features // sub_size      # sub-blocks per row
 
     in_specs = [
         pl.BlockSpec((B, in_features), lambda o: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, nd), lambda o: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, nd), lambda o: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, nsub), lambda o: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, nsub), lambda o: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((TO, cb), lambda o: (o, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((TO, nd), lambda o: (o, 0), memory_space=pltpu.VMEM),
     ]
     args = [xq, xs, xsum, codes, d]
+    if has_sc:
+        in_specs.append(pl.BlockSpec((TO, nsub), lambda o: (o, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sc)
     if has_dmin:
         in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dmin)
+    if has_mn:
+        in_specs.append(pl.BlockSpec((TO, nsub), lambda o: (o, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mn)
 
     kernel = _make_kernel_int8(meta, B, TO, in_features)
     flops = 2 * B * in_features * out_features
     bytes_accessed = (codes.size + d.size * 4
+                      + (sc.size if has_sc else 0)
                       + (dmin.size * 4 if has_dmin else 0)
+                      + (mn.size if has_mn else 0)
                       + B * in_features + B * out_features * 4)
     return pl.pallas_call(
         kernel,
@@ -550,7 +603,12 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
 
     cb_per_row = in_f * w.bits // 8
     TO = _pick_tile(out_f, in_f, cb_per_row)
-    if TO == 0 or in_f % _LANE or B > 1024:
+    # Large B (prefill buckets) goes to the XLA dequant path: the kernels
+    # map the full (B, in) activation tile into VMEM, which blows the 16 MB
+    # scoped budget at B=512 × in=14336 (observed compile OOM), and prefill
+    # is MXU-bound anyway — streaming packed weights buys nothing there.
+    max_b = int(os.environ.get("LGT_MM_MAX_B", 64))
+    if TO == 0 or in_f % _LANE or B > max_b:
         return w.matmul_xla(x)
 
     # reorder activation features into the weight's block-minor order
@@ -567,23 +625,25 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
     shapes = (Bp, in_f, out_f, TO)
     interpret = jax.devices()[0].platform != "tpu"
 
-    # variant kernels: only for 4-bit formats in the flattened-hierarchy
-    # layout (sub_size == d_size, no sc/mn) — every 4-bit format post-repack
+    # variant kernels: 4-bit formats in either scale layout — flat
+    # (sub_size == d_size, sc/mn None) or compact hierarchical (d per
+    # super-block + sc/mn per sub-block, expanded in-kernel)
     var = _variant()
-    if (w.bits == 4 and w.sub_size == w.d_size and w.sc is None
-            and w.mn is None and in_f % w.sub_size == 0
+    if (w.bits == 4 and in_f % w.sub_size == 0
+            and w.d_size % w.sub_size == 0
             and (in_f // w.sub_size) % 8 == 0
             and var in ("xsum", "split", "int8")):
         if var in ("xsum", "split"):
             xsum = _block_sums(x2, w.sub_size)
             out = _quant_matmul_2d_xsum(
-                x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.dmin,
-                meta=meta, shapes=shapes, interpret=interpret, kern=var)
+                x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.sc, w.dmin,
+                w.mn, meta=meta, shapes=shapes, interpret=interpret,
+                kern=var)
         else:
             xq, xs = _quantize_acts(x2, w.sub_size)
             xsum = _block_sums(x2, w.sub_size)
             out = _quant_matmul_2d_int8(
-                xq, xs, xsum, w.codes, w.d, w.dmin,
+                xq, xs, xsum, w.codes, w.d, w.sc, w.dmin, w.mn,
                 meta=meta, shapes=shapes, interpret=interpret)
         if Bp != B:
             out = out[:B]

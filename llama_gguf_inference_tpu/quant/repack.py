@@ -18,6 +18,7 @@ bit-sliced storage if bandwidth-bound formats matter more than kernel count.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -29,6 +30,13 @@ from .numpy_ref import (
     _q3k_q6k_scales,
     _q5_high_bits,
 )
+
+
+def compact_scales() -> bool:
+    """Hierarchical (wire-density) scale storage — LGT_FLAT_SCALES=1 reverts
+    to the round-1 flattened f32-per-sub-block layout (A/B + oracle)."""
+    return os.environ.get("LGT_FLAT_SCALES", "").lower() not in (
+        "1", "true", "yes")
 
 
 @dataclasses.dataclass
@@ -130,16 +138,23 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
         the matching (s, σ) reorder of per-sub-block scale/min arrays (see
         :func:`block_minor_perm`).
         """
-        # Flatten the (super-block d × sub-block sc) hierarchy into ONE f32
-        # effective scale (+min) per sub-block, and pack codes with the
-        # flattened geometry (global sub-block index, natural order).
-        # Bit-exact: the decode rule computes the f32 product d*sc anyway —
-        # we just do it at load time.  Costs HBM bytes (f32 per sub-block)
-        # but removes the small-array expansion chain from the kernel hot
-        # loop, which profiling showed dominates 4-bit formats.
+        # Scale storage (``LGT_FLAT_SCALES`` selects; compact is default):
+        #
+        # - compact: keep the wire's (super-block f32 d × sub-block int8 sc)
+        #   hierarchy.  Kernels expand ``s_sub = repeat(d, g) * sc`` on the
+        #   small (TO, nsub) arrays in VMEM — negligible VPU work — and the
+        #   resident footprint stays near wire density (Q4_K: 4.75 vs the
+        #   flattened 6.0 bits/elem; decode is HBM-bandwidth-bound, so this
+        #   directly raises the throughput ceiling ~20% on 8B Q4_K_M).
+        # - flat: ONE f32 effective scale (+min) per sub-block (round-1
+        #   layout, kept for A/B and as the oracle for the compact kernels).
+        #
+        # Both are bit-exact vs quant.numpy_ref: the decode rule computes the
+        # f32 product d*sc either way — compact just defers it to the kernel.
         g = dsz // sub
         nd = I // dsz
-        qbm = _to_block_minor(np.asarray(q_logical), sub, sub)
+        compact = compact_scales() and g > 1
+        qbm = _to_block_minor(np.asarray(q_logical), sub, dsz if compact else sub)
         if bits == 4:
             codes = _pack4(qbm.astype(np.uint8))
         elif bits == 2:
@@ -148,6 +163,28 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
             codes = qbm.astype(np.int8)
 
         d32 = d.reshape(O, nd).astype(np.float32)
+        if compact:
+            # hierarchical: d/dmin f32 per super-block, sc/mn int8/uint8 per
+            # sub-block in (s, σ) order matching the block-minor elements
+            sc_bm = None
+            if sc is not None:
+                sc_a = np.asarray(sc).reshape(O, nd * g)
+                sc_bm = np.ascontiguousarray(_sc_transpose(sc_a, nd, g))
+            mn_bm = None
+            dmin32 = None
+            if dmin is not None:
+                dmin32 = np.ascontiguousarray(
+                    dmin.reshape(O, nd).astype(np.float32))
+                if mn is not None:
+                    mn_a = np.asarray(mn).reshape(O, nd * g)
+                    mn_bm = np.ascontiguousarray(_sc_transpose(mn_a, nd, g))
+            return RepackedWeight(
+                codes=codes, d=np.ascontiguousarray(d32), sc=sc_bm,
+                dmin=dmin32, mn=mn_bm,
+                fmt=t.name.lower(), bits=bits, sub_size=sub, d_size=dsz,
+                code_bias=bias, out_features=O, in_features=I,
+            )
+
         s_eff = np.repeat(d32, g, axis=1)            # natural (σ, s) order
         if sc is not None:
             s_eff = s_eff * sc.reshape(O, nd * g).astype(np.float32)

@@ -36,8 +36,14 @@ import numpy as np
 
 from ..quant.repack import RepackedWeight
 
-_VERSION = 2   # bump when the repacked layout changes (invalidates caches)
+_VERSION = 3   # bump when the repacked layout changes (invalidates caches)
 _PROBE = 4 * 1024 * 1024
+
+
+def _layout_mode() -> str:
+    """Scale-storage mode is part of cache validity (see quant.repack.rw)."""
+    from ..quant.repack import compact_scales
+    return "compact" if compact_scales() else "flat"
 
 
 def _fingerprint(path: Path) -> str:
@@ -68,6 +74,7 @@ class LayoutCache:
             try:
                 m = json.loads(manifest.read_text())
                 if (m.get("version") == _VERSION
+                        and m.get("layout") == _layout_mode()
                         and m.get("fingerprint") == fingerprint):
                     self.tensors = m["tensors"]
                     self._next_idx = m.get("next_idx", len(self.tensors))
@@ -148,6 +155,7 @@ class LayoutCache:
         if not self._dirty:
             return
         payload = json.dumps({"version": _VERSION,
+                              "layout": _layout_mode(),
                               "fingerprint": self.fingerprint,
                               "next_idx": self._next_idx,
                               "tensors": self.tensors})

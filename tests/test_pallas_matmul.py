@@ -96,3 +96,34 @@ def test_variant_kernels_match_xla(gtype, variant, rng, monkeypatch):
     tol = 3e-2 if variant == "int8" else 2e-2
     assert np.abs(got - want).max() / scale < tol, \
         f"{gtype.name}/{variant}: rel err {np.abs(got - want).max() / scale}"
+
+
+def test_large_batch_takes_xla_path(rng, monkeypatch):
+    """Prefill-sized batches must NOT enter the Pallas kernels: the kernel
+    maps the full (B, in) activation tile into VMEM, which OOMs the 16 MB
+    scoped budget at B=512 x in=14336 (observed on v5e).  Above LGT_MM_MAX_B
+    the dispatcher routes to matmul_xla (prefill is MXU-bound anyway)."""
+    import jax.numpy as jnp
+
+    from llama_gguf_inference_tpu.ops import pallas_matmul as pm
+
+    calls = {"pallas": 0}
+    orig = pm._quant_matmul_2d_xsum
+
+    def spy(*a, **kw):
+        calls["pallas"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pm, "_quant_matmul_2d_xsum", spy)
+    ql = _weight(GGMLType.Q4_K, 128, 256, rng)
+
+    x_small = jnp.asarray(rng.normal(size=(4, 256)), jnp.bfloat16)
+    pm.pallas_quant_matmul(ql, x_small)
+    assert calls["pallas"] == 1
+
+    x_prefill = jnp.asarray(rng.normal(size=(128, 256)), jnp.bfloat16)
+    got = np.asarray(pm.pallas_quant_matmul(ql, x_prefill))
+    assert calls["pallas"] == 1          # unchanged: took the XLA path
+    want = np.asarray(ql.matmul_xla(x_prefill))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2

@@ -59,22 +59,40 @@ def test_sharded_forward_matches_single_device(model_path, dp, tp):
     assert np.asarray(new_cache.k).any()
 
 
-def test_row_parallel_block_granularity(tmp_path):
-    """With the flattened scale hierarchy, K-quant weights shard at 32-element
-    sub-block granularity: dim 256 / tp 2 = 128 is a legal in-axis split (and
-    numerics stay exact — covered by the parity test above)."""
+def test_row_parallel_block_granularity(tmp_path, monkeypatch):
+    """K-quant weights shard in-axis at scale-block granularity.
+
+    Compact (default) layout keeps the 256-element super-block hierarchy, so
+    in-axis TP splits must align to 256 (production dims — 4096, 14336 —
+    are all multiples; a 256/tp2=128 split must replicate instead).  The
+    flat layout's granularity is the 32-element sub-block.  Numerics under
+    legal splits are pinned by the parity test above.
+    """
     from jax.sharding import PartitionSpec as P
     p = tmp_path / "q4k.gguf"
     write_tiny_llama(p, dim=256, n_layers=1, n_heads=4, n_kv_heads=2,
-                     ffn_dim=256, quant=GGMLType.Q4_K)
+                     ffn_dim=512, quant=GGMLType.Q4_K)
+
+    # compact: d_size 256 -> dim 256 / tp 2 would split a super-block ->
+    # row-parallel weights replicate; ffn_down (in 512) shards fine
     cfg, params, _ = load_model(p, mode="quant")
-    assert params["layers"][0]["attn_output"].d_size == 32   # flattened
+    assert params["layers"][0]["attn_output"].d_size == 256
     mesh = make_mesh(tp=2, dp=4)
     sp = shard_params(params, cfg, mesh)
     ao = sp["layers"][0]["attn_output"]
-    assert ao.codes.sharding.spec == P(None, "tp")   # row-parallel sharded
+    assert ao.codes.sharding.spec == P()              # replicated (128 < 256)
+    fd = sp["layers"][0]["ffn_down"]                  # in 512 = 2 x 256: legal
+    assert fd.codes.sharding.spec == P(None, "tp")
     aq = sp["layers"][0]["attn_q"]                    # column-parallel sharded
     assert aq.codes.sharding.spec == P("tp", None)
+
+    # flat layout: 32-element granularity, 256/2 = 128 is a legal in split
+    monkeypatch.setenv("LGT_FLAT_SCALES", "1")
+    cfg, params, _ = load_model(p, mode="quant")
+    assert params["layers"][0]["attn_output"].d_size == 32   # flattened
+    sp = shard_params(params, cfg, mesh)
+    ao = sp["layers"][0]["attn_output"]
+    assert ao.codes.sharding.spec == P(None, "tp")   # row-parallel sharded
 
     # a split that would land inside a 32-element sub-block must replicate
     mesh8 = make_mesh(tp=8, dp=1)   # 256/8 = 32 ok for codes but d has 8 subs

@@ -39,3 +39,26 @@ def test_quant_matmul_xla_matches_dense(gtype, rng):
     want = act @ w.T
     got = np.asarray(ql.matmul_xla(act))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("gtype", FORMATS, ids=lambda t: t.name)
+def test_compact_and_flat_layouts_agree(gtype, rng, monkeypatch):
+    """Compact (hierarchical) and flat scale storage decode identically.
+
+    The compact layout (round 2, quant.repack.rw) keeps the wire's
+    super-block d x sub-block sc hierarchy at near-wire density; the flat
+    layout precomputes f32 effective scales.  Both must produce the same
+    f32 dequant — the product d*sc is computed in f32 either way.
+    """
+    out_f, in_f = 4, 512
+    x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+    raw = quantize(x, gtype)
+
+    monkeypatch.setenv("LGT_FLAT_SCALES", "1")
+    flat = np.asarray(
+        to_quant_linear(repack(raw, gtype, out_f, in_f)).dequantize(np.float32))
+    monkeypatch.delenv("LGT_FLAT_SCALES")
+    compact = np.asarray(
+        to_quant_linear(repack(raw, gtype, out_f, in_f)).dequantize(np.float32))
+    np.testing.assert_array_equal(compact, flat,
+                                  err_msg=f"{gtype.name} layout mismatch")
