@@ -100,7 +100,7 @@ def native_repack(raw: np.ndarray, fmt: str, out_f: int, in_f: int,
         dmin = np.empty((out_f, nd), np.float32)
         sc = np.empty((out_f, nd * 8), np.uint8)
         mn = np.empty((out_f, nd * 8), np.uint8)
-        compact = int(compact_scales())
+        compact = int(compact_scales(bits=4))
         lib.repack_q4_k(_ptr(raw, ctypes.c_uint8), out_f, in_f,
                         _ptr(codes, ctypes.c_uint8), _ptr(d, ctypes.c_float),
                         _ptr(sc, ctypes.c_uint8), _ptr(dmin, ctypes.c_float),
@@ -124,7 +124,7 @@ def native_repack(raw: np.ndarray, fmt: str, out_f: int, in_f: int,
         codes = np.empty((out_f, in_f), np.int8)
         d = np.empty((out_f, nd), np.float32)
         sc = np.empty((out_f, nd * 16), np.int8)
-        compact = int(compact_scales())
+        compact = int(compact_scales(bits=8))
         lib.repack_q6_k(_ptr(raw, ctypes.c_uint8), out_f, in_f,
                         _ptr(codes, ctypes.c_int8), _ptr(d, ctypes.c_float),
                         _ptr(sc, ctypes.c_int8), n_threads, compact)

@@ -45,14 +45,21 @@ def _variant() -> str:
     split — like xsum but dequantizes the low/high nibble planes separately
             into TWO half-width MXU dots (no lane-relayout concat); wins on
             small out_features, loses slightly on large (kernel_bench r2)
+    fsplit— planar split in the i32/f32 register domain (the q6_k chain,
+            which streams at 94% roofline): no u16 packed ops, no concat.
+            The 16-bit ops of base/xsum/split run as packed pairs that
+            Mosaic services with (de)interleave relayouts — staying in the
+            32-bit register domain beats touching half the bytes
     int8  — Q8_1-style per-32-block int8 activation quantization + integer
             MXU dot per sub-block (codes never expand past int8 width), then
             per-sub-block rescale on the small (nd, B, TO) partials
 
-    Default is xsum: 465 vs base's 353 GB/s on the 8B shapes (marginal-
-    timed kernel_bench, v5e, r2).
+    Default is fsplit (paired kernel_bench, v5e, compact scales, r2):
+    q4_k 14336x4096 fsplit 0.0785 ms vs xsum 0.111 (flat xsum 0.087);
+    4096x14336 fsplit 0.0603 ms (70.6% of HBM roofline) vs xsum 0.098.
+    int8 currently fails Mosaic compilation on v5e (batched int8 dot).
     """
-    return os.environ.get("LGT_MM_VARIANT", "xsum")
+    return os.environ.get("LGT_MM_VARIANT", "fsplit")
 
 
 def _pick_tile(out_features: int, in_features: int, code_bytes_per_row: int) -> int:
@@ -395,6 +402,62 @@ def _make_kernel_split(meta: tuple, B: int, TO: int, in_features: int):
     return kernel
 
 
+def _make_kernel_fsplit(meta: tuple, B: int, TO: int, in_features: int):
+    """bits==4 kernel: planar split in the i32/f32 domain (q6_k's chain).
+
+    The q6_k int8 kernel streams at 94% of HBM roofline with the chain
+    widen -> f32 convert -> multiply -> bf16 narrow, all in the 32-bit
+    register domain.  The bf16-magic kernels (xsum/split) run their unpack
+    in 16-bit packed ops, which Mosaic services with (de)interleave
+    relayouts.  This variant applies the q6_k chain to each 4-bit plane:
+    no u16 ops, no concat — two half-width f32 dequants feeding two MXU
+    dots.  Min/bias via the exact xsum dot like the other variants.
+    """
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    h = in_features // 2
+
+    def kernel(*refs):
+        idx = 0
+        x_ref = refs[idx]; idx += 1
+        xsum_ref = refs[idx]; idx += 1
+        codes_ref = refs[idx]; idx += 1
+        d_ref = refs[idx]; idx += 1
+        sc_ref = dmin_ref = mn_ref = None
+        if has_sc:
+            sc_ref = refs[idx]; idx += 1
+        if has_dmin:
+            dmin_ref = refs[idx]; idx += 1
+        if has_mn:
+            mn_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]
+
+        s_sub, m_sub = _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref)
+
+        c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
+        sh = pltpu.repeat(s_sub, sub_size // 2, axis=1)    # (TO, in/2) f32
+        wlo = ((c32 & 0xF).astype(jnp.float32) * sh).astype(jnp.bfloat16)
+        whi = ((c32 >> 4).astype(jnp.float32) * sh).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            x_ref[:, :h], wlo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jax.lax.dot_general(
+            x_ref[:, h:], whi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_min = jax.lax.dot_general(
+            xsum_ref[:], m_sub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = y - y_min
+
+    return kernel
+
+
 def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
     """bits==4 kernel with per-sub-block integer MXU dots.
 
@@ -489,7 +552,8 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, sc, dmin, mn, *, meta, shapes,
                                      memory_space=pltpu.VMEM))
         args.append(mn)
 
-    maker = _make_kernel_split if kern == "split" else _make_kernel_xsum
+    maker = {"split": _make_kernel_split,
+             "fsplit": _make_kernel_fsplit}.get(kern, _make_kernel_xsum)
     kernel = maker(meta, B, TO, in_features)
     flops = 2 * B * in_features * out_features
     bytes_accessed = (codes.size + d.size * 4
@@ -632,8 +696,8 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
     if (w.bits == 4 and in_f % w.sub_size == 0
             and w.d_size % w.sub_size == 0
             and (in_f // w.sub_size) % 8 == 0
-            and var in ("xsum", "split", "int8")):
-        if var in ("xsum", "split"):
+            and var in ("xsum", "split", "fsplit", "int8")):
+        if var in ("xsum", "split", "fsplit"):
             xsum = _block_sums(x2, w.sub_size)
             out = _quant_matmul_2d_xsum(
                 x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.sc, w.dmin,

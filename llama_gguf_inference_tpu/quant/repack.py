@@ -32,11 +32,33 @@ from .numpy_ref import (
 )
 
 
-def compact_scales() -> bool:
-    """Hierarchical (wire-density) scale storage — LGT_FLAT_SCALES=1 reverts
-    to the round-1 flattened f32-per-sub-block layout (A/B + oracle)."""
-    return os.environ.get("LGT_FLAT_SCALES", "").lower() not in (
-        "1", "true", "yes")
+def scale_layout() -> str:
+    """Scale-storage policy: ``auto`` (default) | ``compact`` | ``flat``.
+
+    Paired kernel benches (v5e, r2, fsplit kernels) show the right layout is
+    per-format: 8-bit-code kernels are DMA-bound (q6_k at 92-94% of HBM
+    roofline), so compact hierarchical storage — fewer bytes, tiny in-kernel
+    expansion — wins in absolute ms (q6_k 14336x4096: 0.082 vs 0.096).
+    4-bit kernels with the fsplit unpack are at/near the DMA limit at FLAT
+    density already (q4_k 4096x14336: 820 GB/s = 100% roofline) and the
+    expansion costs more than the saved bytes (0.0785 vs 0.0669 ms) — flat
+    wins.  ``auto`` applies exactly that rule; the forced modes exist for
+    A/B and as each other's bit-exactness oracle.
+    """
+    mode = os.environ.get("LGT_SCALE_LAYOUT", "").lower()
+    if mode in ("auto", "compact", "flat"):
+        return mode
+    if os.environ.get("LGT_FLAT_SCALES", "").lower() in ("1", "true", "yes"):
+        return "flat"
+    return "auto"
+
+
+def compact_scales(bits: int = 8) -> bool:
+    """Whether a format with ``bits``-wide codes stores hierarchical scales."""
+    mode = scale_layout()
+    if mode == "auto":
+        return bits == 8
+    return mode == "compact"
 
 
 @dataclasses.dataclass
@@ -138,22 +160,21 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
         the matching (s, σ) reorder of per-sub-block scale/min arrays (see
         :func:`block_minor_perm`).
         """
-        # Scale storage (``LGT_FLAT_SCALES`` selects; compact is default):
+        # Scale storage (see scale_layout(); default is per-format "auto"):
         #
         # - compact: keep the wire's (super-block f32 d × sub-block int8 sc)
-        #   hierarchy.  Kernels expand ``s_sub = repeat(d, g) * sc`` on the
-        #   small (TO, nsub) arrays in VMEM — negligible VPU work — and the
-        #   resident footprint stays near wire density (Q4_K: 4.75 vs the
-        #   flattened 6.0 bits/elem; decode is HBM-bandwidth-bound, so this
-        #   directly raises the throughput ceiling ~20% on 8B Q4_K_M).
-        # - flat: ONE f32 effective scale (+min) per sub-block (round-1
-        #   layout, kept for A/B and as the oracle for the compact kernels).
+        #   hierarchy; kernels expand on the small (TO, nsub) arrays in VMEM.
+        #   Near wire density (Q4_K 4.75 bits/elem) — wins when the kernel
+        #   is DMA-bound (8-bit-code formats).
+        # - flat: ONE f32 effective scale (+min) per sub-block (6.0 bits).
+        #   Wins when the kernel is VPU-critical (4-bit unpack) — the fsplit
+        #   kernel streams flat q4_k at up to 100% of HBM roofline.
         #
         # Both are bit-exact vs quant.numpy_ref: the decode rule computes the
         # f32 product d*sc either way — compact just defers it to the kernel.
         g = dsz // sub
         nd = I // dsz
-        compact = compact_scales() and g > 1
+        compact = compact_scales(bits) and g > 1
         qbm = _to_block_minor(np.asarray(q_logical), sub, dsz if compact else sub)
         if bits == 4:
             codes = _pack4(qbm.astype(np.uint8))

@@ -42,8 +42,8 @@ _PROBE = 4 * 1024 * 1024
 
 def _layout_mode() -> str:
     """Scale-storage mode is part of cache validity (see quant.repack.rw)."""
-    from ..quant.repack import compact_scales
-    return "compact" if compact_scales() else "flat"
+    from ..quant.repack import scale_layout
+    return scale_layout()
 
 
 def _fingerprint(path: Path) -> str:

@@ -75,7 +75,7 @@ def test_fallback_on_untileable_shapes(rng):
 FOUR_BIT = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q3_K, GGMLType.Q4_K]
 
 
-@pytest.mark.parametrize("variant", ["xsum", "split", "int8"])
+@pytest.mark.parametrize("variant", ["xsum", "split", "fsplit", "int8"])
 @pytest.mark.parametrize("gtype", FOUR_BIT, ids=lambda t: t.name)
 def test_variant_kernels_match_xla(gtype, variant, rng, monkeypatch):
     """4-bit variant kernels (round-2 bandwidth work) vs the XLA reference.

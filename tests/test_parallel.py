@@ -62,22 +62,24 @@ def test_sharded_forward_matches_single_device(model_path, dp, tp):
 def test_row_parallel_block_granularity(tmp_path, monkeypatch):
     """K-quant weights shard in-axis at scale-block granularity.
 
-    Compact (default) layout keeps the 256-element super-block hierarchy, so
+    The compact layout keeps the 256-element super-block hierarchy, so
     in-axis TP splits must align to 256 (production dims — 4096, 14336 —
     are all multiples; a 256/tp2=128 split must replicate instead).  The
-    flat layout's granularity is the 32-element sub-block.  Numerics under
-    legal splits are pinned by the parity test above.
+    flat layout — the auto default for 4-bit formats — has 32-element
+    sub-block granularity.  Numerics under legal splits are pinned by the
+    parity test above.
     """
     from jax.sharding import PartitionSpec as P
     p = tmp_path / "q4k.gguf"
     write_tiny_llama(p, dim=256, n_layers=1, n_heads=4, n_kv_heads=2,
                      ffn_dim=512, quant=GGMLType.Q4_K)
+    mesh = make_mesh(tp=2, dp=4)
 
     # compact: d_size 256 -> dim 256 / tp 2 would split a super-block ->
     # row-parallel weights replicate; ffn_down (in 512) shards fine
+    monkeypatch.setenv("LGT_SCALE_LAYOUT", "compact")
     cfg, params, _ = load_model(p, mode="quant")
     assert params["layers"][0]["attn_output"].d_size == 256
-    mesh = make_mesh(tp=2, dp=4)
     sp = shard_params(params, cfg, mesh)
     ao = sp["layers"][0]["attn_output"]
     assert ao.codes.sharding.spec == P()              # replicated (128 < 256)
@@ -86,8 +88,9 @@ def test_row_parallel_block_granularity(tmp_path, monkeypatch):
     aq = sp["layers"][0]["attn_q"]                    # column-parallel sharded
     assert aq.codes.sharding.spec == P("tp", None)
 
-    # flat layout: 32-element granularity, 256/2 = 128 is a legal in split
-    monkeypatch.setenv("LGT_FLAT_SCALES", "1")
+    # flat (the auto default for 4-bit): 32-element granularity,
+    # 256/2 = 128 is a legal in split
+    monkeypatch.setenv("LGT_SCALE_LAYOUT", "auto")
     cfg, params, _ = load_model(p, mode="quant")
     assert params["layers"][0]["attn_output"].d_size == 32   # flattened
     sp = shard_params(params, cfg, mesh)
