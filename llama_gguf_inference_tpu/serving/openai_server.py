@@ -60,6 +60,20 @@ class BackendConfig:
         )
 
 
+def ctx_per_slot(ctx_total: int, max_slots: int, override: int = 0) -> int:
+    """Per-slot KV capacity from the TOTAL context budget.
+
+    CTX is the total budget, split evenly across continuous-batching slots —
+    llama.cpp semantics (the reference's ``EXTRA_ARGS -c 16384 --parallel N``
+    gives each server slot ``n_ctx / N``; reference docs/API_REFERENCE.md
+    env table).  ``CTX_PER_SLOT`` overrides the division; a 256-token floor
+    keeps degenerate CTX/MAX_SLOTS combinations serviceable.
+    """
+    if override > 0:
+        return override
+    return max(256, ctx_total // max(1, max_slots))
+
+
 def _now() -> int:
     return int(time.time())
 
@@ -446,9 +460,12 @@ def main() -> None:
         from ..runtime.engine import EngineConfig, InferenceEngine
         distributed = multihost.initialize_from_env()
         kv = os.environ.get("KV_CACHE_TYPE", "bf16").lower()
+        max_slots = int(os.environ.get("MAX_SLOTS", 4))
+        ctx_slot = ctx_per_slot(int(os.environ.get("CTX", 16384)), max_slots,
+                                int(os.environ.get("CTX_PER_SLOT", 0)))
         ecfg = EngineConfig(
-            max_slots=int(os.environ.get("MAX_SLOTS", 4)),
-            ctx=int(os.environ.get("CTX", 2048)),
+            max_slots=max_slots,
+            ctx=ctx_slot,
             kv_dtype="q8_0" if kv == "q8_0" else jnp.bfloat16,
             multi_step=int(os.environ.get("MULTI_STEP", 1)),
             tp=int(os.environ.get("TP", 1)),

@@ -57,6 +57,8 @@ def main(argv=None) -> int:
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--mode", default="quant", choices=("quant", "dense"))
+    ap.add_argument("--kv", default="bf16", choices=("bf16", "q8_0"),
+                    help="KV cache type (A/B the q8_0 traffic halving)")
     ap.add_argument("--only", default="",
                     help="comma-separated component subset")
     args = ap.parse_args(argv)
@@ -84,7 +86,11 @@ def main(argv=None) -> int:
     log(f"[decompose] loaded in {time.time() - t0:.1f}s")
 
     B, S = 1, args.ctx
-    cache = KVCache.zeros(cfg, B, S)
+    if args.kv == "q8_0":
+        from ..runtime.kv_cache import QuantKV
+        cache = QuantKV.zeros(cfg, B, S)
+    else:
+        cache = KVCache.zeros(cfg, B, S)
     st = SampleState.init(B, cfg.vocab_size)
     st = st.write_slot(0, SamplingParams(temperature=0.0, max_tokens=64))
     tok0 = jnp.full((B, 1), 3, jnp.int32)

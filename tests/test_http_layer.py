@@ -84,3 +84,16 @@ def test_sse_event_framing():
     assert sse_event("[DONE]") == b"data: [DONE]\n\n"
     ev = sse_event({"a": 1})
     assert ev.startswith(b"data: {") and ev.endswith(b"\n\n")
+
+
+def test_ctx_per_slot_semantics():
+    """CTX is the TOTAL context budget split across slots (llama.cpp -c /
+    --parallel semantics); CTX_PER_SLOT overrides; 256-token floor."""
+    from llama_gguf_inference_tpu.serving.openai_server import ctx_per_slot
+
+    assert ctx_per_slot(16384, 4) == 4096
+    assert ctx_per_slot(16384, 1) == 16384
+    assert ctx_per_slot(2048, 4) == 512
+    assert ctx_per_slot(256, 4) == 256          # floor
+    assert ctx_per_slot(16384, 4, override=8192) == 8192
+    assert ctx_per_slot(0, 0) == 256
