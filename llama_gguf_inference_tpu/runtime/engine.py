@@ -21,7 +21,9 @@ backend, SURVEY.md §2.13; llama-server itself continuous-batches across
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
+import sys
 import threading
 import time
 import uuid
@@ -34,8 +36,20 @@ import numpy as np
 
 from ..models.llama import KVCache, forward
 from .loader import load_model
-from .sampler import SampleState, SamplingParams, sample
+from .sampler import (SampleState, SamplingParams, sample,
+                      write_slot_device)
 from .tokenizer import Tokenizer, from_gguf_metadata
+
+# LGT_ENGINE_TRACE=1: per-phase wall-clock trace of the scheduler loop to
+# stderr (admission, prefill chunks, dispatch/drain).  Diagnostic only — the
+# decode hot path pays one branch per phase when disabled.
+_TRACE = os.environ.get("LGT_ENGINE_TRACE", "") not in ("", "0")
+
+
+def _tr(tag: str) -> None:
+    if _TRACE:
+        print(f"[engtrace {time.monotonic():.4f}] {tag}",
+              file=sys.stderr, flush=True)
 
 
 @dataclasses.dataclass
@@ -237,6 +251,27 @@ class InferenceEngine:
             return decode_multi_lp
 
         self._make_multi_lp = make_multi_lp
+
+        # admission-tail sampling: broadcast one slot's logits over the
+        # batched sampler and merge only slot b's state mutation, in ONE
+        # jitted dispatch (see _sample_one)
+        B_slots = self.ecfg.max_slots
+
+        @jax.jit
+        def admit_sample(logits_row, st: SampleState, b):
+            logits = jnp.broadcast_to(logits_row[None, :],
+                                      (B_slots, logits_row.shape[0]))
+            tok, st2 = sample(logits, st)
+            merged = SampleState(
+                temperature=st.temperature, top_p=st.top_p, top_k=st.top_k,
+                min_p=st.min_p, presence=st.presence, frequency=st.frequency,
+                repeat=st.repeat, seed=st.seed,
+                counts=st.counts.at[b].set(st2.counts[b]),
+                step=st.step.at[b].set(st2.step[b]),
+            )
+            return tok[b], merged
+
+        self._admit_sample_fn = admit_sample
 
         # per-bucket prefill over a single slot's cache slice.  NO donation:
         # when max_slots == 1 the slot slice is a whole-array view that jax
@@ -455,11 +490,27 @@ class InferenceEngine:
             slot.offset = 0
             if self._admit_hook is not None:
                 self._admit_hook(b, ids, params)
+            _tr(f"admit slot={b} n_ids={len(ids)}")
             # seed counts with the prompt so repeat/frequency/presence
             # penalties see "any token in the sequence so far" (llama.cpp
-            # semantics documented in sampler.py)
-            self.sample_state = self.sample_state.write_slot(b, params, ids)
+            # semantics documented in sampler.py).  ids pad to a power-of-two
+            # bucket so the jitted write compiles a bounded set of shapes.
+            n_pad = 64
+            while n_pad < len(ids):
+                n_pad *= 2
+            ids_arr = np.zeros(n_pad, np.int32)
+            ids_arr[:len(ids)] = ids
+            scal = jnp.asarray([params.temperature, params.top_p,
+                                params.min_p, params.presence_penalty,
+                                params.frequency_penalty,
+                                params.repeat_penalty], jnp.float32)
+            self.sample_state = write_slot_device(
+                self.sample_state, jnp.int32(b), scal,
+                jnp.int32(params.top_k), jnp.uint32(params.seed),
+                jnp.asarray(ids_arr), jnp.int32(len(ids)))
+            _tr("write_slot dispatched")
             self._prefill_slot(b)
+            _tr("prefill_slot done (token 0 emitted)")
             did = True
         return did
 
@@ -488,11 +539,16 @@ class InferenceEngine:
             logits_last, cache_slice = self._prefill_fns[T](
                 self.params, cache_slice, jnp.asarray(tok),
                 jnp.int32(pos), jnp.int32(chunk))
+            _tr(f"prefill chunk T={T} dispatched")
             pos += chunk
         self.cache = self._cache_writeback(self.cache, cache_slice,
                                            jnp.int32(b))
+        _tr("cache_writeback dispatched")
         tok, self.sample_state = self._sample_one(b, logits_last)
-        return int(tok), logits_last
+        _tr("admit_sample dispatched")
+        tok = int(tok)
+        _tr("first token synced to host")
+        return tok, logits_last
 
     def _prefill_slot(self, b: int) -> None:
         slot = self.slots[b]
@@ -500,28 +556,23 @@ class InferenceEngine:
         self.total_prompt_tokens += len(ids)
         tok, logits_last = self._prefill_device(b, ids)
         slot.offset = len(ids)
-        tok_lp, top = self._host_token_stats(slot, logits_last, tok)
+        if slot.params.n_probs > 0:
+            # the full logits row is a ~0.5 MB device fetch (a relay round
+            # trip) — only pay it when the request asked for logprobs
+            tok_lp, top = self._host_token_stats(slot, logits_last, tok)
+        else:
+            tok_lp, top = None, None
         self._emit_token(b, tok, tok_lp, top)
         if self.slots[b].state != "free":
             self.slots[b].state = "active"
 
     def _sample_one(self, b: int, logits_row: jax.Array):
         """Sample for a single slot using the batched sampler (other rows fed
-        with the same logits but their counts/steps untouched)."""
-        B = self.ecfg.max_slots
-        logits = jnp.broadcast_to(logits_row[None, :], (B, logits_row.shape[0]))
-        tok, st = sample(logits, self.sample_state)
-        # keep only slot b's state mutation
-        st = SampleState(
-            temperature=self.sample_state.temperature,
-            top_p=self.sample_state.top_p, top_k=self.sample_state.top_k,
-            min_p=self.sample_state.min_p, presence=self.sample_state.presence,
-            frequency=self.sample_state.frequency, repeat=self.sample_state.repeat,
-            seed=self.sample_state.seed,
-            counts=self.sample_state.counts.at[b].set(st.counts[b]),
-            step=self.sample_state.step.at[b].set(st.step[b]),
-        )
-        return tok[b], st
+        with the same logits but their counts/steps untouched).  Runs as ONE
+        jitted dispatch: the sampler eagerly is dozens of ops, and each
+        eager op is a full round trip on a remote-relay runtime."""
+        return self._admit_sample_fn(logits_row, self.sample_state,
+                                     jnp.int32(b))
 
     # -- batched decode ------------------------------------------------------
     def _multi_steps_viable(self, active: list[int]) -> int:
@@ -608,8 +659,10 @@ class InferenceEngine:
                 maker = self._make_multi_lp if want_lp else self._make_multi
                 self._decode_multi_fns[key] = maker(n_steps)
             fn = self._decode_multi_fns[key]
+        _tr(f"issue n_steps={n_steps} lp={want_lp} begin")
         outs = fn(self.params, self.cache, jnp.asarray(tokens),
                   jnp.asarray(offsets), self.sample_state)
+        _tr("issue dispatched")
         if n_steps == 1:
             if want_lp:
                 tok, self.sample_state, self.cache, tok_lp, tv, ti = outs
@@ -635,10 +688,12 @@ class InferenceEngine:
     def _drain(self, pend) -> None:
         """Fetch a dispatched batch's host-bound outputs and emit tokens."""
         toks_d, lps_d, tv_d, ti_d = pend["dev"]
+        _tr(f"drain n_steps={pend['n_steps']} begin")
         if pend["want_lp"]:
             toks, lps, tv, ti = jax.device_get((toks_d, lps_d, tv_d, ti_d))
         else:
             toks, lps, tv, ti = np.asarray(toks_d), None, None, None
+        _tr("drain fetched")
         n_steps = pend["n_steps"]
         dt = (time.monotonic() - pend["t0"]) / n_steps
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \

@@ -88,6 +88,40 @@ class SampleState(NamedTuple):
         )
 
 
+@jax.jit
+def write_slot_device(st: SampleState, b: jax.Array, scal: jax.Array,
+                      top_k: jax.Array, seed: jax.Array, ids: jax.Array,
+                      n_valid: jax.Array) -> SampleState:
+    """Jitted slot (re)initialization: ONE dispatch per admission.
+
+    The host-side :meth:`SampleState.write_slot` runs ~14 eager jax ops —
+    on a remote-relay TPU runtime each eager op is a full dispatch round
+    trip, which made admission cost >1 s per request (measured: 1.75 s
+    from prefill token to first decode batch on the 8B bench).  This fused
+    version takes the scalars as arrays and the prompt ids padded to a
+    static bucket (``n_valid`` masks the tail), exactly reproducing
+    write_slot's semantics.
+
+    scal: (temperature, top_p, min_p, presence, frequency, repeat) f32[6].
+    """
+    V = st.counts.shape[1]
+    n_pad = ids.shape[0]
+    valid = (jnp.arange(n_pad, dtype=jnp.int32) < n_valid).astype(jnp.int32)
+    add = jnp.zeros(V, jnp.int32).at[ids].add(valid)
+    return SampleState(
+        temperature=st.temperature.at[b].set(scal[0]),
+        top_p=st.top_p.at[b].set(scal[1]),
+        top_k=st.top_k.at[b].set(top_k),
+        min_p=st.min_p.at[b].set(scal[2]),
+        presence=st.presence.at[b].set(scal[3]),
+        frequency=st.frequency.at[b].set(scal[4]),
+        repeat=st.repeat.at[b].set(scal[5]),
+        seed=st.seed.at[b].set(seed),
+        counts=st.counts.at[b].set(add),
+        step=st.step.at[b].set(0),
+    )
+
+
 def apply_penalties(logits: jax.Array, st: SampleState) -> jax.Array:
     """logits (B, V) f32 with OpenAI presence/frequency + llama.cpp repeat."""
     seen = (st.counts > 0)
