@@ -157,9 +157,17 @@ def main() -> None:
     prompt = list(range(3, 3 + 100))
     p = SamplingParams(temperature=0.0, max_tokens=N_STEPS + 1)
 
-    # warmup: compiles prefill + multi-step decode graphs
+    # warmup: compiles prefill + multi-step decode graphs.  Long enough
+    # (3 batches) that the pipelined continuation path (issue-before-drain)
+    # is exercised too — nothing compiles inside the timed run.
+    ms = int(os.environ.get("BENCH_MULTI_STEP", 32))
     t0 = time.time()
-    for _ in eng.generate(prompt, SamplingParams(temperature=0.0, max_tokens=34)):
+    for _ in eng.generate(prompt, SamplingParams(temperature=0.0,
+                                                 max_tokens=3 * ms + 2)):
+        pass
+    # …and the 512-token prefill bucket, so TTFT samples are all warm
+    for _ in eng.generate(list(range(3, 3 + 500)),
+                          SamplingParams(temperature=0.0, max_tokens=2)):
         pass
     log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
 

@@ -201,9 +201,13 @@ class InferenceEngine:
                     tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
                     return (cache, nxt[:, None], off + 1, st), (nxt, tok_lp)
 
-                (cache, _, _, st), (toks, lps) = jax.lax.scan(
+                (cache, next_tok, _, st), (toks, lps) = jax.lax.scan(
                     body, (cache, tokens, offsets, st), None, length=n_steps)
-                return toks, st, cache, lps   # toks (N, B)
+                # next_tok (B, 1) is the continuation's token input — returned
+                # on-device so the pipelined dispatch needs NO host-side ops
+                # on the in-flight result (an eager slice here costs a remote
+                # compile + dispatch round trip; measured 1.8 s first-request)
+                return toks, st, cache, lps, next_tok
             return decode_multi
 
         self._decode_multi_fns: dict[int, Any] = {}
@@ -245,9 +249,9 @@ class InferenceEngine:
                     return (cache, nxt[:, None], off + 1, st), \
                         (nxt, tok_lp, top_v, top_i)
 
-                (cache, _, _, st), (toks, lps, tv, ti) = jax.lax.scan(
+                (cache, next_tok, _, st), (toks, lps, tv, ti) = jax.lax.scan(
                     body, (cache, tokens, offsets, st), None, length=n_steps)
-                return toks, st, cache, lps, tv, ti
+                return toks, st, cache, lps, tv, ti, next_tok
             return decode_multi_lp
 
         self._make_multi_lp = make_multi_lp
@@ -663,6 +667,7 @@ class InferenceEngine:
         outs = fn(self.params, self.cache, jnp.asarray(tokens),
                   jnp.asarray(offsets), self.sample_state)
         _tr("issue dispatched")
+        next_dev = None
         if n_steps == 1:
             if want_lp:
                 tok, self.sample_state, self.cache, tok_lp, tv, ti = outs
@@ -670,16 +675,16 @@ class InferenceEngine:
             else:
                 tok, self.sample_state, self.cache, tok_lp = outs
                 dev = (tok[None], None, None, None)
-            toks_dev = dev[0]
         else:
             if want_lp:
-                toks_dev, self.sample_state, self.cache, lps, tv, ti = outs
+                toks_dev, self.sample_state, self.cache, lps, tv, ti, \
+                    next_dev = outs
                 dev = (toks_dev, lps, tv, ti)
             else:
-                toks_dev, self.sample_state, self.cache, lps = outs
+                toks_dev, self.sample_state, self.cache, lps, next_dev = outs
                 dev = (toks_dev, None, None, None)
         return {
-            "dev": dev, "toks_dev": toks_dev, "offsets": offsets,
+            "dev": dev, "next_dev": next_dev, "offsets": offsets,
             "n_steps": n_steps, "want_lp": want_lp, "active": active,
             "gen": {b: self.slots[b].request_id for b in active},
             "t0": time.monotonic(),
@@ -715,7 +720,7 @@ class InferenceEngine:
         if pend is not None:
             nxt = None
             if self._pipeline_ok(pend):
-                tokens_dev = pend["toks_dev"][-1][:, None]
+                tokens_dev = pend["next_dev"]   # on-device (B, 1), no host op
                 offsets = pend["offsets"] + pend["n_steps"]
                 nxt = self._issue(tokens_dev, offsets, pend["n_steps"],
                                   pend["want_lp"], list(pend["active"]))
