@@ -1,16 +1,27 @@
 """Model hyper-parameter config derived from GGUF metadata.
 
 The reference never sees these — it passes the GGUF path to llama-server
-(``start.sh:473-480``) which derives the graph from metadata.  We do the same
-from the keys written by llama.cpp converters.
+(``start.sh:473-480``) which derives the graph from metadata; llama.cpp
+serves every architecture its converters emit.  We do the same from the
+keys written by llama.cpp converters for the families this engine
+implements: llama/mistral/mixtral, qwen2, qwen3, gemma, gemma2.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Mapping
 
 from ..gguf.constants import Keys
+
+# GGUF rope style per architecture (llama.cpp ``llama_rope_type``):
+# "norm" = interleaved pairs (convert scripts permute Q/K for these);
+# everything else ships "neox" = split halves.
+_ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci")
+
+# architectures this engine can build a graph for (loader + models.llama)
+SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,10 +48,26 @@ class ModelConfig:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_orig_ctx: int = 0
+    # -- per-architecture graph variations ----------------------------------
+    act: str = "silu"                # FFN gate activation: "silu" | "gelu_tanh"
+    embedding_scale: float = 1.0     # gemma: sqrt(dim) multiplier on embeddings
+    attn_scale: float = 0.0          # 0 => default 1/sqrt(head_dim)
+    attn_softcap: float = 0.0        # gemma2: softcap*tanh(scores/softcap)
+    final_softcap: float = 0.0       # gemma2: applied to output logits
+    sliding_window: int = 0          # SWA width (0 = full attention)
+    swa_pattern: int = 0             # every Nth layer (idx%N==N-1) is full attn
 
     @property
     def is_moe(self) -> bool:
         return self.n_experts > 0
+
+    def is_sliding(self, layer_idx: int) -> bool:
+        """Whether this layer uses sliding-window attention (gemma2: even
+        layers slide, odd are full — llama.cpp ``llm_build_gemma2`` uses
+        ``il % 2 == 0``; generalized as idx % pattern != pattern-1)."""
+        if self.sliding_window <= 0 or self.swa_pattern <= 0:
+            return False
+        return layer_idx % self.swa_pattern != self.swa_pattern - 1
 
     @staticmethod
     def from_gguf_metadata(md: Mapping[str, Any]) -> "ModelConfig":
@@ -51,19 +78,44 @@ class ModelConfig:
 
         dim = int(md[k(Keys.EMBEDDING_LENGTH)])
         n_heads = int(md[k(Keys.HEAD_COUNT)])
-        head_dim = dim // n_heads
+        # key_length overrides head_dim (qwen3, gemma: head_dim != dim/heads)
+        head_dim = int(md.get(f"{arch}.attention.key_length", dim // n_heads))
         rope_dim = int(md.get(k(Keys.ROPE_DIMENSION_COUNT), head_dim))
         vocab = md.get(k(Keys.VOCAB_SIZE))
         if vocab is None:
             vocab = len(md[Keys.TOKENIZER_TOKENS])
-        # llama.cpp rope style: "norm" (interleaved pairs) for llama/mixtral;
-        # "neox" (split halves) for qwen2/phi/gptneox-family arches
-        interleaved = arch in ("llama", "mixtral", "gemma", "minicpm", "mamba")
+        interleaved = arch in _ROPE_NORM_ARCHES
+
+        # per-arch graph variations (matching llama.cpp's builders; real
+        # GGUF files carry gemma norm weights with +1 pre-baked by the
+        # upstream converter, so no runtime norm offset is needed)
+        act = "silu"
+        embedding_scale = 1.0
+        attn_scale = 0.0
+        attn_softcap = 0.0
+        final_softcap = 0.0
+        sliding_window = 0
+        swa_pattern = 0
+        n_layers = int(md[k(Keys.BLOCK_COUNT)])
+        if arch in ("gemma", "gemma2"):
+            act = "gelu_tanh"
+            embedding_scale = math.sqrt(dim)
+        if arch == "gemma2":
+            attn_softcap = float(md.get("gemma2.attn_logit_softcapping", 50.0))
+            final_softcap = float(md.get("gemma2.final_logit_softcapping", 30.0))
+            sliding_window = int(md.get("gemma2.attention.sliding_window", 4096))
+            swa_pattern = 2
+            # llama.cpp llm_build_gemma2: queries scale by 1/sqrt(head_dim)
+            # except the 27B (46 layers), which uses 1/sqrt(dim/n_heads)
+            # (HF query_pre_attn_scalar)
+            attn_scale = 1.0 / math.sqrt(
+                dim / n_heads if n_layers == 46 else head_dim)
+
         return ModelConfig(
             arch=arch,
             vocab_size=int(vocab),
             dim=dim,
-            n_layers=int(md[k(Keys.BLOCK_COUNT)]),
+            n_layers=n_layers,
             n_heads=n_heads,
             n_kv_heads=int(md.get(k(Keys.HEAD_COUNT_KV), n_heads)),
             head_dim=head_dim,
@@ -83,4 +135,11 @@ class ModelConfig:
                 md.get(f"{arch}.rope.scaling.high_freq_factor", 4.0)),
             rope_orig_ctx=int(
                 md.get(f"{arch}.rope.scaling.original_context_length", 0)),
+            act=act,
+            embedding_scale=embedding_scale,
+            attn_scale=attn_scale,
+            attn_softcap=attn_softcap,
+            final_softcap=final_softcap,
+            sliding_window=sliding_window,
+            swa_pattern=swa_pattern,
         )

@@ -1,7 +1,12 @@
-"""Llama-family forward graph in JAX (also covers Mixtral via MoE blocks).
+"""Llama-family forward graph in JAX (also covers Mixtral via MoE blocks,
+plus the qwen2 / qwen3 / gemma / gemma2 graph variations).
 
 TPU-native replacement for the transformer graph inside llama.cpp's
-``llama-server`` (the reference's opaque C++ backend, SURVEY.md §2.9 / §3.2).
+``llama-server`` (the reference's opaque C++ backend, SURVEY.md §2.9 / §3.2;
+the reference serves whatever architecture the GGUF names — e.g. Qwen in its
+own ``docs/CONFIGURATION.md:536``).  Per-arch deltas are driven by
+``ModelConfig`` (scales/softcaps/activation) and by optional tensors in the
+layer dict (biases, q/k norms, post-norms) so one graph covers the family.
 Design rules (XLA compilation model):
 
 - one jitted step function handles both prefill (T = chunk) and decode (T = 1)
@@ -135,32 +140,57 @@ def _write_kv(cache: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array
 
 def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
               cos: jax.Array, sin: jax.Array, cache, layer_idx: int,
-              offsets: jax.Array, mask: jax.Array):
-    """x: (B, T, D). Returns (out, updated cache)."""
+              offsets: jax.Array, mask: jax.Array, sliding: bool = False):
+    """x: (B, T, D). Returns (out, updated cache).
+
+    ``mask`` already encodes causality + (for sliding layers) the window;
+    the flash kernel derives causal masking internally from offsets, so
+    softcapped or sliding layers take the XLA path instead."""
     B, T, _ = x.shape
     H, KVH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     if "attn_qkv" in layer:
         qkv = matmul(layer["attn_qkv"], x)
+        if "attn_qkv_bias" in layer:
+            qkv = (qkv.astype(jnp.float32)
+                   + layer["attn_qkv_bias"]).astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [H * hd, (H + KVH) * hd], axis=-1)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KVH, hd)
         v = v.reshape(B, T, KVH, hd)
     else:
-        q = matmul(layer["attn_q"], x).reshape(B, T, H, hd)
-        k = matmul(layer["attn_k"], x).reshape(B, T, KVH, hd)
-        v = matmul(layer["attn_v"], x).reshape(B, T, KVH, hd)
+        q = matmul(layer["attn_q"], x)
+        k = matmul(layer["attn_k"], x)
+        v = matmul(layer["attn_v"], x)
+        if "attn_q_bias" in layer:   # qwen2 carries Q/K/V biases
+            q = (q.astype(jnp.float32) + layer["attn_q_bias"]).astype(q.dtype)
+            k = (k.astype(jnp.float32) + layer["attn_k_bias"]).astype(k.dtype)
+            v = (v.astype(jnp.float32) + layer["attn_v_bias"]).astype(v.dtype)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, KVH, hd)
+        v = v.reshape(B, T, KVH, hd)
+
+    if "attn_q_norm" in layer:       # qwen3: per-head RMSNorm before rope
+        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
+        k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
 
     q = apply_rope(q, cos, sin, cfg.rope_interleaved)
     k = apply_rope(k, cos, sin, cfg.rope_interleaved)
 
+    # non-default query scale (gemma2): folded into q so both the flash
+    # kernel (which hard-codes 1/sqrt(hd)) and the XLA path stay correct
+    if cfg.attn_scale > 0.0:
+        q = (q.astype(jnp.float32)
+             * (cfg.attn_scale * jnp.sqrt(float(hd)))).astype(q.dtype)
+
     from ..runtime.kv_cache import QuantKV
     group = H // KVH
+    flash_ok = cfg.attn_softcap == 0.0 and not sliding
     quant_kv = isinstance(cache, QuantKV)
     if quant_kv:
         cache = cache.write(layer_idx, k, v, offsets)
         S = cache.max_seq
-        if _use_flash_attention(T, group, S, hd):
+        if flash_ok and _use_flash_attention(T, group, S, hd):
             # quantized cache consumed directly: int8 codes + per-token
             # scales stream into the kernel, dequantized per S-block in
             # VMEM — cache HBM traffic actually halves (VERDICT r1 weak #2)
@@ -179,7 +209,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
                         v=_tuple_set(cache.v, layer_idx, v_cache))
 
     S = k_cache.shape[1]
-    if _use_flash_attention(T, group, S, hd):
+    if flash_ok and _use_flash_attention(T, group, S, hd):
         from ..ops.flash_attention import flash_attention
         ctx = flash_attention(q, k_cache, v_cache, offsets)
         ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
@@ -188,6 +218,9 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
         qh = q.reshape(B, T, KVH, group, hd)
         scores = jnp.einsum("btkgd,bskd->bkgts", qh.astype(jnp.float32),
                             k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
+        if cfg.attn_softcap > 0.0:   # gemma2 attention-logit softcapping
+            cap = cfg.attn_softcap
+            scores = cap * jnp.tanh(scores / cap)
         scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_cache.astype(jnp.float32))
@@ -209,14 +242,19 @@ def _use_flash_attention(T: int, group: int, S: int, head_dim: int) -> bool:
     return group * T <= 2048 and S % 128 == 0 and head_dim in (64, 128, 256)
 
 
-def ffn_swiglu(layer: Params, x: jax.Array) -> jax.Array:
+def ffn_swiglu(layer: Params, x: jax.Array, act: str = "silu") -> jax.Array:
     if "ffn_gateup" in layer:
         gu = matmul(layer["ffn_gateup"], x)
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
         gate = matmul(layer["ffn_gate"], x)
         up = matmul(layer["ffn_up"], x)
-    return matmul(layer["ffn_down"], jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
+    gf = gate.astype(jnp.float32)
+    if act == "gelu_tanh":           # gemma GeGLU (pytorch-tanh approximation)
+        g = jax.nn.gelu(gf, approximate=True)
+    else:
+        g = jax.nn.silu(gf)
+    return matmul(layer["ffn_down"], g.astype(x.dtype) * up)
 
 
 def moe_router(layer: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
@@ -327,6 +365,8 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
     S = cache.max_seq
 
     x = jnp.take(params["tok_embd"], token_ids, axis=0)       # (B, T, D)
+    if cfg.embedding_scale != 1.0:   # gemma: sqrt(dim), rounded to x dtype
+        x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
 
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_dim,
@@ -339,20 +379,32 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
     mask = s_idx <= q_pos
     valid_q = (jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None])
     mask = mask & valid_q[:, :, None]
+    swa_mask = None
+    if cfg.sliding_window > 0:       # gemma2: window applies on some layers
+        swa_mask = mask & (q_pos - s_idx < cfg.sliding_window)
 
     for i, layer in enumerate(params["layers"]):
+        sliding = cfg.is_sliding(i)
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         attn_out, cache = attention(layer, cfg, h, cos, sin, cache, i,
-                                    offsets, mask)
+                                    offsets,
+                                    swa_mask if sliding else mask, sliding)
+        if "attn_post_norm" in layer:    # gemma2 post-attention norm
+            attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
         x = x + attn_out
         h = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
         if cfg.is_moe:
-            x = x + ffn_moe(layer, cfg, h)
+            ffn_out = ffn_moe(layer, cfg, h)
         else:
-            x = x + ffn_swiglu(layer, h)
+            ffn_out = ffn_swiglu(layer, h, cfg.act)
+        if "ffn_post_norm" in layer:     # gemma2 post-FFN norm
+            ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
+        x = x + ffn_out
 
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     logits = matmul(params["output"], x).astype(jnp.float32)
+    if cfg.final_softcap > 0.0:      # gemma2 final-logit softcapping
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     if return_hidden:
         return logits, cache, x
     return logits, cache

@@ -153,6 +153,12 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
             new["ffn_gate"] = _shard_linear(layer["ffn_gate"], mesh, AXIS_TP, 0)
             new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)
             new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
+        # per-arch extras (qwen2 biases, qwen3 q/k norms, gemma2 post-norms):
+        # small 1-D vectors — replicate.  A generic pass so new optional
+        # tensors can never be silently dropped from the sharded pytree.
+        for key, val in layer.items():
+            if key not in new and key != "experts":
+                new[key] = _device_put_tree(val, rep)
         layers.append(new)
     out["layers"] = layers
     return out

@@ -59,6 +59,11 @@ def load_model(path: str | Path, mode: str = "quant", fuse: bool = False):
     """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
+    from ..models.config import SUPPORTED_ARCHES
+    if cfg.arch not in SUPPORTED_ARCHES:
+        raise ValueError(
+            f"unsupported GGUF architecture {cfg.arch!r} "
+            f"(supported: {', '.join(SUPPORTED_ARCHES)})")
     cache = None
     if mode == "quant":
         from .layout_cache import LayoutCache
@@ -93,6 +98,15 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             "attn_output": _load_linear(reader, p + "attn_output.weight", mode, cache),
             "ffn_norm": _load_array(reader, p + "ffn_norm.weight"),
         }
+        # optional per-arch tensors: Q/K/V biases (qwen2), per-head Q/K
+        # norms (qwen3), post-attention/post-FFN norms (gemma2) — presence
+        # in the file drives presence in the pytree (models.llama checks)
+        for extra in ("attn_q.bias", "attn_k.bias", "attn_v.bias",
+                      "attn_q_norm.weight", "attn_k_norm.weight",
+                      "attn_post_norm.weight", "ffn_post_norm.weight"):
+            if p + extra in t:
+                key = extra.replace(".weight", "").replace(".", "_")
+                layer[key] = _load_array(reader, p + extra)
         if cfg.is_moe:
             layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight",
                                                  mode, cache)
@@ -106,6 +120,10 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             if qkv is not None:
                 layer["attn_qkv"] = qkv
                 del layer["attn_q"], layer["attn_k"], layer["attn_v"]
+                if "attn_q_bias" in layer:   # fuse the qwen2 biases too
+                    layer["attn_qkv_bias"] = jnp.concatenate(
+                        [layer.pop("attn_q_bias"), layer.pop("attn_k_bias"),
+                         layer.pop("attn_v_bias")])
             if not cfg.is_moe:
                 gu = fuse_linears([layer["ffn_gate"], layer["ffn_up"]])
                 if gu is not None:

@@ -98,12 +98,22 @@ def tokenizer_metadata(hf_dir: str) -> dict:
     }
 
 
+# HF model_type -> GGUF architecture (llama.cpp convert_hf_to_gguf naming)
+_ARCH_MAP = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
+             "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2"}
+
+
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
             verbose: bool = True) -> None:
     cfg = json.load(open(os.path.join(hf_dir, "config.json")))
-    arch = cfg.get("model_type", "llama")
-    if arch not in ("llama", "mistral"):
-        raise SystemExit(f"unsupported model_type {arch!r}")
+    model_type = cfg.get("model_type", "llama")
+    arch = _ARCH_MAP.get(model_type)
+    if arch is None:
+        raise SystemExit(f"unsupported model_type {model_type!r}")
+    gemma = arch in ("gemma", "gemma2")
+    # "norm"-rope arches store Q/K permuted for interleaved pairs;
+    # neox arches (qwen*/gemma*) keep the HF layout (models.config)
+    permute = arch == "llama"
     n_layers = cfg["num_hidden_layers"]
     n_head = cfg["num_attention_heads"]
     n_kv = cfg.get("num_key_value_heads", n_head)
@@ -118,19 +128,36 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
                 return sd[cand].astype(np.float32)
         raise SystemExit(f"missing tensor {name}")
 
+    def get_norm(name):
+        # upstream gemma converters bake the (1 + w) RMSNorm offset into
+        # the stored weight, so real GGUF files never need a runtime offset
+        v = get(name)
+        return v + 1.0 if gemma else v
+
     w = GGUFWriter(dst)
-    w.add(Keys.ARCHITECTURE, "llama")
+    w.add(Keys.ARCHITECTURE, arch)
     w.add(Keys.NAME, os.path.basename(os.path.normpath(hf_dir)))
-    w.add("llama.context_length", cfg.get("max_position_embeddings", 4096))
-    w.add("llama.embedding_length", dim)
-    w.add("llama.block_count", n_layers)
-    w.add("llama.feed_forward_length", cfg["intermediate_size"])
-    w.add("llama.attention.head_count", n_head)
-    w.add("llama.attention.head_count_kv", n_kv)
-    w.add("llama.attention.layer_norm_rms_epsilon", cfg.get("rms_norm_eps", 1e-5))
-    w.add("llama.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
-    w.add("llama.rope.dimension_count", head_dim)
-    w.add("llama.vocab_size", cfg["vocab_size"])
+    w.add(f"{arch}.context_length", cfg.get("max_position_embeddings", 4096))
+    w.add(f"{arch}.embedding_length", dim)
+    w.add(f"{arch}.block_count", n_layers)
+    w.add(f"{arch}.feed_forward_length", cfg["intermediate_size"])
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+          cfg.get("rms_norm_eps", 1e-5))
+    w.add(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", cfg["vocab_size"])
+    if head_dim != dim // n_head:
+        w.add(f"{arch}.attention.key_length", head_dim)
+        w.add(f"{arch}.attention.value_length", head_dim)
+    if arch == "gemma2":
+        w.add("gemma2.attn_logit_softcapping",
+              float(cfg.get("attn_logit_softcapping", 50.0)))
+        w.add("gemma2.final_logit_softcapping",
+              float(cfg.get("final_logit_softcapping", 30.0)))
+        w.add("gemma2.attention.sliding_window",
+              int(cfg.get("sliding_window", 4096)))
     tok_md = tokenizer_metadata(hf_dir)
     for k, v in tok_md.items():
         w.add(k, v)
@@ -150,18 +177,38 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     for i in range(n_layers):
         p = f"layers.{i}."
         g = f"blk.{i}."
-        put(g + "attn_norm.weight", get(p + "input_layernorm.weight"))
-        put(g + "attn_q.weight",
-            permute_rope(get(p + "self_attn.q_proj.weight"), n_head))
-        put(g + "attn_k.weight",
-            permute_rope(get(p + "self_attn.k_proj.weight"), n_kv))
+        put(g + "attn_norm.weight", get_norm(p + "input_layernorm.weight"))
+        qw = get(p + "self_attn.q_proj.weight")
+        kw = get(p + "self_attn.k_proj.weight")
+        put(g + "attn_q.weight", permute_rope(qw, n_head) if permute else qw)
+        put(g + "attn_k.weight", permute_rope(kw, n_kv) if permute else kw)
         put(g + "attn_v.weight", get(p + "self_attn.v_proj.weight"))
         put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
-        put(g + "ffn_norm.weight", get(p + "post_attention_layernorm.weight"))
+        if "model." + p + "self_attn.q_proj.bias" in sd \
+                or p + "self_attn.q_proj.bias" in sd:   # qwen2
+            put(g + "attn_q.bias", get(p + "self_attn.q_proj.bias"))
+            put(g + "attn_k.bias", get(p + "self_attn.k_proj.bias"))
+            put(g + "attn_v.bias", get(p + "self_attn.v_proj.bias"))
+        if "model." + p + "self_attn.q_norm.weight" in sd \
+                or p + "self_attn.q_norm.weight" in sd:  # qwen3
+            put(g + "attn_q_norm.weight", get(p + "self_attn.q_norm.weight"))
+            put(g + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"))
+        if arch == "gemma2":
+            # gemma2's four norms: HF post_attention -> attn_post_norm,
+            # pre_feedforward -> ffn_norm, post_feedforward -> ffn_post_norm
+            put(g + "attn_post_norm.weight",
+                get_norm(p + "post_attention_layernorm.weight"))
+            put(g + "ffn_norm.weight",
+                get_norm(p + "pre_feedforward_layernorm.weight"))
+            put(g + "ffn_post_norm.weight",
+                get_norm(p + "post_feedforward_layernorm.weight"))
+        else:
+            put(g + "ffn_norm.weight",
+                get_norm(p + "post_attention_layernorm.weight"))
         put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
         put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
         put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
-    put("output_norm.weight", get("norm.weight"))
+    put("output_norm.weight", get_norm("norm.weight"))
     if "lm_head.weight" in sd:
         put("output.weight", sd["lm_head.weight"].astype(np.float32))
     # tied embeddings otherwise: loader falls back to token_embd

@@ -58,30 +58,43 @@ def write_tiny_llama(
     quant: GGMLType = GGMLType.F32,
     seed: int = 0,
     tie_output: bool = False,
+    arch: str = "llama",
+    sliding_window: int = 0,
 ) -> Path:
-    """Write a small random-weight llama/mixtral GGUF file."""
+    """Write a small random-weight GGUF file.
+
+    ``arch`` selects the per-architecture extras the loader/graph expect:
+    qwen2 (Q/K/V biases), qwen3 (Q/K per-head norms), gemma/gemma2
+    (gelu + embedding scale; gemma2 adds post-norms, softcaps, sliding
+    window).  Default "llama" also covers mixtral when n_experts > 0.
+    """
     rng = np.random.default_rng(seed)
     tokens, scores, types = make_tiny_vocab()
     vocab = len(tokens)
-    arch = "mixtral" if n_experts else "llama"
+    name = "mixtral" if n_experts else arch
     # quantized tensors need in_features divisible by the block size
     head_dim = dim // n_heads
 
     w = GGUFWriter(path)
-    w.add(Keys.ARCHITECTURE, "llama")   # mixtral uses arch "llama" + expert keys in practice
-    w.add(Keys.NAME, f"tiny-{arch}")
-    w.add("llama.context_length", context_length)
-    w.add("llama.embedding_length", dim)
-    w.add("llama.block_count", n_layers)
-    w.add("llama.feed_forward_length", ffn_dim)
-    w.add("llama.attention.head_count", n_heads)
-    w.add("llama.attention.head_count_kv", n_kv_heads)
-    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add("llama.rope.freq_base", 10000.0)
-    w.add("llama.rope.dimension_count", head_dim)
+    w.add(Keys.ARCHITECTURE, arch)   # mixtral uses arch "llama" + expert keys in practice
+    w.add(Keys.NAME, f"tiny-{name}")
+    w.add(f"{arch}.context_length", context_length)
+    w.add(f"{arch}.embedding_length", dim)
+    w.add(f"{arch}.block_count", n_layers)
+    w.add(f"{arch}.feed_forward_length", ffn_dim)
+    w.add(f"{arch}.attention.head_count", n_heads)
+    w.add(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    if arch == "gemma2":
+        w.add("gemma2.attn_logit_softcapping", 50.0)
+        w.add("gemma2.final_logit_softcapping", 30.0)
+        w.add("gemma2.attention.sliding_window",
+              sliding_window or context_length)
     if n_experts:
-        w.add("llama.expert_count", n_experts)
-        w.add("llama.expert_used_count", n_experts_used or 2)
+        w.add(f"{arch}.expert_count", n_experts)
+        w.add(f"{arch}.expert_used_count", n_experts_used or 2)
     w.add(Keys.TOKENIZER_MODEL, "llama")
     w.add(Keys.TOKENIZER_TOKENS, tokens)
     w.add(Keys.TOKENIZER_SCORES, np.asarray(scores, dtype=np.float32))
@@ -103,6 +116,16 @@ def write_tiny_llama(
         w.add_tensor(p + "attn_v.weight", rand(n_kv_heads * head_dim, dim), quant)
         w.add_tensor(p + "attn_output.weight", rand(dim, n_heads * head_dim), quant)
         w.add_tensor(p + "ffn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        if arch == "qwen2":
+            w.add_tensor(p + "attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_k.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_v.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
+        elif arch == "qwen3":
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32), GGMLType.F32)
+        elif arch == "gemma2":
+            w.add_tensor(p + "attn_post_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "ffn_post_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
         if n_experts:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_experts, dim), GGMLType.F32)
             w.add_tensor(p + "ffn_gate_exps.weight", rand(n_experts, ffn_dim, dim), quant)

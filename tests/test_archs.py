@@ -1,0 +1,215 @@
+"""Multi-architecture support: qwen2 / qwen3 / gemma2 (+ gemma keys).
+
+The reference serves any GGUF architecture its llama.cpp backend knows
+(reference ``docs/CONFIGURATION.md:536`` names Qwen explicitly).  Two gates
+per arch here:
+
+- HF logit parity: tiny transformers checkpoint -> convert_hf -> GGUF ->
+  our graph, argmax chain must match transformers' own forward (validates
+  rope style, biases, q/k norms, softcaps, sliding windows, activations)
+- engine end-to-end: synthesized GGUF (utils.testing) loads, generates,
+  and streams through the quant path
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from llama_gguf_inference_tpu.gguf.constants import GGMLType
+from llama_gguf_inference_tpu.models.config import ModelConfig
+from llama_gguf_inference_tpu.models.llama import KVCache, forward
+from llama_gguf_inference_tpu.runtime.loader import load_model
+from llama_gguf_inference_tpu.tools.convert_hf import convert
+from llama_gguf_inference_tpu.utils.testing import write_tiny_llama
+
+
+def _parity(model, hf_dir, tmp_path, n_tokens=12, atol=0.35):
+    dst = tmp_path / "converted.gguf"
+    convert(str(hf_dir), str(dst), dtype="f32", verbose=False)
+    cfg, params, reader = load_model(dst, mode="dense")
+    reader.close()
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(5, 250, size=(1, n_tokens)).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()[0]
+
+    cache = KVCache.zeros(cfg, 1, 32)
+    logits, _ = forward(params, cfg, jnp.asarray(ids.astype(np.int32)),
+                        jnp.zeros(1, jnp.int32), cache,
+                        jnp.full(1, ids.shape[1], jnp.int32))
+    got = np.asarray(logits)[0]
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=atol)
+    return cfg
+
+
+def _save(model, tmp_path, name):
+    d = tmp_path / name
+    model.eval()
+    model.save_pretrained(d, safe_serialization=False)
+    return d
+
+
+def test_qwen2_hf_parity(tmp_path):
+    cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False)
+    torch.manual_seed(1)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "qwen2" and not got_cfg.rope_interleaved
+
+
+def test_qwen3_hf_parity(tmp_path):
+    cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False)
+    torch.manual_seed(2)
+    model = transformers.Qwen3ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "qwen3" and got_cfg.head_dim == 16
+
+
+def test_gemma2_hf_parity(tmp_path):
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attn_implementation="eager")   # sdpa skips softcapping
+    torch.manual_seed(3)
+    model = transformers.Gemma2ForCausalLM(cfg)
+    # n_tokens > window so the sliding layer's mask actually bites
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path,
+                      n_tokens=14)
+    assert got_cfg.arch == "gemma2"
+    assert got_cfg.attn_softcap == 50.0 and got_cfg.final_softcap == 30.0
+    assert got_cfg.sliding_window == 8
+    assert got_cfg.is_sliding(0) and not got_cfg.is_sliding(1)
+    assert got_cfg.act == "gelu_tanh" and got_cfg.embedding_scale == 8.0
+
+
+@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2"])
+def test_arch_engine_end_to_end(arch, tmp_path):
+    """Synthesized GGUF per arch: quant-mode load + engine generate."""
+    from llama_gguf_inference_tpu.runtime.engine import (
+        EngineConfig, InferenceEngine,
+    )
+    from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+
+    p = tmp_path / f"{arch}.gguf"
+    write_tiny_llama(p, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96, quant=GGMLType.Q8_0, arch=arch,
+                     sliding_window=16)
+    eng = InferenceEngine(str(p), EngineConfig(
+        max_slots=1, ctx=64, prefill_buckets=(16,), mode="quant",
+        multi_step=2))
+    eng.start()
+    try:
+        toks = [ev.token_id for ev in
+                eng.generate("hello world", SamplingParams(
+                    temperature=0.0, max_tokens=6))]
+        assert len(toks) >= 1
+    finally:
+        eng.stop()
+
+
+def test_arch_quant_matches_dense(tmp_path):
+    """Quant-resident path agrees with dense for a non-llama arch."""
+    p = tmp_path / "q.gguf"
+    write_tiny_llama(p, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96, quant=GGMLType.Q8_0, arch="qwen2")
+    ids = np.array([[5, 100, 42, 7]], np.int32)
+    outs = {}
+    for mode in ("dense", "quant"):
+        cfg, params, reader = load_model(p, mode=mode)
+        reader.close()
+        cache = KVCache.zeros(cfg, 1, 16)
+        logits, _ = forward(params, cfg, jnp.asarray(ids),
+                            jnp.zeros(1, jnp.int32), cache,
+                            jnp.full(1, 4, jnp.int32))
+        outs[mode] = np.asarray(logits)[0]
+    np.testing.assert_allclose(outs["quant"], outs["dense"],
+                               atol=0.15, rtol=0.1)
+
+
+def test_qwen2_sharded_forward_matches(tmp_path):
+    """TP sharding must carry the per-arch extras (biases) — a dropped
+    bias shows up as a logit mismatch here."""
+    import jax
+    from llama_gguf_inference_tpu.parallel.mesh import make_mesh
+    from llama_gguf_inference_tpu.parallel.partition import (
+        batch_sharding, cache_sharding, shard_params,
+    )
+
+    p = tmp_path / "q.gguf"
+    write_tiny_llama(p, dim=128, n_layers=2, n_heads=8, n_kv_heads=4,
+                     ffn_dim=256, quant=GGMLType.Q8_0, arch="qwen2")
+    cfg, params, reader = load_model(p, mode="quant")
+    reader.close()
+    ids = np.full((8, 4), 7, np.int32)
+    offsets = jnp.zeros(8, jnp.int32)
+    lengths = jnp.full(8, 4, jnp.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids), offsets,
+                     KVCache.zeros(cfg, 8, 16), lengths)
+
+    mesh = make_mesh(tp=4, dp=2)
+    sp = shard_params(params, cfg, mesh)
+    cache_s = jax.device_put(KVCache.zeros(cfg, 8, 16),
+                             cache_sharding(mesh, cfg.n_kv_heads, 8))
+    ids_s = jax.device_put(jnp.asarray(ids), batch_sharding(mesh, 8))
+    step = jax.jit(forward, static_argnums=(1,))
+    got, _ = step(sp, cfg, ids_s, offsets, cache_s, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_unsupported_arch_rejected(tmp_path):
+    from llama_gguf_inference_tpu.gguf.writer import GGUFWriter
+    from llama_gguf_inference_tpu.gguf.constants import Keys
+    from llama_gguf_inference_tpu.utils.testing import make_tiny_vocab
+
+    p = tmp_path / "bad.gguf"
+    w = GGUFWriter(p)
+    tokens, scores, types = make_tiny_vocab()
+    w.add(Keys.ARCHITECTURE, "mamba")
+    w.add("mamba.embedding_length", 64)
+    w.add("mamba.block_count", 1)
+    w.add("mamba.feed_forward_length", 96)
+    w.add("mamba.attention.head_count", 4)
+    w.add(Keys.TOKENIZER_MODEL, "llama")
+    w.add(Keys.TOKENIZER_TOKENS, tokens)
+    w.add(Keys.TOKENIZER_SCORES, np.asarray(scores, np.float32))
+    w.add(Keys.TOKENIZER_TOKEN_TYPE, np.asarray(types, np.int32))
+    w.add_tensor("token_embd.weight", np.zeros((len(tokens), 64), np.float32),
+                 GGMLType.F32)
+    w.write()
+    with pytest.raises(ValueError, match="unsupported GGUF architecture"):
+        load_model(p)
+
+
+def test_gemma2_27b_attn_scale():
+    """llama.cpp's 27B special case: scale = 1/sqrt(dim/n_heads)."""
+    md = {
+        "general.architecture": "gemma2",
+        "gemma2.embedding_length": 4608,
+        "gemma2.block_count": 46,
+        "gemma2.attention.head_count": 32,
+        "gemma2.attention.head_count_kv": 16,
+        "gemma2.attention.key_length": 128,
+        "gemma2.feed_forward_length": 36864,
+        "gemma2.vocab_size": 256128,
+    }
+    cfg = ModelConfig.from_gguf_metadata(md)
+    assert cfg.head_dim == 128
+    np.testing.assert_allclose(cfg.attn_scale, (4608 / 32) ** -0.5)
