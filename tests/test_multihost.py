@@ -75,3 +75,31 @@ def test_two_process_lockstep_matches_single(tmp_path):
     assert got["tokens"] == want["tokens"], \
         f"multi-host tokens diverged:\n{got['tokens']}\nvs\n{want['tokens']}"
     assert got["http"] == 200   # real HTTP served on host 0
+
+
+@pytest.mark.slow
+def test_four_process_lockstep_matches_single(tmp_path):
+    """Wider fleet: 4 jax.distributed processes, tp=4 across hosts."""
+    model = str(tmp_path / "m.gguf")
+    write_tiny_llama(model, dim=128, n_layers=2, n_heads=8, n_kv_heads=4,
+                     ffn_dim=128, quant=GGMLType.Q4_0)
+
+    single = run_driver(0, 1, "0", model, "single", devices=4)
+    out, err = single.communicate(timeout=600)
+    assert single.returncode == 0, f"single-proc run failed:\n{err[-3000:]}"
+    want = parse_tokens(out)
+
+    port = free_port()
+    followers = [run_driver(i, 4, port, model, "multi", devices=1)
+                 for i in range(1, 4)]
+    leader = run_driver(0, 4, port, model, "multi", devices=1)
+    l_out, l_err = leader.communicate(timeout=600)
+    assert leader.returncode == 0, f"leader failed:\n{l_err[-3000:]}"
+    for i, f in enumerate(followers):
+        f_out, f_err = f.communicate(timeout=60)
+        assert f.returncode == 0, f"follower {i+1} failed:\n{f_err[-3000:]}"
+    got = parse_tokens(l_out)
+
+    assert got["tokens"] == want["tokens"], \
+        f"4-host tokens diverged:\n{got['tokens']}\nvs\n{want['tokens']}"
+    assert got["http"] == 200
