@@ -21,7 +21,8 @@ from ..gguf.constants import Keys
 _ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci")
 
 # architectures this engine can build a graph for (loader + models.llama)
-SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2")
+SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2",
+                    "phi3")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,11 +44,13 @@ class ModelConfig:
     n_experts_used: int = 0          # top-k routed experts
     tie_embeddings: bool = False
     # rope scaling (long-context): "none" | "linear" | "yarn" | "llama3"
+    #                            | "longrope" (phi3; per-dim factor tensors)
     rope_scaling_type: str = "none"
     rope_scaling_factor: float = 1.0
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_orig_ctx: int = 0
+    rope_attn_factor: float = 1.0    # longrope cos/sin magnitude scale
     # -- per-architecture graph variations ----------------------------------
     act: str = "silu"                # FFN gate activation: "silu" | "gelu_tanh"
     embedding_scale: float = 1.0     # gemma: sqrt(dim) multiplier on embeddings
@@ -62,11 +65,14 @@ class ModelConfig:
         return self.n_experts > 0
 
     def is_sliding(self, layer_idx: int) -> bool:
-        """Whether this layer uses sliding-window attention (gemma2: even
-        layers slide, odd are full — llama.cpp ``llm_build_gemma2`` uses
-        ``il % 2 == 0``; generalized as idx % pattern != pattern-1)."""
+        """Whether this layer uses sliding-window attention.  Pattern 1 =
+        every layer slides (phi3); gemma2 uses 2 (even layers slide, odd
+        full — llama.cpp ``llm_build_gemma2``'s ``il % 2 == 0``),
+        generalized as idx % pattern != pattern-1."""
         if self.sliding_window <= 0 or self.swa_pattern <= 0:
             return False
+        if self.swa_pattern == 1:
+            return True
         return layer_idx % self.swa_pattern != self.swa_pattern - 1
 
     @staticmethod
@@ -110,6 +116,22 @@ class ModelConfig:
             # (HF query_pre_attn_scalar)
             attn_scale = 1.0 / math.sqrt(
                 dim / n_heads if n_layers == 46 else head_dim)
+        if arch == "phi3":
+            # phi-3-mini-4k ships sliding_window 2047 on every layer
+            sliding_window = int(md.get("phi3.attention.sliding_window", 0))
+            swa_pattern = 1 if sliding_window else 0
+
+        # longrope magnitude scale: explicit key, else the HF formula
+        # sqrt(1 + ln(ctx/orig)/ln(orig)) when the file extends the context
+        scaling_type = str(md.get(k(Keys.ROPE_SCALING_TYPE), "none"))
+        orig_ctx = int(md.get(f"{arch}.rope.scaling.original_context_length", 0))
+        ctx_len = int(md.get(k(Keys.CONTEXT_LENGTH), 4096))
+        attn_factor = float(md.get(f"{arch}.rope.scaling.attn_factor", 0.0))
+        if attn_factor <= 0.0:
+            attn_factor = 1.0
+            if scaling_type == "longrope" and 0 < orig_ctx < ctx_len:
+                attn_factor = math.sqrt(
+                    1.0 + math.log(ctx_len / orig_ctx) / math.log(orig_ctx))
 
         return ModelConfig(
             arch=arch,
@@ -124,17 +146,17 @@ class ModelConfig:
             rope_base=float(md.get(k(Keys.ROPE_FREQ_BASE), 10000.0)),
             rope_dim=rope_dim,
             rope_interleaved=interleaved,
-            context_length=int(md.get(k(Keys.CONTEXT_LENGTH), 4096)),
+            context_length=ctx_len,
             n_experts=int(md.get(k(Keys.EXPERT_COUNT), 0)),
             n_experts_used=int(md.get(k(Keys.EXPERT_USED_COUNT), 0)),
-            rope_scaling_type=str(md.get(k(Keys.ROPE_SCALING_TYPE), "none")),
+            rope_scaling_type=scaling_type,
             rope_scaling_factor=float(md.get(k(Keys.ROPE_SCALING_FACTOR), 1.0)),
             rope_low_freq_factor=float(
                 md.get(f"{arch}.rope.scaling.low_freq_factor", 1.0)),
             rope_high_freq_factor=float(
                 md.get(f"{arch}.rope.scaling.high_freq_factor", 4.0)),
-            rope_orig_ctx=int(
-                md.get(f"{arch}.rope.scaling.original_context_length", 0)),
+            rope_orig_ctx=orig_ctx,
+            rope_attn_factor=attn_factor,
             act=act,
             embedding_scale=embedding_scale,
             attn_scale=attn_scale,

@@ -68,17 +68,23 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
-                base: float, cfg: ModelConfig | None = None
+                base: float, cfg: ModelConfig | None = None,
+                freq_factors: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables: positions (B, T) -> (B, T, rope_dim // 2) f32.
 
     Applies the GGUF rope-scaling metadata when present: "linear"
-    (position/factor) and "llama3" (frequency-dependent wavelength
-    interpolation, the Llama-3.1+ long-context scheme).
+    (position/factor), "llama3" (frequency-dependent wavelength
+    interpolation, the Llama-3.1+ long-context scheme), and "longrope"
+    (phi3: per-dim ``freq_factors`` divide the frequencies and
+    ``cfg.rope_attn_factor`` scales the magnitudes).
     """
     half = rope_dim // 2
     freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
     pos = positions.astype(jnp.float32)
+
+    if freq_factors is not None:     # longrope per-dim extension factors
+        freqs = freqs / freq_factors
 
     if cfg is not None and cfg.rope_scaling_type == "linear" \
             and cfg.rope_scaling_factor > 1.0:
@@ -101,7 +107,11 @@ def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
                                     (1.0 - smooth) * scaled + smooth * freqs))
 
     ang = pos[..., None] * freqs  # (B, T, half)
-    return jnp.cos(ang), jnp.sin(ang)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    if cfg is not None and cfg.rope_attn_factor != 1.0:
+        cos = cos * cfg.rope_attn_factor
+        sin = sin * cfg.rope_attn_factor
+    return cos, sin
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
@@ -369,8 +379,14 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
         x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
 
     positions = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    ff = None
+    if cfg.rope_scaling_type == "longrope":
+        # llama.cpp picks the factor set by configured context vs original
+        use_long = cfg.rope_orig_ctx > 0 and S > cfg.rope_orig_ctx
+        ff = params.get("rope_factors_long" if use_long
+                        else "rope_factors_short")
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_dim,
-                           cfg.rope_base, cfg)
+                           cfg.rope_base, cfg, freq_factors=ff)
 
     # mask (B, T, S): key s visible to query t iff s <= offset + t and s is
     # a written slot (s < offset + T chunk region or pre-existing)

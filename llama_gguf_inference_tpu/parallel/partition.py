@@ -117,16 +117,26 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
         # output head: column-parallel over vocab
         "output": _shard_linear(params["output"], mesh, AXIS_TP, 0),
     }
+    # top-level extras (phi3 rope factor tensors): replicate
+    for key, val in params.items():
+        if key not in out and key != "layers":
+            out[key] = _device_put_tree(val, rep)
+
     layers = []
     for layer in params["layers"]:
         new: dict[str, Any] = {
             "attn_norm": jax.device_put(layer["attn_norm"], rep),
             "ffn_norm": jax.device_put(layer["ffn_norm"], rep),
-            "attn_q": _shard_linear(layer["attn_q"], mesh, AXIS_TP, 0),
-            "attn_k": _shard_linear(layer["attn_k"], mesh, AXIS_TP, 0),
-            "attn_v": _shard_linear(layer["attn_v"], mesh, AXIS_TP, 0),
             "attn_output": _shard_linear(layer["attn_output"], mesh, AXIS_TP, 1),
         }
+        if "attn_qkv" in layer:
+            # phi3 pre-fused QKV: out-axis sharding crosses the q/k/v
+            # boundaries — XLA reshards at the split, correctness intact
+            new["attn_qkv"] = _shard_linear(layer["attn_qkv"], mesh, AXIS_TP, 0)
+        else:
+            new["attn_q"] = _shard_linear(layer["attn_q"], mesh, AXIS_TP, 0)
+            new["attn_k"] = _shard_linear(layer["attn_k"], mesh, AXIS_TP, 0)
+            new["attn_v"] = _shard_linear(layer["attn_v"], mesh, AXIS_TP, 0)
         if "experts" in layer:
             new["ffn_gate_inp"] = _device_put_tree(layer["ffn_gate_inp"], rep)
             tp = mesh.shape[AXIS_TP]
@@ -149,6 +159,9 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
                     }
                     for ex in layer["experts"]
                 ]
+        elif "ffn_gateup" in layer:
+            new["ffn_gateup"] = _shard_linear(layer["ffn_gateup"], mesh, AXIS_TP, 0)
+            new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
         else:
             new["ffn_gate"] = _shard_linear(layer["ffn_gate"], mesh, AXIS_TP, 0)
             new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)

@@ -81,6 +81,10 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         "tok_embd": _load_array(reader, "token_embd.weight", jnp.bfloat16),
         "output_norm": _load_array(reader, "output_norm.weight"),
     }
+    # phi3 longrope per-dim frequency factor tensors
+    for rf in ("rope_factors_long", "rope_factors_short"):
+        if rf + ".weight" in t:
+            params[rf] = _load_array(reader, rf + ".weight")
     if "output.weight" in t:
         params["output"] = _load_linear(reader, "output.weight", mode, cache)
     else:  # tied embeddings
@@ -92,12 +96,16 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         p = f"blk.{i}."
         layer: dict[str, Any] = {
             "attn_norm": _load_array(reader, p + "attn_norm.weight"),
-            "attn_q": _load_linear(reader, p + "attn_q.weight", mode, cache),
-            "attn_k": _load_linear(reader, p + "attn_k.weight", mode, cache),
-            "attn_v": _load_linear(reader, p + "attn_v.weight", mode, cache),
             "attn_output": _load_linear(reader, p + "attn_output.weight", mode, cache),
             "ffn_norm": _load_array(reader, p + "ffn_norm.weight"),
         }
+        if p + "attn_qkv.weight" in t:   # phi3 ships QKV pre-fused
+            layer["attn_qkv"] = _load_linear(reader, p + "attn_qkv.weight",
+                                             mode, cache)
+        else:
+            layer["attn_q"] = _load_linear(reader, p + "attn_q.weight", mode, cache)
+            layer["attn_k"] = _load_linear(reader, p + "attn_k.weight", mode, cache)
+            layer["attn_v"] = _load_linear(reader, p + "attn_v.weight", mode, cache)
         # optional per-arch tensors: Q/K/V biases (qwen2), per-head Q/K
         # norms (qwen3), post-attention/post-FFN norms (gemma2) — presence
         # in the file drives presence in the pytree (models.llama checks)
@@ -111,10 +119,16 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight",
                                                  mode, cache)
             layer["experts"] = _load_experts(reader, p, cfg, mode, cache)
+        elif p + "ffn_gate.weight" not in t:
+            # phi3 ships gate+up pre-fused as a double-height ffn_up
+            layer["ffn_gateup"] = _load_linear(reader, p + "ffn_up.weight",
+                                               mode, cache)
+            layer["ffn_down"] = _load_linear(reader, p + "ffn_down.weight",
+                                             mode, cache)
         else:
             for n in ("ffn_gate", "ffn_up", "ffn_down"):
                 layer[n] = _load_linear(reader, p + f"{n}.weight", mode, cache)
-        if fuse:
+        if fuse and "attn_q" in layer:
             from ..ops.linear import fuse_linears
             qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
             if qkv is not None:
@@ -124,7 +138,7 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
                     layer["attn_qkv_bias"] = jnp.concatenate(
                         [layer.pop("attn_q_bias"), layer.pop("attn_k_bias"),
                          layer.pop("attn_v_bias")])
-            if not cfg.is_moe:
+            if not cfg.is_moe and "ffn_gate" in layer:
                 gu = fuse_linears([layer["ffn_gate"], layer["ffn_up"]])
                 if gu is not None:
                     layer["ffn_gateup"] = gu

@@ -100,7 +100,8 @@ def tokenizer_metadata(hf_dir: str) -> dict:
 
 # HF model_type -> GGUF architecture (llama.cpp convert_hf_to_gguf naming)
 _ARCH_MAP = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
-             "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2"}
+             "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
+             "phi3": "phi3"}
 
 
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
@@ -158,6 +159,16 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
               float(cfg.get("final_logit_softcapping", 30.0)))
         w.add("gemma2.attention.sliding_window",
               int(cfg.get("sliding_window", 4096)))
+    rope_scaling = cfg.get("rope_scaling") or {}
+    rs_type = rope_scaling.get("rope_type") or rope_scaling.get("type")
+    if arch == "phi3":
+        if cfg.get("sliding_window"):
+            w.add("phi3.attention.sliding_window", int(cfg["sliding_window"]))
+        if rs_type == "longrope":
+            orig = int(cfg.get("original_max_position_embeddings",
+                               cfg.get("max_position_embeddings", 4096)))
+            w.add("phi3.rope.scaling.type", "longrope")
+            w.add("phi3.rope.scaling.original_context_length", orig)
     tok_md = tokenizer_metadata(hf_dir)
     for k, v in tok_md.items():
         w.add(k, v)
@@ -174,6 +185,27 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
             print(f"  {name} {tuple(data.shape)} -> {t.name}", file=sys.stderr)
 
     put("token_embd.weight", get("embed_tokens.weight"))
+    if arch == "phi3" and rs_type == "longrope":
+        put("rope_factors_long.weight",
+            np.asarray(rope_scaling["long_factor"], np.float32))
+        put("rope_factors_short.weight",
+            np.asarray(rope_scaling["short_factor"], np.float32))
+    if arch == "phi3":
+        for i in range(n_layers):
+            p, g = f"layers.{i}.", f"blk.{i}."
+            put(g + "attn_norm.weight", get(p + "input_layernorm.weight"))
+            put(g + "attn_qkv.weight", get(p + "self_attn.qkv_proj.weight"))
+            put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
+            put(g + "ffn_norm.weight",
+                get(p + "post_attention_layernorm.weight"))
+            # HF gate_up_proj is [gate; up] — matches ffn_swiglu's split
+            put(g + "ffn_up.weight", get(p + "mlp.gate_up_proj.weight"))
+            put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
+        put("output_norm.weight", get("norm.weight"))
+        if "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"].astype(np.float32))
+        w.write()
+        return
     for i in range(n_layers):
         p = f"layers.{i}."
         g = f"blk.{i}."

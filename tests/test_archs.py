@@ -1,4 +1,4 @@
-"""Multi-architecture support: qwen2 / qwen3 / gemma2 (+ gemma keys).
+"""Multi-architecture support: qwen2 / qwen3 / gemma2 / phi3 (+ gemma keys).
 
 The reference serves any GGUF architecture its llama.cpp backend knows
 (reference ``docs/CONFIGURATION.md:536`` names Qwen explicitly).  Two gates
@@ -99,7 +99,64 @@ def test_gemma2_hf_parity(tmp_path):
     assert got_cfg.act == "gelu_tanh" and got_cfg.embedding_scale == 8.0
 
 
-@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2"])
+def test_phi3_hf_parity(tmp_path):
+    """phi3: fused QKV + fused gate_up, neox rope."""
+    cfg = transformers.Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2)
+    torch.manual_seed(4)
+    model = transformers.Phi3ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "phi3" and not got_cfg.rope_interleaved
+
+
+def test_phi3_longrope_parity(tmp_path):
+    """longrope: per-dim factors + the sqrt(1+ln(f)/ln(orig)) magnitude
+    scale, short factors selected at S <= original context."""
+    half = 8   # head_dim 16
+    short = [1.0 + 0.05 * i for i in range(half)]
+    long = [2.0 + 0.1 * i for i in range(half)]
+    cfg = transformers.Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope", "short_factor": short,
+                      "long_factor": long},
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    torch.manual_seed(5)
+    model = transformers.Phi3ForCausalLM(cfg)
+
+    dst = tmp_path / "converted.gguf"
+    convert(str(_save(model, tmp_path, "hf")), str(dst), dtype="f32",
+            verbose=False)
+    mcfg, params, reader = load_model(dst, mode="dense")
+    reader.close()
+    assert mcfg.rope_scaling_type == "longrope"
+    assert mcfg.rope_orig_ctx == 32
+    import math
+    np.testing.assert_allclose(
+        mcfg.rope_attn_factor, math.sqrt(1 + math.log(2) / math.log(32)))
+    assert "rope_factors_short" in params and "rope_factors_long" in params
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(5, 250, size=(1, 12)).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()[0]
+    # cache S == original ctx -> short factors (HF picks short at init)
+    cache = KVCache.zeros(mcfg, 1, 32)
+    logits, _ = forward(params, mcfg, jnp.asarray(ids.astype(np.int32)),
+                        jnp.zeros(1, jnp.int32), cache,
+                        jnp.full(1, ids.shape[1], jnp.int32))
+    got = np.asarray(logits)[0]
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=0.35)
+
+
+@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2", "phi3"])
 def test_arch_engine_end_to_end(arch, tmp_path):
     """Synthesized GGUF per arch: quant-mode load + engine generate."""
     from llama_gguf_inference_tpu.runtime.engine import (
