@@ -179,7 +179,7 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
 
 def cache_sharding(mesh: Mesh, n_kv_heads: int | None = None,
                    batch: int | None = None) -> NamedSharding:
-    """KV cache leaves (B, S, H, D) per layer: batch over dp, kv heads over
+    """KV cache leaves (B, H, S, D) per layer: batch over dp, kv heads over
     tp.  Axes that don't divide evenly (GQA models have few KV heads) fall
     back to replication on that axis.
     """
@@ -187,15 +187,15 @@ def cache_sharding(mesh: Mesh, n_kv_heads: int | None = None,
                          n_kv_heads % mesh.shape[AXIS_TP] == 0) else None
     b_axis = AXIS_DP if (batch is None or
                          batch % mesh.shape[AXIS_DP] == 0) else None
-    return NamedSharding(mesh, P(b_axis, None, h_axis, None))
+    return NamedSharding(mesh, P(b_axis, h_axis, None, None))
 
 
 def shard_cache(cache, mesh: Mesh, n_kv_heads: int | None = None,
                 batch: int | None = None):
     """Place a KV cache pytree on the mesh, rank-aware per leaf.
 
-    bf16 KVCache leaves are (B, S, H, D); QuantKV scale leaves are
-    (B, S, H) — the per-(token, head) f32 scales — so the PartitionSpec is
+    bf16 KVCache leaves are (B, H, S, D); QuantKV scale leaves are
+    (B, H, S) — the per-(token, head) f32 scales — so the PartitionSpec is
     trimmed to each leaf's rank.
     """
     h_axis = AXIS_TP if (n_kv_heads is None or
@@ -204,7 +204,7 @@ def shard_cache(cache, mesh: Mesh, n_kv_heads: int | None = None,
                          batch % mesh.shape[AXIS_DP] == 0) else None
 
     def put(leaf):
-        spec = (b_axis, None, h_axis, None)[:leaf.ndim]
+        spec = (b_axis, h_axis, None, None)[:leaf.ndim]
         return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(put, cache)

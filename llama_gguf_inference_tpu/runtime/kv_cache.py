@@ -29,18 +29,20 @@ from ..models.config import ModelConfig
 
 
 def _write_at_offsets(buf: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array:
-    """buf (B, S, ...) <- new (B, T, ...) at per-sequence offsets (B,)."""
+    """buf (B, H, S, ...) <- new (B, H, T, ...) at per-sequence offsets (B,)."""
 
     def one(c, n, off):
-        idx = (off,) + (0,) * (c.ndim - 1)
+        idx = (0, off) + (0,) * (c.ndim - 2)
         return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
 
     return jax.vmap(one)(buf, new, offsets)
 
 
 class QuantKV(NamedTuple):
-    """q8 KV per layer: codes (B, S, H, D) int8, scales (B, S, H) f32 —
-    L-tuples (per-layer arrays keep updates in-place; see KVCache)."""
+    """q8 KV per layer: codes (B, H, S, D) int8, scales (B, H, S) f32 —
+    L-tuples (per-layer arrays keep updates in-place; see KVCache).  The
+    (B, H, S, ...) order is the flash kernel's consumption layout (same
+    rationale as KVCache)."""
 
     k_q: tuple
     k_s: tuple
@@ -50,8 +52,8 @@ class QuantKV(NamedTuple):
     @staticmethod
     def zeros(cfg: ModelConfig, batch: int, max_seq: int) -> "QuantKV":
         L, H, D = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
-        qshape = (batch, max_seq, H, D)
-        sshape = (batch, max_seq, H)
+        qshape = (batch, H, max_seq, D)
+        sshape = (batch, H, max_seq)
         return QuantKV(
             k_q=tuple(jnp.zeros(qshape, jnp.int8) for _ in range(L)),
             k_s=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(L)),
@@ -80,11 +82,13 @@ class QuantKV(NamedTuple):
     # -- model-facing API ----------------------------------------------------
     def write(self, layer: int, k: jax.Array, v: jax.Array,
               offsets: jax.Array) -> "QuantKV":
+        """k/v arrive as (B, T, H, D) from the projections; only the tiny
+        T-sized chunk transposes into the cache layout."""
         def ts(t, v_):
             return t[:layer] + (v_,) + t[layer + 1:]
 
-        kq, ks = self.quantize(k)
-        vq, vs = self.quantize(v)
+        kq, ks = self.quantize(k.transpose(0, 2, 1, 3))
+        vq, vs = self.quantize(v.transpose(0, 2, 1, 3))
         return QuantKV(
             k_q=ts(self.k_q, _write_at_offsets(self.k_q[layer], kq, offsets)),
             k_s=ts(self.k_s, _write_at_offsets(self.k_s[layer], ks, offsets)),
@@ -102,4 +106,4 @@ class QuantKV(NamedTuple):
 
     @property
     def max_seq(self) -> int:
-        return self.k_q[0].shape[1]
+        return self.k_q[0].shape[2]

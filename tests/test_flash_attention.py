@@ -43,7 +43,8 @@ def test_flash_matches_naive(T, group_cfg, rng):
 
     want = naive_attention(q, k, v, offsets)
     got = np.asarray(flash_attention(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(q), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
         jnp.asarray(offsets), blk_s=32))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
@@ -54,8 +55,9 @@ def test_flash_offset_zero_single_token(rng):
     q = rng.normal(size=(B, 1, H, D)).astype(np.float32)
     k = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
     v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
-    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
-                                     jnp.asarray(v),
+    got = np.asarray(flash_attention(jnp.asarray(q),
+                                     jnp.asarray(k.transpose(0, 2, 1, 3)),
+                                     jnp.asarray(v.transpose(0, 2, 1, 3)),
                                      jnp.asarray([0], dtype=np.int32),
                                      blk_s=32))
     # attending to exactly one slot -> output == v[0] per kv head
@@ -72,9 +74,10 @@ def test_flash_streaming_multiblock(rng):
     v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
     offsets = np.array([5, 200], np.int32)
     want = naive_attention(q, k, v, offsets)
-    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
-                                     jnp.asarray(v), jnp.asarray(offsets),
-                                     blk_s=32))
+    got = np.asarray(flash_attention(jnp.asarray(q),
+                                     jnp.asarray(k.transpose(0, 2, 1, 3)),
+                                     jnp.asarray(v.transpose(0, 2, 1, 3)),
+                                     jnp.asarray(offsets), blk_s=32))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
@@ -89,13 +92,51 @@ def test_flash_q8_matches_naive(D, rng):
     v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
     offsets = np.array([3, 40], np.int32)
 
-    kq, ks = QuantKV.quantize(jnp.asarray(k))
-    vq, vs = QuantKV.quantize(jnp.asarray(v))
+    # caches live in (B, KVH, S, D) layout
+    kq, ks = QuantKV.quantize(jnp.asarray(k.transpose(0, 2, 1, 3)))
+    vq, vs = QuantKV.quantize(jnp.asarray(v.transpose(0, 2, 1, 3)))
     # reference uses the dequantized cache (isolates kernel error from
     # quantization error)
-    kd = np.asarray(QuantKV.dequantize(kq, ks, jnp.float32))
-    vd = np.asarray(QuantKV.dequantize(vq, vs, jnp.float32))
+    kd = np.asarray(QuantKV.dequantize(kq, ks, jnp.float32)).transpose(0, 2, 1, 3)
+    vd = np.asarray(QuantKV.dequantize(vq, vs, jnp.float32)).transpose(0, 2, 1, 3)
     want = naive_attention(q, kd, vd, offsets)
     got = np.asarray(flash_attention_q8(
         jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(offsets), blk_s=32))
     np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+
+
+@pytest.mark.parametrize("budget,min_groups", [
+    (1, 4),      # starved budget -> HF=1, head axis fully on the grid
+    (8320, 2),   # exactly fits 2 heads at R=8, D=64 -> HF=2, 2 head groups
+])
+def test_flash_partial_head_fold(budget, min_groups, rng, monkeypatch):
+    """Adaptive head folding: when q/out/scratch for all KVH heads exceeds
+    the fold budget (big prefill R), the grid walks KVH//HF head groups.
+    Shrinking the budget forces those paths at test-sized shapes."""
+    import llama_gguf_inference_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "_FOLD_BUDGET", budget)
+    B, T, H, KVH, D, S = 2, 4, 8, 4, 64, 64
+    assert fa._pick_fold(KVH, (H // KVH) * T, D) <= KVH // min_groups
+
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    offsets = np.array([10, 37], np.int32)
+    want = naive_attention(q, k, v, offsets)
+    got = np.asarray(fa.flash_attention(
+        jnp.asarray(q), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
+        jnp.asarray(offsets), blk_s=32))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_flash_feasible_gate():
+    """Decode and bucketed prefill shapes lower; past-budget rows fall back."""
+    from llama_gguf_inference_tpu.ops.flash_attention import flash_feasible
+    assert flash_feasible(1, 4, 8192, 128)        # 8B decode
+    assert flash_feasible(512, 4, 8192, 128)      # bucket-512 prefill, R=2048
+    assert flash_feasible(1024, 4, 8192, 128)     # bucket-1024 prefill, R=4096
+    assert not flash_feasible(4096, 4, 8192, 128) # R=16384: over budget
+    assert not flash_feasible(1, 4, 8191, 128)    # S off block boundary
+    assert not flash_feasible(1, 4, 8192, 96)     # unsupported head_dim

@@ -28,11 +28,13 @@ def test_write_at_offsets(rng):
     v = rng.normal(size=(2, 3, 2, 64)).astype(np.float32)
     cache = cache.write(0, jnp.asarray(k), jnp.asarray(v),
                         jnp.asarray([0, 2], np.int32))
-    kf = np.asarray(cache.k_full(0, jnp.float32))
-    np.testing.assert_allclose(kf[0, 0:3], k[0], atol=0.02, rtol=0.02)
-    np.testing.assert_allclose(kf[1, 2:5], k[1], atol=0.02, rtol=0.02)
-    assert (kf[0, 3:] == 0).all()
-    assert (kf[1, :2] == 0).all()
+    kf = np.asarray(cache.k_full(0, jnp.float32))   # (B, H, S, D) layout
+    np.testing.assert_allclose(kf[0, :, 0:3], k[0].transpose(1, 0, 2),
+                               atol=0.02, rtol=0.02)
+    np.testing.assert_allclose(kf[1, :, 2:5], k[1].transpose(1, 0, 2),
+                               atol=0.02, rtol=0.02)
+    assert (kf[0, :, 3:] == 0).all()
+    assert (kf[1, :, :2] == 0).all()
     # layer 1 untouched
     assert (np.asarray(cache.k_full(1, jnp.float32)) == 0).all()
 

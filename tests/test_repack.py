@@ -62,3 +62,36 @@ def test_compact_and_flat_layouts_agree(gtype, rng, monkeypatch):
         to_quant_linear(repack(raw, gtype, out_f, in_f)).dequantize(np.float32))
     np.testing.assert_array_equal(compact, flat,
                                   err_msg=f"{gtype.name} layout mismatch")
+
+
+def test_loader_embedding_matches_golden(tmp_path):
+    """The loader dequantizes a quantized token_embd via repack + XLA (the
+    numpy golden codec took 200+ s on 8B tables); values must match the
+    golden decode bit-for-bit at f32, and bf16 rounds of it."""
+    import jax.numpy as jnp
+    import numpy as np
+    from llama_gguf_inference_tpu.gguf import GGMLType
+    from llama_gguf_inference_tpu.gguf.reader import GGUFReader
+    from llama_gguf_inference_tpu.runtime.loader import load_model
+    from llama_gguf_inference_tpu.utils.testing import write_tiny_llama
+
+    p = tmp_path / "m.gguf"
+    write_tiny_llama(p, dim=256, n_layers=1, n_heads=4, n_kv_heads=2,
+                     ffn_dim=256, quant=GGMLType.Q4_K)
+    # write_tiny_llama keeps token_embd f32; rewrite it quantized by
+    # quantizing through the tools path instead: simplest is a direct check
+    # on a model whose embedding IS quantized -> use the quantize tool
+    from llama_gguf_inference_tpu.tools.quantize import quantize_file
+    q = tmp_path / "q.gguf"
+    quantize_file(str(p), str(q), "Q4_K_M")
+
+    reader = GGUFReader(q)
+    assert reader.tensors["token_embd.weight"].ggml_type != GGMLType.F32
+    golden = reader.tensor_f32("token_embd.weight")
+    reader.close()
+
+    cfg, params, r2 = load_model(q, mode="quant")
+    r2.close()
+    got = np.asarray(params["tok_embd"].astype(jnp.float32))
+    want = np.asarray(jnp.asarray(golden, jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(got, want)
