@@ -131,6 +131,9 @@ class InferenceEngine:
             from ..parallel.partition import shard_params
             self.mesh = make_mesh(tp=self.ecfg.tp, dp=self.ecfg.dp)
             params = shard_params(params, cfg, self.mesh)
+            # flash kernels run shard_map'd over local head/batch shards
+            from ..ops.flash_attention import set_mesh
+            set_mesh(self.mesh)
         self.params = params
         self.metadata = dict(reader.metadata)
         self.tokenizer: Tokenizer = from_gguf_metadata(reader.metadata)
