@@ -66,9 +66,13 @@ def _tuple_set(t: tuple, i: int, v) -> tuple:
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """Whole product in f32, ONE cast back to x.dtype at the end: ``norm * w``
+    with f32 norm weights would silently promote every downstream activation
+    (q/k/v, ffn, residuals) to f32 — 2x the elementwise bandwidth and 2x the
+    flash kernel's q/out VMEM blocks."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
 
 
 def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
@@ -208,7 +212,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     if quant_kv:
         cache = cache.write(layer_idx, k, v, offsets)
         S = cache.max_seq
-        if flash_ok and _use_flash_attention(B, T, group, KVH, S, hd):
+        if flash_ok and _use_flash_attention(B, T, group, KVH, S, hd, q.dtype.itemsize):
             # quantized cache consumed directly: int8 codes + per-token
             # scales stream into the kernel, dequantized per S-block in
             # VMEM — cache HBM traffic actually halves (VERDICT r1 weak #2)
@@ -227,7 +231,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
                         v=_tuple_set(cache.v, layer_idx, v_cache))
 
     S = k_cache.shape[2]
-    if flash_ok and _use_flash_attention(B, T, group, KVH, S, hd):
+    if flash_ok and _use_flash_attention(B, T, group, KVH, S, hd, q.dtype.itemsize):
         from ..ops.flash_attention import flash_attention
         ctx = flash_attention(q, k_cache, v_cache, offsets)
         ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
@@ -248,7 +252,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
 
 
 def _use_flash_attention(B: int, T: int, group: int, KVH: int, S: int,
-                         head_dim: int) -> bool:
+                         head_dim: int, qbytes: int = 2) -> bool:
     """Pallas flash attention on TPU wherever the kernel can lower the
     shape (adaptive head folding sizes VMEM per shape — see
     ops.flash_attention.flash_feasible); the XLA path covers CPU tests,
@@ -266,7 +270,8 @@ def _use_flash_attention(B: int, T: int, group: int, KVH: int, S: int,
             and not os.environ.get("LGT_FORCE_FLASH")):
         return False
     from ..ops.flash_attention import flash_feasible, flash_sharding_ok
-    return flash_feasible(T, group, S, head_dim) and flash_sharding_ok(B, KVH)
+    return (flash_feasible(T, group, S, head_dim, qbytes)
+            and flash_sharding_ok(B, KVH))
 
 
 def ffn_swiglu(layer: Params, x: jax.Array, act: str = "silu") -> jax.Array:

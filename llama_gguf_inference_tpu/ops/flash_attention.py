@@ -51,12 +51,18 @@ _NEG_INF = -1e30
 
 def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
                 *, T: int, blk_s: int, n_blocks: int, HF: int, R: int,
-                last_needed):
+                last_needed, k_scale=None, v_scale=None):
     """One S-block flash update over the HF kv heads folded into this step.
 
     qv: (HF, R, D) f32 pre-scaled; k_of/v_of: head -> (blk_s, D) f32.
     Scratch rows [h*R, (h+1)*R) carry head h's running (m, l, acc).
     Row r of each head's q is query (g, t) with t = r % T.
+
+    k_scale/v_scale (q8 variant): head -> (1, blk_s) f32 per-token scale
+    ROW vectors, folded in AFTER the dots — ``q.(ks*k) == (q.k)*ks`` per
+    score column and ``p.(vs*v) == (p*vs).v`` per probability column — so
+    the (blk_s, D) code planes never see a per-element multiply and the
+    scales ride the lane axis instead of a 1-lane (blk_s, 1) block.
     """
     @pl.when(s == 0)
     def _():
@@ -76,6 +82,8 @@ def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
             scores = jax.lax.dot_general(
                 qv[h], k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (R, blk_s)
+            if k_scale is not None:
+                scores = scores * k_scale(h)             # row broadcast
             scores = jnp.where(mask, scores, _NEG_INF)
             r0, r1 = h * R, (h + 1) * R
             m_prev = m_ref[r0:r1]
@@ -83,8 +91,9 @@ def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(scores - m_new)
             l_ref[r0:r1] = l_ref[r0:r1] * alpha + p.sum(axis=1, keepdims=True)
+            pv = p * v_scale(h) if v_scale is not None else p
             acc_ref[r0:r1] = acc_ref[r0:r1] * alpha + jax.lax.dot_general(
-                p, v_blk, (((1,), (0,)), ((), ())),
+                pv, v_blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m_ref[r0:r1] = m_new
 
@@ -176,11 +185,17 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
     qr = (q.transpose(0, 2, 1, 3)
           .reshape(B, KVH, group, T, D)
           .reshape(B, KVH, R, D))
-    ksr = ks[..., None]                     # (B, KVH, S, 1) f32 (free reshape)
-    vsr = vs[..., None]
+    # scales travel as (B, KVH, 1, S) ROW vectors: blk_s on the 128-lane
+    # axis — a (blk_s, 1) column block is a 1-useful-lane layout that costs
+    # a relayout per use
+    ksr = ks[:, :, None, :]
+    vsr = vs[:, :, None, :]
 
     def kv_index(b, hg, s, off):
         return (b, hg, jnp.minimum(s, _needed(off, b, T, blk_s, NS)), 0)
+
+    def sc_index(b, hg, s, off):
+        return (b, hg, 0, jnp.minimum(s, _needed(off, b, T, blk_s, NS)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -189,9 +204,9 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
             pl.BlockSpec((1, HF, R, D), lambda b, hg, s, off: (b, hg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HF, blk_s, D), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, blk_s, 1), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HF, 1, blk_s), sc_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HF, blk_s, D), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, blk_s, 1), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HF, 1, blk_s), sc_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, HF, R, D),
                                lambda b, hg, s, off: (b, hg, 0, 0),
@@ -209,20 +224,20 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
         s = pl.program_id(2)
         qv = q_ref[0].astype(jnp.float32) * scale
 
-        # int8 -> f32 via int32 (Mosaic has no direct 8-bit -> float cast),
-        # then per-token scale broadcast over the lane dim
+        # int8 -> f32 via int32 (Mosaic has no direct 8-bit -> float cast);
+        # the per-token scales fold into scores/probs AFTER the dots
         def k_of(h):
-            return (kq_ref[0, h].astype(jnp.int32).astype(jnp.float32)
-                    * ks_ref[0, h])
+            return kq_ref[0, h].astype(jnp.int32).astype(jnp.float32)
 
         def v_of(h):
-            return (vq_ref[0, h].astype(jnp.int32).astype(jnp.float32)
-                    * vs_ref[0, h])
+            return vq_ref[0, h].astype(jnp.int32).astype(jnp.float32)
 
         _flash_step(s, off_ref[b], qv, k_of, v_of,
                     m_sc, l_sc, acc_sc, o_ref,
                     T=T, blk_s=blk_s, n_blocks=NS, HF=HF, R=R,
-                    last_needed=_needed(off_ref, b, T, blk_s, NS))
+                    last_needed=_needed(off_ref, b, T, blk_s, NS),
+                    k_scale=lambda h: ks_ref[0, h],
+                    v_scale=lambda h: vs_ref[0, h])
 
     out = pl.pallas_call(
         kernel,
@@ -238,42 +253,53 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
 
 # Per-core VMEM is 16 MB (v5e); leave headroom for Mosaic's own buffers.
 _VMEM_BUDGET = 12 << 20
-_FOLD_BUDGET = 5 << 20     # q + out + f32 m/l/acc scratch for the folded heads
+_FOLD_BUDGET = 13 << 19    # 6.5 MB: q/out/qv-f32/acc for the folded heads
+                           # (R=4096 prefill rows need 6.3 MB at HF=1)
 
 
-def _fold_bytes(hf: int, R: int, D: int) -> int:
-    """VMEM resident per grid step that scales with folded heads: q block
-    (bf16) + out block (bf16) + f32 acc + f32 m/l scratch rows."""
-    return hf * R * (2 * D + 2 * D + 4 * (D + 2))
+def _fold_bytes(hf: int, R: int, D: int, qb: int = 2) -> int:
+    """VMEM resident per grid step that scales with folded heads: q block +
+    out block (q's dtype, ``qb`` bytes), the f32-converted qv copy (4*D),
+    and the f32 acc + m/l scratch rows.  A prefill that reaches the kernel
+    with f32 activations (qb=4) shrinks the fold rather than blowing the
+    scoped-VMEM budget."""
+    return hf * R * (qb * D + qb * D + 4 * D + 4 * (D + 2))
 
 
-def _pick_fold(KVH: int, R: int, D: int) -> int:
+def _pick_fold(KVH: int, R: int, D: int, qb: int = 2) -> int:
     """Most heads per grid step whose q/out/scratch fits the fold budget.
     Decode (R = group*T small) folds all KVH; big prefill chunks fold fewer
     (round-2 session hit a Mosaic VMEM OOM folding 8 heads at R=2048)."""
     for hf in range(KVH, 1, -1):
-        if KVH % hf == 0 and _fold_bytes(hf, R, D) <= _FOLD_BUDGET:
+        if KVH % hf == 0 and _fold_bytes(hf, R, D, qb) <= _FOLD_BUDGET:
             return hf
     return 1
 
 
-def flash_feasible(T: int, group: int, S: int, head_dim: int) -> bool:
+def flash_feasible(T: int, group: int, S: int, head_dim: int,
+                   qbytes: int = 2) -> bool:
     """True when the kernel can lower this shape: whole-D lane arrays only
     (so D ∈ {64, 128, 256}), S on 128-slot block boundaries, and a single
     head's q/out/scratch within the fold budget (adaptive folding handles
     everything wider)."""
     return (head_dim in (64, 128, 256) and S % 128 == 0
-            and _fold_bytes(1, group * T, head_dim) <= _FOLD_BUDGET)
+            and _fold_bytes(1, group * T, head_dim, qbytes) <= _FOLD_BUDGET)
 
 
 def _pick_blk_s(blk_s: int, S: int, hf: int, R: int, D: int,
-                bytes_per: int) -> int:
-    """Largest block <= blk_s that divides S and keeps double-buffered
-    K+V blocks (hf heads each) plus the fold-resident bytes within the
-    overall VMEM budget."""
-    budget = _VMEM_BUDGET - _fold_bytes(hf, R, D)
+                bytes_per: int, qb: int = 2) -> int:
+    """Largest block <= blk_s that divides S and fits the VMEM budget:
+    double-buffered K+V blocks (hf heads each) plus the f32 scores and p
+    temporaries (R x blk_s each — THE dominant term for prefill rows; a
+    2048-row x 1024-slot block is 8 MB apiece) on top of the fold-resident
+    bytes."""
+    budget = _VMEM_BUDGET - _fold_bytes(hf, R, D, qb)
     blk_s = min(blk_s, S)
-    while blk_s > 128 and (S % blk_s or 4 * hf * blk_s * D * bytes_per > budget):
+
+    def cost(blk):
+        return 4 * hf * blk * D * bytes_per + 2 * R * blk * 4
+
+    while blk_s > 128 and (S % blk_s or cost(blk_s) > budget):
         blk_s //= 2
     if S % blk_s:
         raise ValueError(f"S={S} not divisible by block {blk_s}")
@@ -324,8 +350,9 @@ def flash_sharding_ok(B: int, KVH: int) -> bool:
 def _flash_local(q, k_cache, v_cache, offsets, *, blk_s):
     B, T, H, D = q.shape
     KVH, S = k_cache.shape[1], k_cache.shape[2]
-    HF = _pick_fold(KVH, (H // KVH) * T, D)
-    blk_s = _pick_blk_s(blk_s, S, HF, (H // KVH) * T, D, 2)
+    qb, R = q.dtype.itemsize, (H // KVH) * T
+    HF = _pick_fold(KVH, R, D, qb)
+    blk_s = _pick_blk_s(blk_s, S, HF, R, D, 2, qb)
     cfg = (B, T, H, D, S, KVH, HF, blk_s)
     return _flash_jit(q, k_cache, v_cache, offsets, cfg=cfg)
 
@@ -333,8 +360,9 @@ def _flash_local(q, k_cache, v_cache, offsets, *, blk_s):
 def _flash_q8_local(q, kq, ks, vq, vs, offsets, *, blk_s):
     B, T, H, D = q.shape
     KVH, S = kq.shape[1], kq.shape[2]
-    HF = _pick_fold(KVH, (H // KVH) * T, D)
-    blk_s = _pick_blk_s(blk_s, S, HF, (H // KVH) * T, D, 1)
+    qb, R = q.dtype.itemsize, (H // KVH) * T
+    HF = _pick_fold(KVH, R, D, qb)
+    blk_s = _pick_blk_s(blk_s, S, HF, R, D, 1, qb)
     cfg = (B, T, H, D, S, KVH, HF, blk_s)
     return _flash_q8_jit(q, kq, ks, vq, vs, offsets, cfg=cfg)
 

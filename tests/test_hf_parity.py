@@ -46,6 +46,12 @@ def test_hf_logit_parity(hf_model_dir, tmp_path):
     reader.close()
     assert cfg.n_layers == 2 and cfg.n_kv_heads == 2
 
+    # f32-activation oracle mode: the embedding dtype sets the activation
+    # dtype for the whole graph (rms_norm/matmul/rope preserve x.dtype).
+    # Serving runs bf16 activations; the parity oracle compares f32-vs-f32
+    # against transformers' f32 forward.
+    params["tok_embd"] = params["tok_embd"].astype(jnp.float32)
+
     ids = np.array([[5, 100, 42, 7, 199, 23]], dtype=np.int64)
     with torch.no_grad():
         want = model(torch.from_numpy(ids)).logits.numpy()[0]
