@@ -206,9 +206,31 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
              * (cfg.attn_scale * jnp.sqrt(float(hd)))).astype(q.dtype)
 
     from ..runtime.kv_cache import QuantKV
+    from ..runtime.paged_kv import PagedKV
     group = H // KVH
     flash_ok = cfg.attn_softcap == 0.0 and not sliding
     quant_kv = isinstance(cache, QuantKV)
+    if isinstance(cache, PagedKV):
+        cache = cache.write(layer_idx, k, v, offsets)
+        S = cache.max_seq
+        if flash_ok and _use_flash_attention(B, T, group, KVH, cache.page_s,
+                                             hd, q.dtype.itemsize):
+            from ..ops.flash_attention import flash_attention_paged
+            ctx = flash_attention_paged(q, cache.k[layer_idx],
+                                        cache.v[layer_idx], offsets,
+                                        cache.page_table)
+            ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+            return matmul(layer["attn_output"], ctx), cache
+        k_cache, v_cache = cache.gather(layer_idx)   # XLA fallback view
+        qh = q.reshape(B, T, KVH, group, hd)
+        scores = jnp.einsum("btkgd,bksd->bkgts", qh.astype(jnp.float32),
+                            k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bkgts,bksd->btkgd", probs,
+                         v_cache.astype(jnp.float32))
+        ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+        return matmul(layer["attn_output"], ctx), cache
     if quant_kv:
         cache = cache.write(layer_idx, k, v, offsets)
         S = cache.max_seq

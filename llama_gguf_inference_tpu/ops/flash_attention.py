@@ -251,6 +251,104 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
             .transpose(0, 2, 1, 3))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _flash_paged_jit(q, k_pool, v_pool, offsets, page_table, *, cfg):
+    """Paged variant: pools are (P, KVH, page_s, D); ``page_table`` (B, NP)
+    int32 maps slot b's logical page j to a physical pool page.  Both the
+    per-sequence offsets AND the page table ride scalar prefetch, so each
+    S-block's DMA source address comes from an SMEM table lookup — the
+    TPU shape of a paged-attention gather (no HBM gather op, no copy).
+
+    Logical layout matches the contiguous kernel (grid s walks the
+    sequence), so masking/early-exit are unchanged; only the block index
+    map goes through the table.  ``blk_s`` divides ``page_s`` (VMEM-sized
+    like the contiguous kernel), so a block never straddles pages.
+    """
+    B, T, H, D, KVH, NP, page_s, HF, blk_s = cfg
+    group = H // KVH
+    R = group * T
+    NH = KVH // HF
+    NS = NP * page_s // blk_s
+    per_page = page_s // blk_s
+    scale = 1.0 / (D ** 0.5)
+
+    qr = (q.transpose(0, 2, 1, 3)
+          .reshape(B, KVH, group, T, D)
+          .reshape(B, KVH, R, D))
+
+    def kv_index(b, hg, s, off, pt):
+        sc = jnp.minimum(s, _needed(off, b, T, blk_s, NS))
+        lp = sc // per_page               # logical page
+        # idle slots carry all -1 rows; a -1 block index DMAs out of
+        # bounds and FAULTS the TPU (their output is masked garbage
+        # anyway, so page 0 is fine) — active slots only reach reserved
+        # (>= 0) entries thanks to the ``sc`` clamp
+        return (jnp.maximum(pt[b, lp], 0), hg, sc - lp * per_page, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # offsets, page_table
+        grid=(B, NH, NS),
+        in_specs=[
+            pl.BlockSpec((1, HF, R, D),
+                         lambda b, hg, s, off, pt: (b, hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HF, blk_s, D), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HF, blk_s, D), kv_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HF, R, D),
+                               lambda b, hg, s, off, pt: (b, hg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((HF * R, 1), jnp.float32),
+            pltpu.VMEM((HF * R, 1), jnp.float32),
+            pltpu.VMEM((HF * R, D), jnp.float32),
+        ],
+    )
+
+    def kernel(off_ref, pt_ref, q_ref, k_ref, v_ref, o_ref,
+               m_sc, l_sc, acc_sc):
+        b = pl.program_id(0)
+        s = pl.program_id(2)
+        qv = q_ref[0].astype(jnp.float32) * scale
+        _flash_step(s, off_ref[b], qv,
+                    lambda h: k_ref[0, h].astype(jnp.float32),
+                    lambda h: v_ref[0, h].astype(jnp.float32),
+                    m_sc, l_sc, acc_sc, o_ref,
+                    T=T, blk_s=blk_s, n_blocks=NS, HF=HF, R=R,
+                    last_needed=_needed(off_ref, b, T, blk_s, NS))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), q.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(offsets.astype(jnp.int32), page_table.astype(jnp.int32),
+      qr, k_pool, v_pool)
+
+    return (out.reshape(B, KVH, group, T, D)
+            .reshape(B, H, T, D)
+            .transpose(0, 2, 1, 3))
+
+
+def flash_attention_paged(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                          offsets: jax.Array, page_table: jax.Array,
+                          blk_s: int = 1024) -> jax.Array:
+    """q: (B, T, H, D); pools: (P, KVH, page_s, D); offsets: (B,);
+    page_table: (B, NP) int32 physical page per logical page (entries past
+    a sequence's live pages may be any valid page id — masking hides them).
+    Returns (B, T, H, D)."""
+    B, T, H, D = q.shape
+    KVH, page_s = k_pool.shape[1], k_pool.shape[2]
+    NP = page_table.shape[1]
+    qb, R = q.dtype.itemsize, (H // KVH) * T
+    HF = _pick_fold(KVH, R, D, qb)
+    blk_s = _pick_blk_s(min(blk_s, page_s), page_s, HF, R, D, 2, qb)
+    cfg = (B, T, H, D, KVH, NP, page_s, HF, blk_s)
+    return _flash_paged_jit(q, k_pool, v_pool, offsets, page_table, cfg=cfg)
+
+
 # Per-core VMEM is 16 MB (v5e); leave headroom for Mosaic's own buffers.
 _VMEM_BUDGET = 12 << 20
 _FOLD_BUDGET = 13 << 19    # 6.5 MB: q/out/qv-f32/acc for the folded heads

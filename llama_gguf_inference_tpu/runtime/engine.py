@@ -62,6 +62,12 @@ class EngineConfig:
     multi_step: int = 1                # decode steps fused per dispatch (1 = off)
     tp: int = 1                        # tensor-parallel mesh axis
     dp: int = 1                        # data-parallel mesh axis
+    # "contig": each slot owns a fixed ctx-token region (fastest decode).
+    # "paged": slots share a page pool (ctx * max_slots tokens total) via
+    # per-slot page tables — one request can use far more than ctx when
+    # other slots are idle (llama.cpp unified-KV semantics; SURVEY §7.4).
+    kv_layout: str = "contig"
+    kv_page_size: int = 1024           # paged: tokens per physical page
 
 
 @dataclasses.dataclass
@@ -141,7 +147,21 @@ class InferenceEngine:
         reader.close()
 
         B, S = self.ecfg.max_slots, self.ecfg.ctx
-        if self.ecfg.kv_dtype == "q8_0":
+        self.alloc = None
+        if self.ecfg.kv_layout == "paged":
+            if self.ecfg.kv_dtype == "q8_0":
+                raise ValueError("kv_layout='paged' supports bf16 KV only "
+                                 "(q8_0 paging is a contig-layout feature)")
+            if self.mesh is not None:
+                raise ValueError("kv_layout='paged' does not shard yet; "
+                                 "use the contiguous layout under tp/dp")
+            from .paged_kv import PagedKV, PageAllocator
+            page_s = self.ecfg.kv_page_size
+            pool_pages = max(1, (B * S) // page_s)   # same HBM as contig
+            self.cache = PagedKV.zeros(cfg, B, pool_pages, page_s,
+                                       dtype=self.ecfg.kv_dtype)
+            self.alloc = PageAllocator(pool_pages, B)
+        elif self.ecfg.kv_dtype == "q8_0":
             from .kv_cache import QuantKV
             self.cache = QuantKV.zeros(cfg, B, S)
         else:
@@ -152,6 +172,7 @@ class InferenceEngine:
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
+        self._waiting: list = []       # paged: head-of-line requests awaiting pages
         self._cancelled: set[str] = set()
         self._lock = threading.Lock()
         self._stop_evt = threading.Event()
@@ -295,6 +316,23 @@ class InferenceEngine:
 
         self._prefill_fns = {T: make_prefill(T) for T in self.ecfg.prefill_buckets}
 
+        # paged prefill: no slot slice — writes scatter straight into the
+        # shared pool through the slot's page-table row, and the pools ARE
+        # donated (they are real arrays, not views; the engine rebinds its
+        # cache to the outputs), so chunk writes stay in place
+        def make_prefill_paged(T: int):
+            @partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, cache, tokens, offset, length):
+                logits, cache = forward(params, cfg, tokens, offset[None],
+                                        cache, length[None])
+                idx = jnp.maximum(length - 1, 0)
+                return logits[0, idx, :], cache
+            return prefill
+
+        if self.alloc is not None:
+            self._prefill_fns = {T: make_prefill_paged(T)
+                                 for T in self.ecfg.prefill_buckets}
+
         # mean-pooled embedding over valid positions (for /v1/embeddings)
         def make_embed(T: int):
             @jax.jit
@@ -332,7 +370,7 @@ class InferenceEngine:
             ids = self.tokenizer.encode(prompt)
         else:
             ids = list(prompt)
-        ids = ids[: self.ecfg.ctx - 1]
+        ids = ids[: self.cache.max_seq - 1]
         out: "queue.Queue[GenEvent]" = queue.Queue()
         self._queue.put((rid, ids, params, out))
         return rid, out
@@ -426,6 +464,9 @@ class InferenceEngine:
                                       text="", n_prompt=len(slot.prompt_ids),
                                       n_generated=len(slot.generated)))
                 self._release(b)
+        for item in self._waiting:       # paged head-of-line holdback
+            item[3].put(GenEvent(finished=True, finish_reason="error"))
+        self._waiting = []
         while True:
             try:
                 _, _, _, out = self._queue.get_nowait()
@@ -437,7 +478,7 @@ class InferenceEngine:
         return sum(s.state != "free" for s in self.slots)
 
     def queue_depth(self) -> int:
-        return self._queue.qsize()
+        return self._queue.qsize() + len(self._waiting)
 
     def step(self) -> bool:
         """One scheduler iteration.  Returns True if any work was done."""
@@ -456,7 +497,17 @@ class InferenceEngine:
                                       n_prompt=len(slot.prompt_ids),
                                       n_generated=len(slot.generated)))
                 self._release(b)
-        # drop cancelled requests still waiting in the queue
+        # drop cancelled requests still waiting in the queue (and in the
+        # paged head-of-line holdback)
+        if self._cancelled and self._waiting:
+            keep = []
+            for item in self._waiting:
+                if item[0] in self._cancelled:
+                    self._cancelled.discard(item[0])
+                    item[3].put(GenEvent(finished=True, finish_reason="stop"))
+                else:
+                    keep.append(item)
+            self._waiting = keep
         if self._cancelled:
             pending = []
             while True:
@@ -475,15 +526,52 @@ class InferenceEngine:
         self._cancelled.clear()
 
     # -- admission + prefill -------------------------------------------------
+    def _slot_cap(self, b: int) -> int:
+        """Tokens slot b may hold: its page reservation (paged) or the
+        static per-slot region (contig)."""
+        if self.alloc is not None:
+            return len(self.alloc.owned[b]) * self.ecfg.kv_page_size
+        return self.ecfg.ctx
+
+    def _push_table(self) -> None:
+        """Mirror the host allocator's page table to the device cache."""
+        self.cache = self.cache._replace(
+            page_table=jnp.asarray(self.alloc.table))
+
+    def _next_request(self):
+        if self._waiting:
+            return self._waiting.pop(0)
+        try:
+            return self._queue.get_nowait()
+        except queue.Empty:
+            return None
+
     def _admit(self) -> bool:
         did = False
         for b, slot in enumerate(self.slots):
             if slot.state != "free":
                 continue
-            try:
-                rid, ids, params, out = self._queue.get_nowait()
-            except queue.Empty:
+            item = self._next_request()
+            if item is None:
                 break
+            # provisionally back on the holdback list: a crash anywhere in
+            # admission leaves the request visible to _fail_all instead of
+            # silently lost
+            self._waiting.insert(0, item)
+            rid, ids, params, out = item
+            if self.alloc is not None:
+                # reserve the whole lifetime up front (prompt + max_tokens):
+                # decode then never allocates mid-flight, keeping the step
+                # jitted with a static table
+                need = -(-(len(ids) + params.max_tokens + 1)
+                         // self.ecfg.kv_page_size)
+                need = min(need, self.alloc.table.shape[1])
+                if not self.alloc.reserve(b, need):
+                    # pool exhausted: hold at the head of the line until a
+                    # running request frees its pages
+                    break
+                self._push_table()
+            self._waiting.pop(0)
             slot.state = "prefill"
             slot.request_id = rid
             slot.prompt_ids = ids
@@ -532,9 +620,16 @@ class InferenceEngine:
         slot's cache slice, then sample the first token.  Deterministic given
         (b, ids, sample_state) — the multi-host follower path replays exactly
         this (parallel.multihost).  Returns (token, last-position logits)."""
-        # slice this slot's cache out of the pool (works for both bf16
-        # KVCache and q8_0 QuantKV: all leaves are per-layer (B, S, ...))
-        cache_slice = jax.tree_util.tree_map(lambda a: a[b:b + 1], self.cache)
+        if self.alloc is not None:
+            # paged: prefill a B=1 view (shared pools + this slot's table
+            # row); the pool scatter needs no slice-out or writeback
+            from .paged_kv import PagedKV
+            view = PagedKV(k=self.cache.k, v=self.cache.v,
+                           page_table=self.cache.page_table[b:b + 1])
+        else:
+            # slice this slot's cache out of the pool (works for both bf16
+            # KVCache and q8_0 QuantKV: leaves are per-layer (B, S, ...))
+            view = jax.tree_util.tree_map(lambda a: a[b:b + 1], self.cache)
         pos = 0
         logits_last = None
         while pos < len(ids):
@@ -543,13 +638,18 @@ class InferenceEngine:
             T = self._bucket(chunk)
             tok = np.zeros((1, T), np.int32)
             tok[0, :chunk] = ids[pos:pos + chunk]
-            logits_last, cache_slice = self._prefill_fns[T](
-                self.params, cache_slice, jnp.asarray(tok),
+            logits_last, view = self._prefill_fns[T](
+                self.params, view, jnp.asarray(tok),
                 jnp.int32(pos), jnp.int32(chunk))
             _tr(f"prefill chunk T={T} dispatched")
             pos += chunk
-        self.cache = self._cache_writeback(self.cache, cache_slice,
-                                           jnp.int32(b))
+        if self.alloc is not None:
+            from .paged_kv import PagedKV
+            self.cache = PagedKV(k=view.k, v=view.v,
+                                 page_table=self.cache.page_table)
+        else:
+            self.cache = self._cache_writeback(self.cache, view,
+                                               jnp.int32(b))
         _tr("cache_writeback dispatched")
         tok, self.sample_state = self._sample_one(b, logits_last)
         _tr("admit_sample dispatched")
@@ -593,7 +693,7 @@ class InferenceEngine:
         # per length.  A slot finishing mid-batch just ignores the tail —
         # bounded waste (< n steps) beats recompilation.
         for b in active:
-            if self.ecfg.ctx - self.slots[b].offset - 1 < n:
+            if self._slot_cap(b) - self.slots[b].offset - 1 < n:
                 return 1
         return n
 
@@ -647,7 +747,7 @@ class InferenceEngine:
             if slot.state != "active" or slot.request_id != pend["gen"][b]:
                 return False
             # room for the in-flight steps AND the continuation
-            if slot.offset + 2 * n_steps + 1 >= self.ecfg.ctx:
+            if slot.offset + 2 * n_steps + 1 >= self._slot_cap(b):
                 return False
             if len(slot.generated) + 2 * n_steps > slot.params.max_tokens:
                 return False   # would overshoot max_tokens: don't speculate
@@ -784,7 +884,7 @@ class InferenceEngine:
             finish = "stop"
         elif n_gen >= slot.params.max_tokens:
             finish = "length"
-        elif slot.offset + 1 >= self.ecfg.ctx:
+        elif slot.offset + 1 >= self._slot_cap(b):
             finish = "length"
 
         # UTF-8 boundary holdback: byte-fallback tokens can carry partial
@@ -854,6 +954,9 @@ class InferenceEngine:
         slot.state = "free"
         slot.request_id = ""
         slot.offset = 0
+        if self.alloc is not None:
+            self.alloc.release(b)
+            self._push_table()
 
     # -- health --------------------------------------------------------------
     def stats(self) -> dict:
@@ -866,4 +969,8 @@ class InferenceEngine:
             "total_generated": self.total_generated,
             "total_prompt_tokens": self.total_prompt_tokens,
             "decode_step_ewma_ms": round(self._last_decode_s * 1000, 3),
+            **({"kv_pages_free": self.alloc.free_pages,
+                "kv_pages_total": self.alloc.table.shape[1],
+                "kv_page_size": self.ecfg.kv_page_size}
+               if self.alloc is not None else {}),
         }

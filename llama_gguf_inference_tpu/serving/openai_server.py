@@ -470,6 +470,11 @@ def main() -> None:
             multi_step=int(os.environ.get("MULTI_STEP", 1)),
             tp=int(os.environ.get("TP", 1)),
             dp=int(os.environ.get("DP", 1)),
+            # KV_LAYOUT=paged: slots share one page pool (llama.cpp
+            # unified-KV semantics) — a single request may use the whole
+            # CTX budget when other slots are idle
+            kv_layout=os.environ.get("KV_LAYOUT", "contig").lower(),
+            kv_page_size=int(os.environ.get("KV_PAGE_SIZE", 1024)),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:
