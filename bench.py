@@ -171,13 +171,16 @@ def main() -> None:
         pass
     log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
 
-    # TTFT: 512-token prompts, submit -> first streamed event (warm graphs)
-    long_prompt = list(range(3, 3 + 500))
+    # TTFT: 512-token prompts, submit -> first streamed event (warm graphs).
+    # Each request gets a UNIQUE prompt head so the slot prompt cache can't
+    # skip the prefill — this measures true full-prefill TTFT (the engine's
+    # prefix reuse would otherwise collapse repeats to one decode step).
     ttfts = []
-    for _ in range(int(os.environ.get("BENCH_TTFT_REQS", 3))):
+    for i in range(int(os.environ.get("BENCH_TTFT_REQS", 3))):
+        uniq = [10 + i] + list(range(3, 3 + 499))
         t0 = time.time()
-        gen = eng.generate(long_prompt, SamplingParams(temperature=0.0,
-                                                       max_tokens=2))
+        gen = eng.generate(uniq, SamplingParams(temperature=0.0,
+                                                max_tokens=2))
         next(gen)
         ttfts.append((time.time() - t0) * 1000)
         for _ in gen:

@@ -68,6 +68,11 @@ class EngineConfig:
     # other slots are idle (llama.cpp unified-KV semantics; SURVEY §7.4).
     kv_layout: str = "contig"
     kv_page_size: int = 1024           # paged: tokens per physical page
+    # llama-server-style slot prompt caching: freed slots keep their KV;
+    # admission picks the free slot with the longest common prompt prefix
+    # and prefills only the suffix (big TTFT win for shared system
+    # prompts).  Contig layout only — paged returns pages to the pool.
+    prefix_cache: bool = True
 
 
 @dataclasses.dataclass
@@ -97,6 +102,9 @@ class _Slot:
     utf8_buf: bytes = b""              # held back: incomplete UTF-8 sequence
     started: float = 0.0
     offset: int = 0                    # tokens currently in this slot's cache
+    cached_ids: list[int] = dataclasses.field(default_factory=list)
+    """Tokens whose KV verifiably sit at positions [0, len) of this slot's
+    region — kept across release for prompt-prefix reuse."""
 
 
 def _utf8_split(buf: bytes, flush: bool = False) -> tuple[str, bytes]:
@@ -181,6 +189,7 @@ class InferenceEngine:
         self._pending = None           # in-flight decode dispatch (pipelining)
         self.total_generated = 0
         self.total_prompt_tokens = 0
+        self.total_prefix_reused = 0   # prompt tokens skipped via slot reuse
         # multi-host lockstep hooks (parallel.multihost.MultiHostEngine):
         # fire on host 0 right before the matching device op so followers
         # can replay the identical call sequence
@@ -361,6 +370,14 @@ class InferenceEngine:
 
         self._cache_writeback = cache_writeback
 
+        @jax.jit
+        def cache_slice(pool, b):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, b, 1, axis=0),
+                pool)
+
+        self._cache_slice_fn = cache_slice
+
     # ------------------------------------------------------------- requests
     def submit(self, prompt: str | list[int], params: SamplingParams,
                request_id: str | None = None) -> tuple[str, "queue.Queue[GenEvent]"]:
@@ -419,6 +436,43 @@ class InferenceEngine:
                                             name="engine-loop")
             self._thread.start()
 
+    def warmup_async(self) -> threading.Thread:
+        """Compile every serving graph by pushing synthetic requests through
+        the REAL path (one per prefill bucket, plus enough decode steps to
+        exercise the pipelined multi-step graphs) in a daemon thread.
+
+        First real requests then never hit a Mosaic compile mid-request —
+        the lazy-compile alternative showed as a one-off multi-second (cold
+        persistent cache: multi-minute) TTFT spike on whichever bucket a
+        request touched first.  Readiness is not blocked: the stack serves
+        while warmup drains through the normal queue.  With a warm
+        persistent compile cache the whole pass is a few seconds."""
+        def run():
+            seen = set()
+            try:
+                for i, T in enumerate(self.ecfg.prefill_buckets):
+                    n = max(2, min(T, self._slot_cap_max() // 2))
+                    if n in seen:
+                        continue
+                    seen.add(n)
+                    prompt = [7 + i] + [3 + (j % 50) for j in range(n - 1)]
+                    last = i == len(self.ecfg.prefill_buckets) - 1
+                    mt = max(2, 3 * self.ecfg.multi_step + 2) if last else 2
+                    for _ in self.generate(prompt, SamplingParams(
+                            temperature=0.0, max_tokens=mt)):
+                        pass
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+        t = threading.Thread(target=run, daemon=True, name="engine-warmup")
+        t.start()
+        return t
+
+    def _slot_cap_max(self) -> int:
+        """Largest per-slot token capacity any request could get."""
+        if self.alloc is not None:
+            return self.cache.max_seq
+        return self.ecfg.ctx
+
     def stop(self) -> None:
         self._stop_evt.set()
         if self._thread is not None:
@@ -458,6 +512,8 @@ class InferenceEngine:
     def _fail_all(self, message: str) -> None:
         """Terminate every active + queued request with an error event."""
         self._pending = None
+        for slot in self.slots:
+            slot.cached_ids = []   # cache state unknown after an error
         for b, slot in enumerate(self.slots):
             if slot.state != "free":
                 slot.out.put(GenEvent(finished=True, finish_reason="error",
@@ -546,11 +602,30 @@ class InferenceEngine:
         except queue.Empty:
             return None
 
+    def _reusable_prefix(self, b: int, ids: list[int]) -> int:
+        """Prompt tokens already sitting in slot b's KV (llama-server slot
+        prompt caching).  Capped at len(ids)-1: the final prompt position
+        must always run so its logits exist for first-token sampling."""
+        if not self.ecfg.prefix_cache or self.alloc is not None:
+            return 0
+        cached = self.slots[b].cached_ids
+        n = 0
+        limit = min(len(cached), len(ids) - 1)
+        while n < limit and cached[n] == ids[n]:
+            n += 1
+        return n
+
+    def _pick_slot(self, free: list[int], ids: list[int]) -> int:
+        """Free slot with the longest reusable prompt prefix (first slot
+        wins ties, so behavior without reuse is unchanged)."""
+        return max(free, key=lambda b: (self._reusable_prefix(b, ids), -b))
+
     def _admit(self) -> bool:
         did = False
-        for b, slot in enumerate(self.slots):
-            if slot.state != "free":
-                continue
+        while True:
+            free = [b for b, s in enumerate(self.slots) if s.state == "free"]
+            if not free:
+                break
             item = self._next_request()
             if item is None:
                 break
@@ -559,6 +634,8 @@ class InferenceEngine:
             # silently lost
             self._waiting.insert(0, item)
             rid, ids, params, out = item
+            b = self._pick_slot(free, ids)
+            slot = self.slots[b]
             if self.alloc is not None:
                 # reserve the whole lifetime up front (prompt + max_tokens):
                 # decode then never allocates mid-flight, keeping the step
@@ -627,10 +704,15 @@ class InferenceEngine:
             view = PagedKV(k=self.cache.k, v=self.cache.v,
                            page_table=self.cache.page_table[b:b + 1])
         else:
-            # slice this slot's cache out of the pool (works for both bf16
-            # KVCache and q8_0 QuantKV: leaves are per-layer (B, S, ...))
-            view = jax.tree_util.tree_map(lambda a: a[b:b + 1], self.cache)
-        pos = 0
+            # slice this slot's cache out of the pool in ONE jitted
+            # dispatch (an eager tree_map is 2*n_layers separate device
+            # ops — each a full round trip on the remote relay, ~100+ ms
+            # of admission latency on an 8B model)
+            view = self._cache_slice_fn(self.cache, jnp.int32(b))
+        pos = self._reusable_prefix(b, ids)
+        if pos:
+            self.total_prefix_reused += pos
+            _tr(f"prefix reuse: {pos} tokens")
         logits_last = None
         while pos < len(ids):
             remaining = len(ids) - pos
@@ -663,6 +745,7 @@ class InferenceEngine:
         self.total_prompt_tokens += len(ids)
         tok, logits_last = self._prefill_device(b, ids)
         slot.offset = len(ids)
+        slot.cached_ids = list(ids)
         if slot.params.n_probs > 0:
             # the full logits row is a ~0.5 MB device fetch (a relay round
             # trip) — only pay it when the request asked for logprobs
@@ -954,6 +1037,13 @@ class InferenceEngine:
         slot.state = "free"
         slot.request_id = ""
         slot.offset = 0
+        # keep the slot's KV claim for prompt-prefix reuse: prompt plus all
+        # generated tokens that were FED back (the final token's KV is
+        # never written; speculative mid-burst tails beyond the claim are
+        # overwritten before they can be attended)
+        slot.cached_ids = (slot.prompt_ids + slot.generated[:-1]
+                           if self.ecfg.prefix_cache and self.alloc is None
+                           else [])
         if self.alloc is not None:
             self.alloc.release(b)
             self._push_table()
@@ -968,6 +1058,7 @@ class InferenceEngine:
             "ctx": self.ecfg.ctx,
             "total_generated": self.total_generated,
             "total_prompt_tokens": self.total_prompt_tokens,
+            "prefix_tokens_reused": self.total_prefix_reused,
             "decode_step_ewma_ms": round(self._last_decode_s * 1000, 3),
             **({"kv_pages_free": self.alloc.free_pages,
                 "kv_pages_total": self.alloc.table.shape[1],

@@ -475,6 +475,8 @@ def main() -> None:
             # CTX budget when other slots are idle
             kv_layout=os.environ.get("KV_LAYOUT", "contig").lower(),
             kv_page_size=int(os.environ.get("KV_PAGE_SIZE", 1024)),
+            prefix_cache=os.environ.get("PREFIX_CACHE", "true").lower()
+            not in ("0", "false", "no"),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:
@@ -488,6 +490,11 @@ def main() -> None:
                 engine.run_follower()
                 return
     engine.start()
+    # compile all serving graphs in the background (ENGINE_WARMUP=0 to
+    # skip): first real requests then never pay a Mosaic compile
+    if not mock and os.environ.get("ENGINE_WARMUP", "1").lower() \
+            not in ("0", "false", "no"):
+        engine.warmup_async()
     srv = OpenAIServer(engine)
     print(f"[backend] {engine.model_name} on {srv.cfg.host}:{srv.cfg.port} "
           f"(auth={'on' if srv.cfg.api_key else 'off'})", flush=True)
