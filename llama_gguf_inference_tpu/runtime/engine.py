@@ -289,13 +289,12 @@ class InferenceEngine:
 
         self._make_multi_lp = make_multi_lp
 
-        # admission-tail sampling: broadcast one slot's logits over the
-        # batched sampler and merge only slot b's state mutation, in ONE
-        # jitted dispatch (see _sample_one)
+        # admission-tail sampling body: broadcast one slot's logits over
+        # the batched sampler and merge only slot b's state mutation —
+        # fused INTO the final prefill chunk's graph (see make_prefill)
         B_slots = self.ecfg.max_slots
 
-        @jax.jit
-        def admit_sample(logits_row, st: SampleState, b):
+        def admit_sample_body(logits_row, st: SampleState, b):
             logits = jnp.broadcast_to(logits_row[None, :],
                                       (B_slots, logits_row.shape[0]))
             tok, st2 = sample(logits, st)
@@ -308,39 +307,57 @@ class InferenceEngine:
             )
             return tok[b], merged
 
-        self._admit_sample_fn = admit_sample
+        # Per-bucket prefill DIRECTLY on the donated pool with a traced
+        # slot index: slot slice-out, forward, slice-back (and, for the
+        # final chunk, first-token sampling) all land in ONE dispatch —
+        # the previous slice / chunk / writeback / sample chain cost a
+        # ~30 ms relay round trip per stage of admission latency.
+        # Paged pools skip the slice: writes scatter through the slot's
+        # page-table row.
+        paged = self.alloc is not None
 
-        # per-bucket prefill over a single slot's cache slice.  NO donation:
-        # when max_slots == 1 the slot slice is a whole-array view that jax
-        # aliases to the pool's buffer — donating it would delete the pool.
-        def make_prefill(T: int):
-            @jax.jit
-            def prefill(params, cache_slice: KVCache, tokens, offset, length):
-                # cache_slice buffers (L, 1, S, H, D); tokens (1, T)
-                logits, cache_slice = forward(
-                    params, cfg, tokens, offset[None], cache_slice, length[None])
-                idx = jnp.maximum(length - 1, 0)
-                return logits[0, idx, :], cache_slice
-            return prefill
+        def slot_view(pool, b):
+            if paged:
+                from .paged_kv import PagedKV
+                return PagedKV(k=pool.k, v=pool.v,
+                               page_table=jax.lax.dynamic_slice_in_dim(
+                                   pool.page_table, b, 1, axis=0))
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, b, 1, axis=0),
+                pool)
 
-        self._prefill_fns = {T: make_prefill(T) for T in self.ecfg.prefill_buckets}
+        def slot_merge(pool, view, b):
+            if paged:
+                from .paged_kv import PagedKV
+                return PagedKV(k=view.k, v=view.v,
+                               page_table=pool.page_table)
+            return jax.tree_util.tree_map(
+                lambda p, s: jax.lax.dynamic_update_slice_in_dim(
+                    p, s.astype(p.dtype), b, axis=0), pool, view)
 
-        # paged prefill: no slot slice — writes scatter straight into the
-        # shared pool through the slot's page-table row, and the pools ARE
-        # donated (they are real arrays, not views; the engine rebinds its
-        # cache to the outputs), so chunk writes stay in place
-        def make_prefill_paged(T: int):
+        def make_prefill(T: int, fuse_sample: bool):
             @partial(jax.jit, donate_argnums=(1,))
-            def prefill(params, cache, tokens, offset, length):
-                logits, cache = forward(params, cfg, tokens, offset[None],
-                                        cache, length[None])
+            def prefill(params, pool, b, tokens, offset, length, st):
+                view = slot_view(pool, b)
+                logits, view = forward(params, cfg, tokens, offset[None],
+                                       view, length[None])
+                pool = slot_merge(pool, view, b)
                 idx = jnp.maximum(length - 1, 0)
-                return logits[0, idx, :], cache
+                row = logits[0, idx, :]
+                if not fuse_sample:
+                    return row, pool
+                tok, st = admit_sample_body(row, st, b)
+                return tok, row, st, pool
             return prefill
 
-        if self.alloc is not None:
-            self._prefill_fns = {T: make_prefill_paged(T)
-                                 for T in self.ecfg.prefill_buckets}
+        # non-final chunks are always the LARGEST bucket (the chunk loop
+        # takes full-size bites until the remainder), so only it needs the
+        # plain variant
+        self._prefill_fns = {self.ecfg.prefill_buckets[-1]:
+                             make_prefill(self.ecfg.prefill_buckets[-1],
+                                          fuse_sample=False)}
+        self._prefill_sample_fns = {T: make_prefill(T, fuse_sample=True)
+                                    for T in self.ecfg.prefill_buckets}
 
         # mean-pooled embedding over valid positions (for /v1/embeddings)
         def make_embed(T: int):
@@ -357,26 +374,6 @@ class InferenceEngine:
             return embed
 
         self._embed_fns = {T: make_embed(T) for T in self.ecfg.prefill_buckets}
-
-        # slot-slice writeback after prefill: donate the pool so XLA updates
-        # the slot's slice IN PLACE instead of materializing a whole new
-        # pool per admission (at[b:b+1].set copied every KV leaf — ~0.5 GB
-        # per admission on an 8B/4-slot config; VERDICT r1 weak #4)
-        @partial(jax.jit, donate_argnums=(0,))
-        def cache_writeback(pool, slc, b):
-            return jax.tree_util.tree_map(
-                lambda p, s: jax.lax.dynamic_update_slice_in_dim(
-                    p, s.astype(p.dtype), b, axis=0), pool, slc)
-
-        self._cache_writeback = cache_writeback
-
-        @jax.jit
-        def cache_slice(pool, b):
-            return jax.tree_util.tree_map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, b, 1, axis=0),
-                pool)
-
-        self._cache_slice_fn = cache_slice
 
     # ------------------------------------------------------------- requests
     def submit(self, prompt: str | list[int], params: SamplingParams,
@@ -448,15 +445,20 @@ class InferenceEngine:
         while warmup drains through the normal queue.  With a warm
         persistent compile cache the whole pass is a few seconds."""
         def run():
-            seen = set()
+            big = self.ecfg.prefill_buckets[-1]
+            cap = self._slot_cap_max()
+            # one prompt length per bucket, plus one LONGER than the
+            # largest bucket (when capacity allows): non-final chunks use
+            # the plain (no-sample) prefill variant, which only that
+            # multi-chunk shape compiles
+            lengths = [max(2, min(T, cap // 2))
+                       for T in self.ecfg.prefill_buckets]
+            if cap > big + 64:
+                lengths.append(big + 16)
             try:
-                for i, T in enumerate(self.ecfg.prefill_buckets):
-                    n = max(2, min(T, self._slot_cap_max() // 2))
-                    if n in seen:
-                        continue
-                    seen.add(n)
+                for i, n in enumerate(dict.fromkeys(lengths)):
                     prompt = [7 + i] + [3 + (j % 50) for j in range(n - 1)]
-                    last = i == len(self.ecfg.prefill_buckets) - 1
+                    last = i == len(lengths) - 1
                     mt = max(2, 3 * self.ecfg.multi_step + 2) if last else 2
                     for _ in self.generate(prompt, SamplingParams(
                             temperature=0.0, max_tokens=mt)):
@@ -693,48 +695,37 @@ class InferenceEngine:
         return self.ecfg.prefill_buckets[-1]
 
     def _prefill_device(self, b: int, ids: list[int]):
-        """Device-side admission work for slot b: prefill chunks into the
-        slot's cache slice, then sample the first token.  Deterministic given
-        (b, ids, sample_state) — the multi-host follower path replays exactly
-        this (parallel.multihost).  Returns (token, last-position logits)."""
-        if self.alloc is not None:
-            # paged: prefill a B=1 view (shared pools + this slot's table
-            # row); the pool scatter needs no slice-out or writeback
-            from .paged_kv import PagedKV
-            view = PagedKV(k=self.cache.k, v=self.cache.v,
-                           page_table=self.cache.page_table[b:b + 1])
-        else:
-            # slice this slot's cache out of the pool in ONE jitted
-            # dispatch (an eager tree_map is 2*n_layers separate device
-            # ops — each a full round trip on the remote relay, ~100+ ms
-            # of admission latency on an 8B model)
-            view = self._cache_slice_fn(self.cache, jnp.int32(b))
+        """Device-side admission work for slot b: prefill chunks straight
+        into the slot's region of the donated pool; the FINAL chunk's graph
+        also samples the first token — a single-bucket prompt is ONE
+        dispatch end to end.  Deterministic given (b, ids, sample_state) —
+        the multi-host follower path replays exactly this
+        (parallel.multihost).  Returns (token, last-position logits)."""
         pos = self._reusable_prefix(b, ids)
         if pos:
             self.total_prefix_reused += pos
             _tr(f"prefix reuse: {pos} tokens")
-        logits_last = None
-        while pos < len(ids):
+        bj = jnp.int32(b)
+        while True:
             remaining = len(ids) - pos
             chunk = min(remaining, self.ecfg.prefill_buckets[-1])
+            last = chunk == remaining
             T = self._bucket(chunk)
-            tok = np.zeros((1, T), np.int32)
-            tok[0, :chunk] = ids[pos:pos + chunk]
-            logits_last, view = self._prefill_fns[T](
-                self.params, view, jnp.asarray(tok),
-                jnp.int32(pos), jnp.int32(chunk))
+            tok_arr = np.zeros((1, T), np.int32)
+            tok_arr[0, :chunk] = ids[pos:pos + chunk]
+            if last:
+                tok, logits_last, self.sample_state, self.cache = \
+                    self._prefill_sample_fns[T](
+                        self.params, self.cache, bj, jnp.asarray(tok_arr),
+                        jnp.int32(pos), jnp.int32(chunk), self.sample_state)
+                _tr(f"prefill+sample chunk T={T} dispatched")
+                pos += chunk
+                break
+            _, self.cache = self._prefill_fns[T](
+                self.params, self.cache, bj, jnp.asarray(tok_arr),
+                jnp.int32(pos), jnp.int32(chunk), self.sample_state)
             _tr(f"prefill chunk T={T} dispatched")
             pos += chunk
-        if self.alloc is not None:
-            from .paged_kv import PagedKV
-            self.cache = PagedKV(k=view.k, v=view.v,
-                                 page_table=self.cache.page_table)
-        else:
-            self.cache = self._cache_writeback(self.cache, view,
-                                               jnp.int32(b))
-        _tr("cache_writeback dispatched")
-        tok, self.sample_state = self._sample_one(b, logits_last)
-        _tr("admit_sample dispatched")
         tok = int(tok)
         _tr("first token synced to host")
         return tok, logits_last
@@ -755,14 +746,6 @@ class InferenceEngine:
         self._emit_token(b, tok, tok_lp, top)
         if self.slots[b].state != "free":
             self.slots[b].state = "active"
-
-    def _sample_one(self, b: int, logits_row: jax.Array):
-        """Sample for a single slot using the batched sampler (other rows fed
-        with the same logits but their counts/steps untouched).  Runs as ONE
-        jitted dispatch: the sampler eagerly is dozens of ops, and each
-        eager op is a full round trip on a remote-relay runtime."""
-        return self._admit_sample_fn(logits_row, self.sample_state,
-                                     jnp.int32(b))
 
     # -- batched decode ------------------------------------------------------
     def _multi_steps_viable(self, active: list[int]) -> int:
