@@ -42,7 +42,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_model_path(shape: str) -> str:
+def bench_model_path(shape: str, quant: str = "q4_k") -> str:
     import numpy as np
 
     from llama_gguf_inference_tpu.gguf.constants import GGMLType, Keys
@@ -51,10 +51,15 @@ def bench_model_path(shape: str) -> str:
 
     d = SHAPES[shape]
     path = os.environ.get("BENCH_MODEL",
-                          f"/tmp/bench_llama3_{shape}_q4k.gguf")
+                          f"/tmp/bench_llama3_{shape}_{quant}.gguf")
+    legacy = f"/tmp/bench_llama3_{shape}_q4k.gguf"
+    if quant == "q4_k" and "BENCH_MODEL" not in os.environ \
+            and os.path.exists(legacy):
+        return legacy
     if os.path.exists(path):
         return path
-    log(f"[bench] generating {path} ({shape} Q4_K, one-time)...")
+    wq = GGMLType[quant.upper()]
+    log(f"[bench] generating {path} ({shape} {wq.name}, one-time)...")
     t0 = time.time()
     rng = np.random.default_rng(0)
     head_dim = d["dim"] // d["n_heads"]
@@ -96,20 +101,20 @@ def bench_model_path(shape: str) -> str:
         reps = -(-n // pool.size)
         return np.tile(pool, reps)[:n].reshape(shape_)
 
-    w.add_tensor("token_embd.weight", rand(vocab, d["dim"]), GGMLType.Q4_K)
+    w.add_tensor("token_embd.weight", rand(vocab, d["dim"]), wq)
     for i in range(d["n_layers"]):
         p = f"blk.{i}."
         w.add_tensor(p + "attn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        w.add_tensor(p + "attn_q.weight", rand(d["dim"], d["dim"]), GGMLType.Q4_K)
+        w.add_tensor(p + "attn_q.weight", rand(d["dim"], d["dim"]), wq)
         w.add_tensor(p + "attn_k.weight",
-                     rand(d["n_kv_heads"] * head_dim, d["dim"]), GGMLType.Q4_K)
+                     rand(d["n_kv_heads"] * head_dim, d["dim"]), wq)
         w.add_tensor(p + "attn_v.weight",
-                     rand(d["n_kv_heads"] * head_dim, d["dim"]), GGMLType.Q4_K)
-        w.add_tensor(p + "attn_output.weight", rand(d["dim"], d["dim"]), GGMLType.Q4_K)
+                     rand(d["n_kv_heads"] * head_dim, d["dim"]), wq)
+        w.add_tensor(p + "attn_output.weight", rand(d["dim"], d["dim"]), wq)
         w.add_tensor(p + "ffn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        w.add_tensor(p + "ffn_gate.weight", rand(d["ffn_dim"], d["dim"]), GGMLType.Q4_K)
-        w.add_tensor(p + "ffn_up.weight", rand(d["ffn_dim"], d["dim"]), GGMLType.Q4_K)
-        w.add_tensor(p + "ffn_down.weight", rand(d["dim"], d["ffn_dim"]), GGMLType.Q4_K)
+        w.add_tensor(p + "ffn_gate.weight", rand(d["ffn_dim"], d["dim"]), wq)
+        w.add_tensor(p + "ffn_up.weight", rand(d["ffn_dim"], d["dim"]), wq)
+        w.add_tensor(p + "ffn_down.weight", rand(d["dim"], d["ffn_dim"]), wq)
         if i % 8 == 0:
             log(f"[bench] ... layer {i}/{d['n_layers']} "
                 f"({time.time() - t0:.0f}s)")
@@ -123,7 +128,10 @@ def bench_model_path(shape: str) -> str:
 
 def main() -> None:
     shape = os.environ.get("BENCH_SHAPE", "8b")
-    path = bench_model_path(shape)
+    # BENCH_QUANT=q2_k measures BASELINE config 3 (low-bit K-quant);
+    # default q4_k is config 2
+    quant = os.environ.get("BENCH_QUANT", "q4_k").lower()
+    path = bench_model_path(shape, quant)
 
     import jax
 
@@ -231,7 +239,7 @@ def main() -> None:
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / 20.0, 3),
-        "model": f"llama3-{shape}-q4km-shape",
+        "model": f"llama3-{shape}-{quant}-shape",
         "batch": n_slots,
         "device": str(dev),
         "decode_step_ms": round(step_ms, 2),

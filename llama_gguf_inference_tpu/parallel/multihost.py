@@ -132,6 +132,11 @@ class MultiHostEngine:
     def __init__(self, engine):
         self.engine = engine
         self.B = engine.ecfg.max_slots
+        # prompt-prefix reuse derives the prefill chunk sequence from
+        # leader-only host state (slot.cached_ids); followers never see it
+        # and would replay a DIFFERENT number of globally-sharded prefill
+        # dispatches -> SPMD program mismatch.  Lockstep runs without it.
+        engine.ecfg.prefix_cache = False
         self._bc = _Broadcaster(self.B, engine.ecfg.ctx,
                                 engine.ecfg.prefill_buckets[-1])
         self._embed_q: "queue.Queue[tuple[list[int], queue.Queue]]" = queue.Queue()

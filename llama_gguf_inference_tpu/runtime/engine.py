@@ -156,6 +156,9 @@ class InferenceEngine:
 
         B, S = self.ecfg.max_slots, self.ecfg.ctx
         self.alloc = None
+        if self.ecfg.kv_layout not in ("contig", "paged"):
+            raise ValueError(f"unknown kv_layout {self.ecfg.kv_layout!r} "
+                             "(expected 'contig' or 'paged')")
         if self.ecfg.kv_layout == "paged":
             if self.ecfg.kv_dtype == "q8_0":
                 raise ValueError("kv_layout='paged' supports bf16 KV only "
@@ -455,10 +458,11 @@ class InferenceEngine:
                        for T in self.ecfg.prefill_buckets]
             if cap > big + 64:
                 lengths.append(big + 16)
+            uniq = list(dict.fromkeys(lengths))
             try:
-                for i, n in enumerate(dict.fromkeys(lengths)):
+                for i, n in enumerate(uniq):
                     prompt = [7 + i] + [3 + (j % 50) for j in range(n - 1)]
-                    last = i == len(lengths) - 1
+                    last = i == len(uniq) - 1
                     mt = max(2, 3 * self.ecfg.multi_step + 2) if last else 2
                     for _ in self.generate(prompt, SamplingParams(
                             temperature=0.0, max_tokens=mt)):
@@ -618,9 +622,11 @@ class InferenceEngine:
         return n
 
     def _pick_slot(self, free: list[int], ids: list[int]) -> int:
-        """Free slot with the longest reusable prompt prefix (first slot
-        wins ties, so behavior without reuse is unchanged)."""
-        return max(free, key=lambda b: (self._reusable_prefix(b, ids), -b))
+        """Free slot with the longest reusable prompt prefix; among equal
+        matches, the one whose cached claim is least valuable to evict
+        (llama-server picks idle/unused slots before cached ones)."""
+        return max(free, key=lambda b: (self._reusable_prefix(b, ids),
+                                        -len(self.slots[b].cached_ids), -b))
 
     def _admit(self) -> bool:
         did = False
@@ -785,7 +791,16 @@ class InferenceEngine:
     def _decode_inputs(self, active: list[int]) -> tuple[np.ndarray, np.ndarray]:
         B = self.ecfg.max_slots
         tokens = np.zeros((B, 1), np.int32)
+        # FREE slots still run in the batched step and WRITE KV at their
+        # offset each step; offset 0 would scribble over the cached prompt
+        # prefix kept for reuse (confirmed token corruption).  Park them
+        # just past their claim — _release truncates the claim so even
+        # pipelined continuations (which advance free offsets too) stay
+        # clear of it.  Paged pools are immune (-1 table rows drop writes).
         offsets = np.zeros(B, np.int32)
+        for b, slot in enumerate(self.slots):
+            if slot.state == "free":
+                offsets[b] = len(slot.cached_ids)
         for b in active:
             tokens[b, 0] = self.slots[b].generated[-1]
             offsets[b] = self.slots[b].offset
@@ -1023,8 +1038,12 @@ class InferenceEngine:
         # keep the slot's KV claim for prompt-prefix reuse: prompt plus all
         # generated tokens that were FED back (the final token's KV is
         # never written; speculative mid-burst tails beyond the claim are
-        # overwritten before they can be attended)
-        slot.cached_ids = (slot.prompt_ids + slot.generated[:-1]
+        # overwritten before they can be attended).  Truncated so the free
+        # row's parked decode writes (see _decode_inputs) always land
+        # beyond the claim even when pipelined bursts advance them to the
+        # dynamic-update-slice clamp at ctx - n_steps.
+        claim_cap = max(0, self.ecfg.ctx - self.ecfg.multi_step - 1)
+        slot.cached_ids = ((slot.prompt_ids + slot.generated[:-1])[:claim_cap]
                            if self.ecfg.prefix_cache and self.alloc is None
                            else [])
         if self.alloc is not None:

@@ -87,8 +87,16 @@ class LayoutCache:
             return None
         model_path = Path(model_path)
         base = os.environ.get("LGT_LAYOUT_CACHE_DIR")
-        cache_dir = (Path(base) / (model_path.name + ".lcache") if base
-                     else model_path.with_name(model_path.name + ".lcache"))
+        if base:
+            # key by absolute path, not just basename: two models named
+            # model.gguf in different directories must not share (and
+            # repeatedly clobber) one cache dir
+            import hashlib
+            tag = hashlib.sha256(
+                str(model_path.resolve()).encode()).hexdigest()[:12]
+            cache_dir = Path(base) / f"{model_path.name}.{tag}.lcache"
+        else:
+            cache_dir = model_path.with_name(model_path.name + ".lcache")
         try:
             cache_dir.mkdir(parents=True, exist_ok=True)
             fp = _fingerprint(model_path)

@@ -29,8 +29,11 @@ def test_second_load_hits_cache_and_is_identical(tmp_path, monkeypatch):
 
     cfg1, p1, r1 = load_model(path, mode="quant")
     r1.close()
-    cache_dir = tmp_path / "lc" / "m.gguf.lcache"
-    manifest = cache_dir / "manifest.json"
+    # dir name carries a hash of the model's absolute path (two models
+    # with the same basename must not share a cache dir)
+    dirs = list((tmp_path / "lc").glob("m.gguf.*.lcache"))
+    assert len(dirs) == 1
+    manifest = dirs[0] / "manifest.json"
     assert manifest.exists()
     m = json.loads(manifest.read_text())
     assert m["tensors"], "cache must be populated on first load"
@@ -88,3 +91,24 @@ def test_partial_cache_rebuilds(tmp_path, monkeypatch):
     # no finalize() — simulates a crash; a fresh open sees nothing
     fresh = LayoutCache.open(path)
     assert fresh.get("t") is None
+
+
+def test_same_basename_different_dirs_get_separate_caches(tmp_path, monkeypatch):
+    """Round-2 review finding #5: with LGT_LAYOUT_CACHE_DIR set, two
+    models both named m.gguf must not clobber each other's cache."""
+    monkeypatch.delenv("LGT_LAYOUT_CACHE", raising=False)
+    monkeypatch.setenv("LGT_LAYOUT_CACHE_DIR", str(tmp_path / "lc"))
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        write_tiny_llama(d / "m.gguf", dim=64, n_layers=1, n_heads=4,
+                         n_kv_heads=2, ffn_dim=96, quant=GGMLType.Q4_0)
+        _, _, r = load_model(d / "m.gguf", mode="quant")
+        r.close()
+    dirs = list((tmp_path / "lc").glob("m.gguf.*.lcache"))
+    assert len(dirs) == 2
+    # both caches valid: reload each and confirm manifests persist
+    for sub in ("a", "b"):
+        _, _, r = load_model(tmp_path / sub / "m.gguf", mode="quant")
+        r.close()
+    assert len(list((tmp_path / "lc").glob("m.gguf.*.lcache"))) == 2

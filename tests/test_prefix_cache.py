@@ -2,6 +2,8 @@
 admission picks the best-matching slot, and only the prompt suffix
 prefills.  Token parity with a cold engine is the correctness pin."""
 
+import time
+
 import pytest
 
 from llama_gguf_inference_tpu.runtime.engine import EngineConfig, InferenceEngine
@@ -125,3 +127,43 @@ def test_warmup_async_compiles_and_serves(model):
     # engine still healthy afterwards
     assert _toks(eng, list(range(3, 30)), n=4)
     eng.stop()
+
+
+def test_reuse_after_concurrent_decode_matches_cold(model):
+    """Regression (round-2 review finding #1): while request A decodes,
+    the batched step also writes KV for FREE slot rows; with offsets 0
+    those writes scribbled over slot B's cached prompt prefix, so reusing
+    it produced corrupted tokens.  Free rows now park past their claim."""
+    import threading
+    from llama_gguf_inference_tpu.runtime.engine import (EngineConfig,
+                                                         InferenceEngine)
+
+    pb = list(range(3, 70))
+    pa = list(range(100, 140))
+
+    def run(prefix_on):
+        eng = InferenceEngine(model, EngineConfig(
+            max_slots=2, ctx=128, prefill_buckets=(16, 64), mode="dense",
+            multi_step=4, prefix_cache=prefix_on))
+        eng.start()
+        _toks(eng, pb)                       # B fills a slot, then frees it
+        done = threading.Event()
+
+        def long_a():
+            _toks(eng, pa, n=40)             # A decodes many bursts while
+            done.set()                       # B's slot sits free
+
+        t = threading.Thread(target=long_a)
+        t.start()
+        time.sleep(0.5)                      # let A's decode bursts run
+        out = _toks(eng, pb)                 # resubmit B mid-decode
+        t.join(timeout=120)
+        assert done.is_set()
+        reused = eng.total_prefix_reused
+        eng.stop()
+        return out, reused
+
+    warm, reused = run(True)
+    assert reused >= len(pb) - 1             # the reuse path actually ran
+    cold, _ = run(False)
+    assert warm == cold
