@@ -91,8 +91,10 @@ def native_repack(raw: np.ndarray, fmt: str, out_f: int, in_f: int,
         return RepackedWeight(codes=codes, d=d, sc=None, dmin=None, mn=None,
                               fmt="q8_0", bits=8, sub_size=32, d_size=32,
                               code_bias=0, out_features=out_f, in_features=in_f)
-    from ..quant.repack import compact_scales
-
+    # Hierarchical formats are always emitted COMPACT (the canonical form
+    # quant.repack.rw also produces); the flat device-layout policy is
+    # applied downstream by to_quant_linear / runtime.device_upload via the
+    # bit-exact flatten_repacked relayout.
     if fmt == "q4_k":
         nd = in_f // 256
         codes = np.empty((out_f, in_f // 2), np.uint8)
@@ -100,43 +102,28 @@ def native_repack(raw: np.ndarray, fmt: str, out_f: int, in_f: int,
         dmin = np.empty((out_f, nd), np.float32)
         sc = np.empty((out_f, nd * 8), np.uint8)
         mn = np.empty((out_f, nd * 8), np.uint8)
-        compact = int(compact_scales(bits=4))
         lib.repack_q4_k(_ptr(raw, ctypes.c_uint8), out_f, in_f,
                         _ptr(codes, ctypes.c_uint8), _ptr(d, ctypes.c_float),
                         _ptr(sc, ctypes.c_uint8), _ptr(dmin, ctypes.c_float),
-                        _ptr(mn, ctypes.c_uint8), n_threads, compact)
-        if compact:
-            # the C++ emits the hierarchy natively; keep it (wire density).
-            # NOTE: repack_q4_k writes codes in the TRUE (sub=32, dsz=256)
-            # block-minor order and sc/mn in (s, σ) order — see repack.cpp.
-            return RepackedWeight(codes=codes, d=d, sc=sc, dmin=dmin, mn=mn,
-                                  fmt="q4_k", bits=4, sub_size=32, d_size=256,
-                                  code_bias=0, out_features=out_f,
-                                  in_features=in_f)
-        # flatten hierarchy (see quant/repack.py rw): f32 products, bit-exact
-        s_eff = np.repeat(d, 8, axis=1) * sc.astype(np.float32)
-        m_eff = np.repeat(dmin, 8, axis=1) * mn.astype(np.float32)
-        return RepackedWeight(codes=codes, d=s_eff, sc=None, dmin=m_eff, mn=None,
-                              fmt="q4_k", bits=4, sub_size=32, d_size=32,
-                              code_bias=0, out_features=out_f, in_features=in_f)
+                        _ptr(mn, ctypes.c_uint8), n_threads, 1)
+        # NOTE: repack_q4_k writes codes in the TRUE (sub=32, dsz=256)
+        # block-minor order and sc/mn in (s, σ) order — see repack.cpp.
+        return RepackedWeight(codes=codes, d=d, sc=sc, dmin=dmin, mn=mn,
+                              fmt="q4_k", bits=4, sub_size=32, d_size=256,
+                              code_bias=0, out_features=out_f,
+                              in_features=in_f)
     if fmt == "q6_k":
         nd = in_f // 256
         codes = np.empty((out_f, in_f), np.int8)
         d = np.empty((out_f, nd), np.float32)
         sc = np.empty((out_f, nd * 16), np.int8)
-        compact = int(compact_scales(bits=8))
         lib.repack_q6_k(_ptr(raw, ctypes.c_uint8), out_f, in_f,
                         _ptr(codes, ctypes.c_int8), _ptr(d, ctypes.c_float),
-                        _ptr(sc, ctypes.c_int8), n_threads, compact)
-        if compact:
-            return RepackedWeight(codes=codes, d=d, sc=sc, dmin=None, mn=None,
-                                  fmt="q6_k", bits=8, sub_size=16, d_size=256,
-                                  code_bias=0, out_features=out_f,
-                                  in_features=in_f)
-        s_eff = np.repeat(d, 16, axis=1) * sc.astype(np.float32)
-        return RepackedWeight(codes=codes, d=s_eff, sc=None, dmin=None, mn=None,
-                              fmt="q6_k", bits=8, sub_size=16, d_size=16,
-                              code_bias=0, out_features=out_f, in_features=in_f)
+                        _ptr(sc, ctypes.c_int8), n_threads, 1)
+        return RepackedWeight(codes=codes, d=d, sc=sc, dmin=None, mn=None,
+                              fmt="q6_k", bits=8, sub_size=16, d_size=256,
+                              code_bias=0, out_features=out_f,
+                              in_features=in_f)
     return None
 
 

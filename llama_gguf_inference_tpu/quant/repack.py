@@ -159,22 +159,19 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
         Applies the block-minor element permutation + planar bit packing and
         the matching (s, σ) reorder of per-sub-block scale/min arrays (see
         :func:`block_minor_perm`).
+
+        Hierarchical formats (dsz > sub) are ALWAYS assembled compact — the
+        wire's (super-block f32 d × sub-block int8 sc) hierarchy at near-wire
+        density.  The compact form is canonical: it is what the layout cache
+        persists and what crosses the host→device link (~30% fewer bytes for
+        4-bit formats).  The per-format device layout policy (scale_layout())
+        is applied downstream by :func:`to_quant_linear` /
+        ``runtime.device_upload`` via the bit-exact :func:`flatten_repacked`
+        relayout.
         """
-        # Scale storage (see scale_layout(); default is per-format "auto"):
-        #
-        # - compact: keep the wire's (super-block f32 d × sub-block int8 sc)
-        #   hierarchy; kernels expand on the small (TO, nsub) arrays in VMEM.
-        #   Near wire density (Q4_K 4.75 bits/elem) — wins when the kernel
-        #   is DMA-bound (8-bit-code formats).
-        # - flat: ONE f32 effective scale (+min) per sub-block (6.0 bits).
-        #   Wins when the kernel is VPU-critical (4-bit unpack) — the fsplit
-        #   kernel streams flat q4_k at up to 100% of HBM roofline.
-        #
-        # Both are bit-exact vs quant.numpy_ref: the decode rule computes the
-        # f32 product d*sc either way — compact just defers it to the kernel.
         g = dsz // sub
         nd = I // dsz
-        compact = compact_scales(bits) and g > 1
+        compact = g > 1
         qbm = _to_block_minor(np.asarray(q_logical), sub, dsz if compact else sub)
         if bits == 4:
             codes = _pack4(qbm.astype(np.uint8))
@@ -206,14 +203,16 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
                 code_bias=bias, out_features=O, in_features=I,
             )
 
-        s_eff = np.repeat(d32, g, axis=1)            # natural (σ, s) order
+        # non-hierarchical (g == 1): d is already per-sub-block; fold any
+        # per-sub sc/mn into f32 effective scales (q4_1/q5_1 mins)
+        s_eff = d32
         if sc is not None:
-            s_eff = s_eff * sc.reshape(O, nd * g).astype(np.float32)
+            s_eff = s_eff * sc.reshape(O, nd).astype(np.float32)
         m_eff = None
         if dmin is not None:
-            m_eff = np.repeat(dmin.reshape(O, nd).astype(np.float32), g, axis=1)
+            m_eff = dmin.reshape(O, nd).astype(np.float32)
             if mn is not None:
-                m_eff = m_eff * mn.reshape(O, nd * g).astype(np.float32)
+                m_eff = m_eff * mn.reshape(O, nd).astype(np.float32)
 
         return RepackedWeight(
             codes=codes, d=np.ascontiguousarray(s_eff),
@@ -392,11 +391,62 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
     raise NotImplementedError(f"repack for {t!r}")
 
 
+def flatten_repacked(rp: RepackedWeight) -> RepackedWeight:
+    """Relayout a compact (hierarchical) RepackedWeight to the FLAT layout.
+
+    Bit-exact vs assembling flat directly from the wire: the element
+    permutation between the two block-minor orders is a pure transpose even
+    on the PLANAR-PACKED code bytes (packing pairs elements by their
+    position-within-sub-block t, which the permutation preserves), and the
+    effective scale is the same single IEEE f32 product ``d * sc`` computed
+    per sub-block.  Used host-side by :func:`to_quant_linear`; the device
+    upload path (runtime.device_upload) applies the identical relayout in
+    XLA so only compact bytes cross the host→device link.
+    """
+    if rp.d_size == rp.sub_size:
+        return rp
+    O, I = rp.out_features, rp.in_features
+    g = rp.d_size // rp.sub_size
+    nd = I // rp.d_size
+    # packed code bytes: (t_p, s, σ) -> (t_p, σ, s); t_p indexes the
+    # sub_size*bits//8 byte-rows of a sub-block (== sub_size when bits == 8)
+    groups = rp.sub_size * rp.bits // 8
+    codes = np.ascontiguousarray(
+        rp.codes.reshape(O, groups, g, nd).transpose(0, 1, 3, 2)
+        .reshape(O, groups * nd * g))
+
+    def expand(d_arr, sc_arr):
+        # d: (O, nd) f32; sc: (O, g*nd) in (s, σ) order -> flat (O, nd*g)
+        # effective f32 scale indexed by sub-block σ' = σ*g + s
+        if sc_arr is None:
+            return np.ascontiguousarray(np.repeat(d_arr, g, axis=1))
+        prod = d_arr[:, None, :] * np.asarray(sc_arr).reshape(
+            O, g, nd).astype(np.float32)
+        return np.ascontiguousarray(
+            prod.transpose(0, 2, 1).reshape(O, nd * g))
+
+    d_flat = expand(rp.d, rp.sc)
+    m_flat = None if rp.dmin is None else expand(rp.dmin, rp.mn)
+    return RepackedWeight(
+        codes=codes, d=d_flat, sc=None, dmin=m_flat, mn=None,
+        fmt=rp.fmt, bits=rp.bits, sub_size=rp.sub_size, d_size=rp.sub_size,
+        code_bias=rp.code_bias, out_features=O, in_features=I,
+    )
+
+
 def to_quant_linear(rp: RepackedWeight):
-    """Move repacked host arrays onto device as a QuantLinear pytree."""
+    """Move repacked host arrays onto device as a QuantLinear pytree.
+
+    Applies the per-format device layout policy (see :func:`scale_layout`):
+    hierarchical tensors whose kernels want FLAT scales (4-bit unpack
+    formats under ``auto``) are relayouted host-side first.
+    """
     import jax.numpy as jnp
 
     from ..ops.linear import QuantLinear
+
+    if rp.d_size > rp.sub_size and not compact_scales(rp.bits):
+        rp = flatten_repacked(rp)
 
     return QuantLinear(
         codes=jnp.asarray(rp.codes),

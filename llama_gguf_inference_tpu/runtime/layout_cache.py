@@ -9,16 +9,29 @@ subsequent boots — an 8B model's repack drops from minutes to disk-read
 speed.  (The other cold-start cost, XLA compilation, is covered by the
 persistent jax compilation cache — see InferenceEngine.)
 
-Layout on disk (``<model>.lcache/`` by default):
+v4 layout on disk (``<model>.lcache/`` by default):
 
-    manifest.json     {"version", "fingerprint", "tensors": {name: meta}}
-    <idx>_codes.bin   raw array bytes, np.memmap-able
-    <idx>_d.bin ...
+    manifest.json   {"version", "fingerprint", "tensors": {name: meta}}
+    data.bin        ONE blob: every tensor's arrays appended 64-B aligned,
+                    in load order; meta records (offset, nbytes, dtype,
+                    shape) per array
+
+One blob instead of per-array files because warm boot is dominated by the
+host→device link: ``runtime.device_upload`` memory-maps ``data.bin`` and
+ships multi-hundred-MB *chunks* (consecutive whole tensors) in single
+transfers, carving them into per-tensor arrays on device — no per-array
+dispatch overhead, and sequential disk reads.  Arrays are stored in the
+canonical COMPACT scale layout (quant.repack always emits it), ~30% fewer
+bytes than the flat device layout for 4-bit formats; the flat relayout
+happens on device (or host-side via quant.repack.flatten_repacked).
 
 The manifest is written last (atomic rename), so a crash mid-population
-leaves no valid manifest and the next boot rebuilds.  The fingerprint is a
-fast content check: file size + sha256 of the first and last 4 MiB (full
-hashes of multi-GB files would cost seconds every boot).
+leaves no valid manifest and the next boot rebuilds.  Fresh builds write
+``data.bin.<pid>.tmp`` and rename at finalize; appending to an existing
+valid blob takes an exclusive flock (losers skip cache writes but keep
+reading).  The fingerprint is a fast content check: file size + sha256 of
+the first and last 4 MiB (full hashes of multi-GB files would cost seconds
+every boot).
 
 Env: ``LGT_LAYOUT_CACHE=0`` disables; ``LGT_LAYOUT_CACHE_DIR`` relocates
 (useful when the models volume is read-only).
@@ -26,6 +39,7 @@ Env: ``LGT_LAYOUT_CACHE=0`` disables; ``LGT_LAYOUT_CACHE_DIR`` relocates
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
@@ -36,14 +50,9 @@ import numpy as np
 
 from ..quant.repack import RepackedWeight
 
-_VERSION = 3   # bump when the repacked layout changes (invalidates caches)
+_VERSION = 4   # bump when the repacked layout changes (invalidates caches)
 _PROBE = 4 * 1024 * 1024
-
-
-def _layout_mode() -> str:
-    """Scale-storage mode is part of cache validity (see quant.repack.rw)."""
-    from ..quant.repack import scale_layout
-    return scale_layout()
+_ALIGN = 64
 
 
 def _fingerprint(path: Path) -> str:
@@ -59,7 +68,11 @@ def _fingerprint(path: Path) -> str:
 
 
 class LayoutCache:
-    """Per-model repack cache.  ``get`` returns memmap-backed weights."""
+    """Per-model repack cache over one blob file.
+
+    ``get`` returns memmap-backed weights; ``put`` appends to the active
+    blob; ``entries_in_offset_order`` feeds the bulk device-upload path.
+    """
 
     ARRAYS = ("codes", "d", "sc", "dmin", "mn")
 
@@ -68,16 +81,20 @@ class LayoutCache:
         self.fingerprint = fingerprint
         self.tensors: dict[str, dict] = {}
         self._dirty = False
-        self._next_idx = 0
+        self._blob: Path | None = None       # active blob (reads + appends)
+        self._tmp_blob = False               # blob is a tmp awaiting rename
+        self._fh = None                      # append handle, opened lazily
+        self._append_off = 0
+        self._writable = True
         manifest = cache_dir / "manifest.json"
         if manifest.exists():
             try:
                 m = json.loads(manifest.read_text())
                 if (m.get("version") == _VERSION
-                        and m.get("layout") == _layout_mode()
-                        and m.get("fingerprint") == fingerprint):
+                        and m.get("fingerprint") == fingerprint
+                        and (cache_dir / "data.bin").exists()):
                     self.tensors = m["tensors"]
-                    self._next_idx = m.get("next_idx", len(self.tensors))
+                    self._blob = cache_dir / "data.bin"
             except (json.JSONDecodeError, KeyError, OSError):
                 pass
 
@@ -91,7 +108,6 @@ class LayoutCache:
             # key by absolute path, not just basename: two models named
             # model.gguf in different directories must not share (and
             # repeatedly clobber) one cache dir
-            import hashlib
             tag = hashlib.sha256(
                 str(model_path.resolve()).encode()).hexdigest()[:12]
             cache_dir = Path(base) / f"{model_path.name}.{tag}.lcache"
@@ -105,10 +121,20 @@ class LayoutCache:
         return LayoutCache(cache_dir, fp)
 
     # -- read ---------------------------------------------------------------
+    @property
+    def blob_path(self) -> Path | None:
+        """The file current entries' offsets point into (may be a tmp)."""
+        return self._blob
+
+    def _flush(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+
     def get(self, name: str) -> RepackedWeight | None:
         meta = self.tensors.get(name)
-        if meta is None:
+        if meta is None or self._blob is None:
             return None
+        self._flush()   # entries put() this session must be readable
         arrays: dict[str, np.ndarray | None] = {}
         try:
             for field in self.ARRAYS:
@@ -116,9 +142,10 @@ class LayoutCache:
                 if spec is None:
                     arrays[field] = None
                     continue
-                fname, dtype, shape = spec
-                arrays[field] = np.memmap(self.dir / fname, dtype=np.dtype(dtype),
-                                          mode="r", shape=tuple(shape))
+                off, _nb, dtype, shape = spec
+                arrays[field] = np.memmap(self._blob, dtype=np.dtype(dtype),
+                                          mode="r", offset=off,
+                                          shape=tuple(shape))
         except (OSError, ValueError):
             return None
         return RepackedWeight(
@@ -129,12 +156,60 @@ class LayoutCache:
             out_features=meta["out"], in_features=meta["in"],
         )
 
+    def entries_in_offset_order(self, names) -> list[tuple[str, dict]]:
+        """(name, meta) for ``names``, sorted by first array offset —
+        consecutive entries are physically adjacent in the blob."""
+        self._flush()
+        out = [(n, self.tensors[n]) for n in names if n in self.tensors]
+        out.sort(key=lambda kv: min(
+            spec[0] for spec in kv[1]["arrays"].values() if spec is not None))
+        return out
+
     # -- write --------------------------------------------------------------
+    def _open_for_append(self) -> bool:
+        """Lazily open the blob for appending.  Returns writability."""
+        if self._fh is not None:
+            return True
+        if not self._writable:
+            return False
+        try:
+            if self._blob is not None and not self._tmp_blob:
+                # extend an existing published blob: exclusive lock so two
+                # processes can't interleave appends (loser reads only)
+                fh = open(self._blob, "r+b")
+                try:
+                    fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    fh.close()
+                    self._writable = False
+                    return False
+                fh.seek(0, os.SEEK_END)
+            else:
+                # fresh build: process-private tmp, atomically renamed at
+                # finalize; concurrent builders produce byte-identical blobs
+                # so whichever rename lands last is consistent either way
+                import time
+                for stale in self.dir.glob("*.tmp"):
+                    try:
+                        if stale.stat().st_mtime < time.time() - 3600:
+                            stale.unlink(missing_ok=True)
+                    except OSError:
+                        pass
+                for legacy in self.dir.glob("[0-9][0-9][0-9][0-9]_*.bin"):
+                    legacy.unlink(missing_ok=True)   # pre-v4 per-array files
+                self._blob = self.dir / f"data.bin.{os.getpid()}.tmp"
+                self._tmp_blob = True
+                fh = open(self._blob, "wb")
+            self._fh = fh
+            self._append_off = fh.tell()
+            return True
+        except OSError:
+            self._writable = False
+            return False
+
     def put(self, name: str, rp: RepackedWeight) -> None:
-        if name in self.tensors:
+        if name in self.tensors or not self._open_for_append():
             return
-        idx = self._next_idx
-        self._next_idx += 1
         arrays: dict[str, list | None] = {}
         try:
             for field in self.ARRAYS:
@@ -143,35 +218,55 @@ class LayoutCache:
                     arrays[field] = None
                     continue
                 arr = np.ascontiguousarray(arr)
-                fname = f"{idx:04d}_{field}.bin"
-                arr.tofile(self.dir / fname)
-                arrays[field] = [fname, arr.dtype.str, list(arr.shape)]
+                pad = (-self._append_off) % _ALIGN
+                if pad:
+                    self._fh.write(b"\0" * pad)
+                    self._append_off += pad
+                self._fh.write(arr.tobytes())
+                arrays[field] = [self._append_off, arr.nbytes,
+                                 arr.dtype.str, list(arr.shape)]
+                self._append_off += arr.nbytes
         except OSError:
+            self._writable = False
             return
         self.tensors[name] = dict(
             fmt=rp.fmt, bits=rp.bits, sub_size=rp.sub_size, d_size=rp.d_size,
-            code_bias=rp.code_bias, out=rp.out_features, in_=0,
+            code_bias=rp.code_bias, out=rp.out_features, **{"in": rp.in_features},
+            arrays=arrays,
         )
-        # json key "in" (kept short to match get())
-        self.tensors[name]["in"] = rp.in_features
-        del self.tensors[name]["in_"]
-        self.tensors[name]["arrays"] = arrays
         self._dirty = True
 
     def finalize(self) -> None:
-        """Atomically publish the manifest (call after a full load)."""
+        """Atomically publish the blob + manifest (call after a full load)."""
+        if self._fh is not None:
+            try:
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
+            except OSError:
+                pass
         if not self._dirty:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
             return
-        payload = json.dumps({"version": _VERSION,
-                              "layout": _layout_mode(),
-                              "fingerprint": self.fingerprint,
-                              "next_idx": self._next_idx,
-                              "tensors": self.tensors})
         try:
+            if self._tmp_blob:
+                self._fh.close()
+                self._fh = None
+                os.replace(self._blob, self.dir / "data.bin")
+                self._blob = self.dir / "data.bin"
+                self._tmp_blob = False
+            payload = json.dumps({"version": _VERSION,
+                                  "fingerprint": self.fingerprint,
+                                  "tensors": self.tensors})
             fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
             os.replace(tmp, self.dir / "manifest.json")
         except OSError:
             pass
+        finally:
+            if self._fh is not None:
+                self._fh.close()   # releases the flock
+                self._fh = None
         self._dirty = False

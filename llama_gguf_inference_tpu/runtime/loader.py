@@ -29,21 +29,47 @@ from ..quant.repack import repack, to_quant_linear
 _FLOAT_TYPES = (GGMLType.F32, GGMLType.F16, GGMLType.BF16)
 
 
+class _Pending:
+    """Placeholder for a quant tensor resolved by the bulk device upload.
+
+    ``kind``: "linear" → QuantLinear; "embed" → dequantized bf16 table;
+    "tied_output" → DenseLinear over the (shared) dequantized table.
+    """
+
+    __slots__ = ("name", "kind")
+
+    def __init__(self, name: str, kind: str = "linear"):
+        self.name = name
+        self.kind = kind
+
+
 def _load_linear(reader: GGUFReader, name: str, mode: str,
-                 cache=None) -> LinearWeight:
+                 cache=None) -> LinearWeight | _Pending:
     info = reader.tensors[name]
     out_f, in_f = info.shape  # numpy order (out, in); blocks run along in
     if mode == "dense" or info.ggml_type in _FLOAT_TYPES:
         w = reader.tensor_f32(name)
         return DenseLinear.from_f32(w, dtype=jnp.bfloat16)
     if cache is not None:
-        rp = cache.get(name)
+        rp = None
+        if name not in cache.tensors:
+            rp = repack(reader.tensor_bytes(name), info.ggml_type, out_f, in_f)
+            cache.put(name, rp)            # no-op if another process holds
+        if name in cache.tensors and _bulk_enabled():
+            return _Pending(name)          # shipped in bulk at the end
+        if rp is None:
+            rp = cache.get(name)
         if rp is not None:
             return to_quant_linear(rp)
     rp = repack(reader.tensor_bytes(name), info.ggml_type, out_f, in_f)
     if cache is not None:
         cache.put(name, rp)
     return to_quant_linear(rp)
+
+
+def _bulk_enabled() -> bool:
+    from .device_upload import upload_enabled
+    return upload_enabled()
 
 
 def _load_array(reader: GGUFReader, name: str, dtype=jnp.float32):
@@ -63,6 +89,8 @@ def _load_embedding(reader: GGUFReader, mode: str, cache=None):
     if mode == "dense" or info.ggml_type in _FLOAT_TYPES:
         return _load_array(reader, name, jnp.bfloat16)
     lw = _load_linear(reader, name, mode, cache)
+    if isinstance(lw, _Pending):
+        return _Pending(name, "embed")
     return lw.dequantize(jnp.bfloat16)
 
 
@@ -103,6 +131,8 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             params[rf] = _load_array(reader, rf + ".weight")
     if "output.weight" in t:
         params["output"] = _load_linear(reader, "output.weight", mode, cache)
+    elif isinstance(params["tok_embd"], _Pending):
+        params["output"] = _Pending(params["tok_embd"].name, "tied_output")
     else:  # tied embeddings: reuse the already-dequantized table
         emb = params["tok_embd"]
         params["output"] = DenseLinear(w=emb, out_features=emb.shape[0],
@@ -145,24 +175,68 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         else:
             for n in ("ffn_gate", "ffn_up", "ffn_down"):
                 layer[n] = _load_linear(reader, p + f"{n}.weight", mode, cache)
-        if fuse and "attn_q" in layer:
-            from ..ops.linear import fuse_linears
-            qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
-            if qkv is not None:
-                layer["attn_qkv"] = qkv
-                del layer["attn_q"], layer["attn_k"], layer["attn_v"]
-                if "attn_q_bias" in layer:   # fuse the qwen2 biases too
-                    layer["attn_qkv_bias"] = jnp.concatenate(
-                        [layer.pop("attn_q_bias"), layer.pop("attn_k_bias"),
-                         layer.pop("attn_v_bias")])
-            if not cfg.is_moe and "ffn_gate" in layer:
-                gu = fuse_linears([layer["ffn_gate"], layer["ffn_up"]])
-                if gu is not None:
-                    layer["ffn_gateup"] = gu
-                    del layer["ffn_gate"], layer["ffn_up"]
         layers.append(layer)
     params["layers"] = layers
+    params = _resolve_pending(params, cache)
+    if fuse:
+        for layer in params["layers"]:
+            _fuse_layer(layer, cfg)
     return params
+
+
+def _resolve_pending(params: dict, cache) -> dict:
+    """Substitute _Pending placeholders via ONE bulk device upload.
+
+    All cache-resident quant tensors ship as coalesced blob chunks
+    (runtime.device_upload) instead of per-array transfers — the warm-boot
+    hot path.  Runs before fusion so fuse_linears sees real QuantLinears.
+    """
+    import jax
+
+    is_pending = lambda v: isinstance(v, _Pending)  # noqa: E731
+    names = sorted({x.name for x in jax.tree_util.tree_leaves(
+        params, is_leaf=is_pending) if is_pending(x)})
+    if not names:
+        return params
+    from .device_upload import bulk_upload
+    resolved = bulk_upload(cache, names)
+    embeds: dict[str, Any] = {}
+
+    def sub(x):
+        if not is_pending(x):
+            return x
+        ql = resolved[x.name]
+        if x.kind == "linear":
+            return ql
+        if x.name not in embeds:   # dequantize once, shared by tied output
+            embeds[x.name] = ql.dequantize(jnp.bfloat16)
+        e = embeds[x.name]
+        if x.kind == "embed":
+            return e
+        return DenseLinear(w=e, out_features=e.shape[0],
+                           in_features=e.shape[1])
+
+    return jax.tree_util.tree_map(sub, params, is_leaf=is_pending)
+
+
+def _fuse_layer(layer: dict, cfg: ModelConfig) -> None:
+    """Row-concatenate QKV and gate+up projections in place (exact)."""
+    if "attn_q" not in layer:
+        return
+    from ..ops.linear import fuse_linears
+    qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
+    if qkv is not None:
+        layer["attn_qkv"] = qkv
+        del layer["attn_q"], layer["attn_k"], layer["attn_v"]
+        if "attn_q_bias" in layer:   # fuse the qwen2 biases too
+            layer["attn_qkv_bias"] = jnp.concatenate(
+                [layer.pop("attn_q_bias"), layer.pop("attn_k_bias"),
+                 layer.pop("attn_v_bias")])
+    if not cfg.is_moe and "ffn_gate" in layer:
+        gu = fuse_linears([layer["ffn_gate"], layer["ffn_up"]])
+        if gu is not None:
+            layer["ffn_gateup"] = gu
+            del layer["ffn_gate"], layer["ffn_up"]
 
 
 def _load_experts(reader: GGUFReader, prefix: str, cfg: ModelConfig,
@@ -183,14 +257,24 @@ def _load_experts(reader: GGUFReader, prefix: str, cfg: ModelConfig,
                     ex[n] = DenseLinear.from_f32(w, dtype=jnp.bfloat16)
                 else:
                     ckey = f"{name}#{e}"
-                    rp = cache.get(ckey) if cache is not None else None
+                    rp = None
+                    if cache is not None and ckey not in cache.tensors:
+                        raw = reader.tensor_bytes(name)
+                        per = info.nbytes // n_exp
+                        rp = repack(raw[e * per:(e + 1) * per],
+                                    info.ggml_type, out_f, in_f)
+                        cache.put(ckey, rp)
+                    if (cache is not None and ckey in cache.tensors
+                            and _bulk_enabled()):
+                        ex[n] = _Pending(ckey)
+                        continue
+                    if rp is None and cache is not None:
+                        rp = cache.get(ckey)
                     if rp is None:
                         raw = reader.tensor_bytes(name)
                         per = info.nbytes // n_exp
                         rp = repack(raw[e * per:(e + 1) * per],
                                     info.ggml_type, out_f, in_f)
-                        if cache is not None:
-                            cache.put(ckey, rp)
                     ex[n] = to_quant_linear(rp)
             experts.append(ex)
         return experts
