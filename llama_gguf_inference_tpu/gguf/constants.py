@@ -157,6 +157,14 @@ class Keys:
     TOKENIZER_PAD = "tokenizer.ggml.padding_token_id"
     TOKENIZER_ADD_BOS = "tokenizer.ggml.add_bos_token"
     TOKENIZER_ADD_EOS = "tokenizer.ggml.add_eos_token"
+    # fill-in-the-middle special tokens (llama.cpp /infill endpoint);
+    # modern exports use fim_*, pre-2024 exports prefix/suffix/middle
+    TOKENIZER_FIM_PRE = "tokenizer.ggml.fim_pre_token_id"
+    TOKENIZER_FIM_SUF = "tokenizer.ggml.fim_suf_token_id"
+    TOKENIZER_FIM_MID = "tokenizer.ggml.fim_mid_token_id"
+    TOKENIZER_PREFIX = "tokenizer.ggml.prefix_token_id"
+    TOKENIZER_SUFFIX = "tokenizer.ggml.suffix_token_id"
+    TOKENIZER_MIDDLE = "tokenizer.ggml.middle_token_id"
     CHAT_TEMPLATE = "tokenizer.chat_template"
 
 

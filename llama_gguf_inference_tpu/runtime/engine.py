@@ -1051,6 +1051,23 @@ class InferenceEngine:
             self._push_table()
 
     # -- health --------------------------------------------------------------
+    def slots_info(self) -> list[dict]:
+        """Per-slot scheduler state (llama-server ``GET /slots`` shape:
+        ``state`` 0 = idle, 1 = processing)."""
+        out = []
+        for i, s in enumerate(self.slots):
+            out.append({
+                "id": i,
+                "state": 0 if s.state == "free" else 1,
+                "n_ctx": self.ecfg.ctx,
+                "n_past": s.offset,
+                "n_prompt": len(s.prompt_ids),
+                "n_generated": len(s.generated),
+                "request_id": s.request_id if s.state != "free" else "",
+                "prefix_cached_tokens": len(s.cached_ids),
+            })
+        return out
+
     def stats(self) -> dict:
         return {
             "model": self.model_name,

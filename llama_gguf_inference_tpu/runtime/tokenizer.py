@@ -30,6 +30,10 @@ class SpecialTokens:
     pad_id: int = -1
     add_bos: bool = True
     add_eos: bool = False
+    # fill-in-the-middle ids (llama.cpp /infill); -1 = model has no FIM
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
 
 
 class Tokenizer:
@@ -341,6 +345,12 @@ def from_gguf_metadata(md: Mapping[str, Any]) -> Tokenizer:
         pad_id=int(md.get(Keys.TOKENIZER_PAD, -1)),
         add_bos=bool(md.get(Keys.TOKENIZER_ADD_BOS, model == "llama")),
         add_eos=bool(md.get(Keys.TOKENIZER_ADD_EOS, False)),
+        fim_pre_id=int(md.get(Keys.TOKENIZER_FIM_PRE,
+                              md.get(Keys.TOKENIZER_PREFIX, -1))),
+        fim_suf_id=int(md.get(Keys.TOKENIZER_FIM_SUF,
+                              md.get(Keys.TOKENIZER_SUFFIX, -1))),
+        fim_mid_id=int(md.get(Keys.TOKENIZER_FIM_MID,
+                              md.get(Keys.TOKENIZER_MIDDLE, -1))),
     )
     if model == "llama":
         scores = list(md.get(Keys.TOKENIZER_SCORES, [0.0] * n))

@@ -5,11 +5,15 @@ This is the process that replaces llama.cpp's ``llama-server`` binary
 ``--api-key-file``; SURVEY.md §2.9 lists the endpoint surface).  Endpoints:
 
 - ``POST /v1/chat/completions`` — chat templating + generation, SSE streaming
-- ``POST /v1/completions``       — legacy completions
+- ``POST /v1/completions``       — legacy completions (+ ``/completion`` alias)
 - ``POST /v1/embeddings``        — mean-pooled hidden-state embeddings
 - ``GET  /v1/models``            — the single loaded model
 - ``GET  /health``               — ok / loading status (public, like llama-server)
 - ``GET  /props``                — engine/server properties
+- ``POST /tokenize`` / ``/detokenize`` — vocab round-trips (llama-server native)
+- ``POST /apply-template``       — render the chat template without generating
+- ``GET  /slots``                — per-slot scheduler state
+- ``POST /infill``               — fill-in-the-middle over the model's FIM tokens
 
 Binds to localhost only by default; requires the per-session backend key for
 ``/v1/*`` when configured (the gateway injects it; reference security model
@@ -159,6 +163,16 @@ class OpenAIServer:
                 await self.handle_completions(req, writer)
             elif path == "/v1/embeddings" and req.method == "POST":
                 await self.handle_embeddings(req, writer)
+            elif path == "/tokenize" and req.method == "POST":
+                await self.handle_tokenize(req, writer)
+            elif path == "/detokenize" and req.method == "POST":
+                await self.handle_detokenize(req, writer)
+            elif path == "/apply-template" and req.method == "POST":
+                await self.handle_apply_template(req, writer)
+            elif path == "/slots" and req.method == "GET":
+                await self.handle_slots(writer)
+            elif path == "/infill" and req.method == "POST":
+                await self.handle_infill(req, writer)
             else:
                 await send_error(writer, 404, f"Unknown endpoint {path}",
                                  "invalid_request_error", "not_found")
@@ -204,17 +218,7 @@ class OpenAIServer:
             await send_error(writer, 400, "messages is required",
                              "invalid_request_error", "bad_request")
             return
-        messages = normalize_messages(body["messages"])
-        template = None
-        md = getattr(self.engine, "metadata", None)
-        if md:
-            template = md.get("tokenizer.chat_template")
-        tok = self.engine.tokenizer
-        bos = tok.tokens[tok.special.bos_id] if getattr(tok, "tokens", None) \
-            and tok.special.bos_id >= 0 else "<s>"
-        eos = tok.tokens[tok.special.eos_id] if getattr(tok, "tokens", None) \
-            and tok.special.eos_id >= 0 else "</s>"
-        prompt = render_chat(messages, template, bos, eos)
+        prompt = self._render_prompt(body["messages"])
         params = _params_from_request(body)
         rid = "chatcmpl-" + uuid.uuid4().hex[:24]
         if body.get("stream"):
@@ -269,6 +273,114 @@ class OpenAIServer:
             "model": self.engine.model_name,
             "usage": {"prompt_tokens": total_tokens, "total_tokens": total_tokens},
         }).encode())
+
+    def _render_prompt(self, messages: list) -> str:
+        """Chat-template rendering shared by /v1/chat/completions and
+        /apply-template (GGUF jinja template, chatml fallback)."""
+        msgs = normalize_messages(messages)
+        template = None
+        md = getattr(self.engine, "metadata", None)
+        if md:
+            template = md.get("tokenizer.chat_template")
+        tok = self.engine.tokenizer
+        bos = tok.tokens[tok.special.bos_id] if getattr(tok, "tokens", None) \
+            and tok.special.bos_id >= 0 else "<s>"
+        eos = tok.tokens[tok.special.eos_id] if getattr(tok, "tokens", None) \
+            and tok.special.eos_id >= 0 else "</s>"
+        return render_chat(msgs, template, bos, eos)
+
+    # -- llama-server-native utility endpoints --------------------------------
+    # (the reference proxies ANY path to llama-server — SURVEY §2.1
+    # "passthrough"; these are the non-/v1 endpoints its clients rely on)
+
+    async def handle_tokenize(self, req, writer) -> None:
+        body = self._parse_json(req)
+        if body is None or "content" not in body:
+            await send_error(writer, 400, "content is required",
+                             "invalid_request_error", "bad_request")
+            return
+        tok = self.engine.tokenizer
+        add_special = bool(body.get("add_special", False))
+        ids = tok.encode(str(body["content"]), add_bos=add_special)
+        if body.get("with_pieces"):
+            tokens = [{"id": i, "piece": tok.piece(i)} for i in ids]
+        else:
+            tokens = ids
+        await send_response(writer, 200,
+                            json.dumps({"tokens": tokens}).encode())
+
+    async def handle_detokenize(self, req, writer) -> None:
+        body = self._parse_json(req)
+        if body is None or not isinstance(body.get("tokens"), list):
+            await send_error(writer, 400, "tokens is required",
+                             "invalid_request_error", "bad_request")
+            return
+        tok = self.engine.tokenizer
+        vocab = getattr(tok, "vocab_size", None)
+        try:
+            ids = [int(t) for t in body["tokens"]]
+        except (TypeError, ValueError):
+            await send_error(writer, 400, "tokens must be integers",
+                             "invalid_request_error", "bad_request")
+            return
+        if vocab is not None and any(not 0 <= t < vocab for t in ids):
+            await send_error(writer, 400, "token id out of range",
+                             "invalid_request_error", "bad_request")
+            return
+        await send_response(writer, 200, json.dumps(
+            {"content": tok.decode(ids)}).encode())
+
+    async def handle_apply_template(self, req, writer) -> None:
+        body = self._parse_json(req)
+        if body is None or not isinstance(body.get("messages"), list):
+            await send_error(writer, 400, "messages is required",
+                             "invalid_request_error", "bad_request")
+            return
+        await send_response(writer, 200, json.dumps(
+            {"prompt": self._render_prompt(body["messages"])}).encode())
+
+    async def handle_slots(self, writer) -> None:
+        info = getattr(self.engine, "slots_info", None)
+        slots = info() if callable(info) else []
+        await send_response(writer, 200, json.dumps(slots).encode())
+
+    async def handle_infill(self, req, writer) -> None:
+        """Fill-in-the-middle completion (llama.cpp /infill): PSM order
+        ``<fim_pre> prefix <fim_suf> suffix <fim_mid>`` using the model's
+        FIM special tokens from GGUF metadata."""
+        body = self._parse_json(req)
+        if body is None or "input_prefix" not in body:
+            await send_error(writer, 400, "input_prefix is required",
+                             "invalid_request_error", "bad_request")
+            return
+        tok = self.engine.tokenizer
+        sp = getattr(tok, "special", None)
+        fim_pre = getattr(sp, "fim_pre_id", -1)
+        fim_suf = getattr(sp, "fim_suf_id", -1)
+        fim_mid = getattr(sp, "fim_mid_id", -1)
+        if fim_pre < 0 or fim_suf < 0 or fim_mid < 0:
+            await send_error(writer, 501,
+                             "model has no fill-in-the-middle tokens",
+                             "invalid_request_error", "not_supported")
+            return
+        prefix = str(body.get("input_prefix", ""))
+        suffix = str(body.get("input_suffix", ""))
+        ids = []
+        if sp.bos_id >= 0 and sp.add_bos:
+            ids.append(sp.bos_id)
+        ids += [fim_pre]
+        ids += tok.encode(prefix, add_bos=False)
+        ids += [fim_suf]
+        ids += tok.encode(suffix, add_bos=False)
+        ids += [fim_mid]
+        params = _params_from_request(body)
+        rid = "infill-" + uuid.uuid4().hex[:24]
+        if body.get("stream"):
+            await self._stream(writer, rid, "text_completion", ids, params,
+                               chat=False)
+        else:
+            await self._complete(writer, rid, "text_completion", ids, params,
+                                 chat=False)
 
     # -- generation plumbing -------------------------------------------------
     async def _collect(self, prompt: str, params: SamplingParams):
