@@ -73,6 +73,13 @@ class EngineConfig:
     # and prefills only the suffix (big TTFT win for shared system
     # prompts).  Contig layout only — paged returns pages to the pool.
     prefix_cache: bool = True
+    # speculative decoding (llama-server --model-draft; runtime.speculative):
+    # a small same-vocab draft GGUF proposes spec_tokens greedy tokens per
+    # round, the target verifies them in one K+1-token chunk.  Engaged
+    # per-dispatch when every active slot samples pure greedy; contig KV +
+    # single-device only.
+    draft_model: str = ""
+    spec_tokens: int = 5
 
 
 @dataclasses.dataclass
@@ -180,6 +187,32 @@ class InferenceEngine:
         if self.mesh is not None:
             from ..parallel.partition import shard_cache
             self.cache = shard_cache(self.cache, self.mesh, cfg.n_kv_heads, B)
+        # speculative decoding: load the draft model + its own KV pool
+        self.draft_params = None
+        self.draft_cfg = None
+        self.draft_cache = None
+        self.spec_rounds = 0
+        self.spec_drafted = 0          # draft tokens proposed (host-observed)
+        self.spec_accepted = 0         # draft tokens accepted
+        if self.ecfg.draft_model:
+            if self.mesh is not None:
+                raise ValueError("draft_model does not shard yet; "
+                                 "use single-device (tp=dp=1)")
+            if self.ecfg.kv_layout != "contig":
+                raise ValueError("draft_model requires kv_layout='contig'")
+            dcfg, dparams, dreader = load_model(self.ecfg.draft_model,
+                                                mode=self.ecfg.mode, fuse=True)
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"draft vocab {dcfg.vocab_size} != target {cfg.vocab_size}"
+                    " (speculative decoding needs a shared vocabulary)")
+            dreader.close()
+            self.draft_cfg = dcfg
+            self.draft_params = dparams
+            self.draft_cache = KVCache.zeros(dcfg, B, S)
+            # per-dispatch token budget comparable to multi_step fusion
+            self.spec_rounds = max(1, self.ecfg.multi_step
+                                   // (self.ecfg.spec_tokens + 1))
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
@@ -361,6 +394,31 @@ class InferenceEngine:
                                           fuse_sample=False)}
         self._prefill_sample_fns = {T: make_prefill(T, fuse_sample=True)
                                     for T in self.ecfg.prefill_buckets}
+
+        # speculative decoding: draft-cache prefill (no sampling) + the
+        # fused draft/verify rounds (runtime.speculative)
+        if self.draft_params is not None:
+            dcfg = self.draft_cfg
+
+            def make_draft_prefill(T: int):
+                @partial(jax.jit, donate_argnums=(1,))
+                def dprefill(params, pool, b, tokens, offset, length):
+                    view = jax.tree_util.tree_map(
+                        lambda a: jax.lax.dynamic_slice_in_dim(a, b, 1, axis=0),
+                        pool)
+                    _, view = forward(params, dcfg, tokens, offset[None],
+                                      view, length[None])
+                    return jax.tree_util.tree_map(
+                        lambda p, s: jax.lax.dynamic_update_slice_in_dim(
+                            p, s.astype(p.dtype), b, axis=0), pool, view)
+                return dprefill
+
+            self._draft_prefill_fns = {T: make_draft_prefill(T)
+                                       for T in self.ecfg.prefill_buckets}
+            from .speculative import make_spec_decode
+            self._spec_fn = make_spec_decode(cfg, dcfg, forward,
+                                             self.ecfg.spec_tokens,
+                                             self.spec_rounds)
 
         # mean-pooled embedding over valid positions (for /v1/embeddings)
         def make_embed(T: int):
@@ -732,6 +790,23 @@ class InferenceEngine:
                 jnp.int32(pos), jnp.int32(chunk), self.sample_state)
             _tr(f"prefill chunk T={T} dispatched")
             pos += chunk
+        # draft-cache prefill: the draft model re-processes the WHOLE prompt
+        # (it is ~10x smaller than the target, and the prefix-reuse claim
+        # tracks only the target cache)
+        if self.draft_params is not None and ids:
+            dpos = 0
+            while True:
+                chunk = min(len(ids) - dpos, self.ecfg.prefill_buckets[-1])
+                T = self._bucket(chunk)
+                tok_arr = np.zeros((1, T), np.int32)
+                tok_arr[0, :chunk] = ids[dpos:dpos + chunk]
+                self.draft_cache = self._draft_prefill_fns[T](
+                    self.draft_params, self.draft_cache, bj,
+                    jnp.asarray(tok_arr), jnp.int32(dpos), jnp.int32(chunk))
+                dpos += chunk
+                if dpos >= len(ids):
+                    break
+            _tr("draft prefill dispatched")
         tok = int(tok)
         _tr("first token synced to host")
         return tok, logits_last
@@ -918,6 +993,8 @@ class InferenceEngine:
         active = [b for b, s in enumerate(self.slots) if s.state == "active"]
         if not active:
             return False
+        if self._spec_viable(active):
+            return self._spec_dispatch(active)
         n_steps = self._multi_steps_viable(active)
         want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
         tokens, offsets = self._decode_inputs(active)
@@ -930,6 +1007,76 @@ class InferenceEngine:
             self._drain(pend)
         return True
 
+
+    # -- speculative decoding -------------------------------------------------
+    def _spec_viable(self, active: list[int]) -> bool:
+        """Route this dispatch through draft/verify rounds?  Exactness
+        requires every active slot to sample pure greedy (the verify is a
+        raw argmax); capacity must cover the worst-case advance."""
+        if self.draft_params is None or self._decode_hook is not None:
+            return False
+        if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
+            return False   # stay responsive: admit waiting requests first
+        adv = self.spec_rounds * (self.ecfg.spec_tokens + 1)
+        for b in active:
+            p = self.slots[b].params
+            if (p.temperature > 0.0 or p.n_probs > 0
+                    or p.presence_penalty != 0.0
+                    or p.frequency_penalty != 0.0
+                    or p.repeat_penalty != 1.0):
+                return False
+            if self.slots[b].offset + adv + 1 >= self._slot_cap(b):
+                return False
+        return True
+
+    def _spec_dispatch(self, active: list[int]) -> bool:
+        """One fused draft/verify dispatch; emits 1..rounds*(K+1) tokens
+        per slot.  Synchronous (no pipelining): the rounds themselves
+        amortize the host round trip."""
+        B = self.ecfg.max_slots
+        K = self.ecfg.spec_tokens
+        pending = np.zeros((B, 1), np.int32)
+        prev = np.zeros((B, 1), np.int32)
+        offsets = np.zeros(B, np.int32)
+        for b, slot in enumerate(self.slots):
+            if slot.state == "free":
+                # park free slots past their prefix-cache claim (see
+                # _decode_inputs; _release truncates the claim below the
+                # spec advance bound)
+                offsets[b] = len(slot.cached_ids)
+        for b in active:
+            slot = self.slots[b]
+            seq = slot.prompt_ids + slot.generated
+            pending[b, 0] = seq[-1]
+            prev[b, 0] = seq[-2] if len(seq) >= 2 else seq[-1]
+            offsets[b] = slot.offset
+        _tr(f"spec dispatch rounds={self.spec_rounds} K={K}")
+        t0 = time.monotonic()
+        toks_d, counts_d, self.cache, self.draft_cache = self._spec_fn(
+            self.params, self.draft_params, self.cache, self.draft_cache,
+            jnp.asarray(pending), jnp.asarray(prev), jnp.asarray(offsets))
+        toks, counts = jax.device_get((toks_d, counts_d))
+        _tr("spec fetched")
+        emitted = 0
+        for r in range(self.spec_rounds):
+            for b in active:
+                slot = self.slots[b]
+                if slot.state != "active":
+                    continue   # finished mid-dispatch: drop the tail
+                n = int(counts[r, b])
+                self.spec_drafted += K
+                self.spec_accepted += n - 1
+                for i in range(n):
+                    if slot.state != "active":
+                        break
+                    slot.offset += 1
+                    self._emit_token(b, int(toks[r, b, i]), None, None)
+                    emitted += 1
+        per_slot = max(1, emitted // max(1, len(active)))
+        dt = (time.monotonic() - t0) / per_slot
+        self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
+            if self._last_decode_s else dt
+        return True
 
     def _host_token_stats(self, slot, logits_row, tok: int):
         """First-token logprob/top-k computed host-side (once per request)."""
@@ -1042,13 +1189,21 @@ class InferenceEngine:
         # row's parked decode writes (see _decode_inputs) always land
         # beyond the claim even when pipelined bursts advance them to the
         # dynamic-update-slice clamp at ctx - n_steps.
-        claim_cap = max(0, self.ecfg.ctx - self.ecfg.multi_step - 1)
+        claim_cap = max(0, self.ecfg.ctx - self._max_advance() - 1)
         slot.cached_ids = ((slot.prompt_ids + slot.generated[:-1])[:claim_cap]
                            if self.ecfg.prefix_cache and self.alloc is None
                            else [])
         if self.alloc is not None:
             self.alloc.release(b)
             self._push_table()
+
+    def _max_advance(self) -> int:
+        """Worst-case per-dispatch offset advance (free slots park just
+        past their claim; parked decode/spec writes must stay beyond it)."""
+        adv = self.ecfg.multi_step
+        if self.draft_params is not None:
+            adv = max(adv, self.spec_rounds * (self.ecfg.spec_tokens + 1))
+        return adv
 
     # -- health --------------------------------------------------------------
     def slots_info(self) -> list[dict]:
@@ -1079,6 +1234,11 @@ class InferenceEngine:
             "total_prompt_tokens": self.total_prompt_tokens,
             "prefix_tokens_reused": self.total_prefix_reused,
             "decode_step_ewma_ms": round(self._last_decode_s * 1000, 3),
+            **({"spec_drafted": self.spec_drafted,
+                "spec_accepted": self.spec_accepted,
+                "spec_acceptance": round(
+                    self.spec_accepted / max(1, self.spec_drafted), 4)}
+               if self.draft_params is not None else {}),
             **({"kv_pages_free": self.alloc.free_pages,
                 "kv_pages_total": self.alloc.table.shape[1],
                 "kv_page_size": self.ecfg.kv_page_size}

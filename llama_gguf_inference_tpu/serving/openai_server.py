@@ -589,6 +589,9 @@ def main() -> None:
             kv_page_size=int(os.environ.get("KV_PAGE_SIZE", 1024)),
             prefix_cache=os.environ.get("PREFIX_CACHE", "true").lower()
             not in ("0", "false", "no"),
+            # speculative decoding (llama-server --model-draft equivalent)
+            draft_model=os.environ.get("DRAFT_MODEL", ""),
+            spec_tokens=int(os.environ.get("SPEC_TOKENS", 5)),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:

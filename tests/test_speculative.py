@@ -1,0 +1,148 @@
+"""Speculative decoding (draft/verify) — greedy exactness + fallbacks.
+
+The spec path's emitted tokens must equal the plain engine's greedy
+output: acceptance compares draft proposals against the target's argmax,
+so a WRONG draft can only lower throughput, never change tokens.
+"""
+
+import pytest
+
+from llama_gguf_inference_tpu.gguf.constants import GGMLType
+from llama_gguf_inference_tpu.runtime.engine import EngineConfig, InferenceEngine
+from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+from llama_gguf_inference_tpu.utils.testing import write_tiny_llama
+
+DIM = dict(dim=64, n_layers=2, n_heads=4, n_kv_heads=2, ffn_dim=96)
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    d = tmp_path_factory.mktemp("spec")
+    target = d / "target.gguf"
+    draft = d / "draft.gguf"
+    write_tiny_llama(target, **DIM, quant=GGMLType.Q4_0, seed=0)
+    write_tiny_llama(draft, **DIM, seed=7)   # different weights, same vocab
+    return str(target), str(draft)
+
+
+def _tokens(engine, prompt, n=24, **kw):
+    p = SamplingParams(temperature=0.0, max_tokens=n, **kw)
+    return [ev.token_id for ev in engine.generate(prompt, p)
+            if ev.token_id >= 0]
+
+
+def _mk(target, draft="", **kw):
+    cfg = EngineConfig(max_slots=2, ctx=128, prefill_buckets=(16, 32),
+                       mode="quant", draft_model=draft, spec_tokens=3,
+                       multi_step=kw.pop("multi_step", 8), **kw)
+    eng = InferenceEngine(target, cfg)
+    eng.start()
+    return eng
+
+
+def test_spec_greedy_matches_plain_engine(models):
+    target, draft = models
+    plain = _mk(target)
+    spec = _mk(target, draft)
+    try:
+        prompt = list(range(5, 25))
+        want = _tokens(plain, prompt)
+        got = _tokens(spec, prompt)
+        assert got == want
+        st = spec.stats()
+        assert st["spec_drafted"] > 0
+        assert 0.0 <= st["spec_acceptance"] <= 1.0
+    finally:
+        plain.stop(); spec.stop()
+
+
+def test_spec_self_draft_accepts_most(models):
+    """Draft == target: acceptance should be near-total (fp chunk-vs-step
+    divergence on exact ties is the only escape hatch)."""
+    target, _ = models
+    spec = _mk(target, target)
+    try:
+        _tokens(spec, list(range(3, 19)), n=30)
+        st = spec.stats()
+        assert st["spec_acceptance"] > 0.9
+    finally:
+        spec.stop()
+
+
+def test_spec_multi_slot_parity(models):
+    target, draft = models
+    plain = _mk(target)
+    spec = _mk(target, draft)
+    try:
+        p1, p2 = list(range(5, 21)), list(range(40, 50))
+        want1, want2 = _tokens(plain, p1), _tokens(plain, p2)
+        # concurrent submission: both decode in one spec batch
+        params = SamplingParams(temperature=0.0, max_tokens=24)
+        r1, q1 = spec.submit(p1, params)
+        r2, q2 = spec.submit(p2, params)
+
+        def drain(q):
+            out = []
+            while True:
+                ev = q.get(timeout=300)
+                if ev.token_id >= 0:
+                    out.append(ev.token_id)
+                if ev.finished:
+                    return out
+        got1, got2 = drain(q1), drain(q2)
+        assert got1 == want1 and got2 == want2
+    finally:
+        plain.stop(); spec.stop()
+
+
+def test_spec_engine_falls_back_for_sampling(models):
+    """Non-greedy requests bypass the spec path and still match the plain
+    engine's seeded sampling."""
+    target, draft = models
+    plain = _mk(target)
+    spec = _mk(target, draft)
+    try:
+        prompt = list(range(5, 15))
+        kw = dict(temperature=0.8, seed=42)
+        want = [ev.token_id for ev in plain.generate(
+            prompt, SamplingParams(max_tokens=12, **kw)) if ev.token_id >= 0]
+        got = [ev.token_id for ev in spec.generate(
+            prompt, SamplingParams(max_tokens=12, **kw)) if ev.token_id >= 0]
+        assert got == want
+        assert spec.stats()["spec_drafted"] == 0
+    finally:
+        plain.stop(); spec.stop()
+
+
+def test_spec_respects_max_tokens_and_eog(models):
+    target, draft = models
+    spec = _mk(target, draft)
+    try:
+        toks = _tokens(spec, list(range(5, 15)), n=7)
+        assert len(toks) == 7   # rounds overshoot is dropped, not emitted
+    finally:
+        spec.stop()
+
+
+def test_spec_near_capacity_falls_back(models):
+    """No room for a full spec advance -> the dispatch routes through the
+    plain decode path instead of overrunning the slot region."""
+    target, draft = models
+    cfg = EngineConfig(max_slots=1, ctx=48, prefill_buckets=(16, 32),
+                       mode="quant", draft_model=draft, spec_tokens=3,
+                       multi_step=8)
+    eng = InferenceEngine(target, cfg)
+    eng.start()
+    try:
+        toks = _tokens(eng, list(range(5, 25)), n=500)
+        assert toks  # finishes via length without error
+    finally:
+        eng.stop()
+
+
+def test_spec_requires_contig_kv(models):
+    target, draft = models
+    with pytest.raises(ValueError, match="contig"):
+        InferenceEngine(target, EngineConfig(
+            max_slots=1, ctx=64, prefill_buckets=(16,), mode="quant",
+            draft_model=draft, kv_layout="paged"))
