@@ -80,6 +80,11 @@ class EngineConfig:
     # single-device only.
     draft_model: str = ""
     spec_tokens: int = 5
+    # draft-free speculation (llama.cpp "lookup decoding"): propose the
+    # continuation after the most recent historical occurrence of the
+    # current bigram — zero extra weight traffic, strong on repetitive
+    # output.  Ignored when draft_model is set.
+    spec_ngram: bool = False
 
 
 @dataclasses.dataclass
@@ -112,6 +117,11 @@ class _Slot:
     cached_ids: list[int] = dataclasses.field(default_factory=list)
     """Tokens whose KV verifiably sit at positions [0, len) of this slot's
     region — kept across release for prompt-prefix reuse."""
+    hist_upto: int = 0                 # ngram: device history valid [0, n)
+
+
+_HIST_PAD = 2048       # ngram history slack: sync chunk + in-scan writes
+_HIST_CHUNK = 256      # host->device history sync granularity
 
 
 def _utf8_split(buf: bytes, flush: bool = False) -> tuple[str, bytes]:
@@ -187,19 +197,26 @@ class InferenceEngine:
         if self.mesh is not None:
             from ..parallel.partition import shard_cache
             self.cache = shard_cache(self.cache, self.mesh, cfg.n_kv_heads, B)
-        # speculative decoding: load the draft model + its own KV pool
+        # speculative decoding: draft-model or n-gram-lookup proposals
         self.draft_params = None
         self.draft_cfg = None
         self.draft_cache = None
+        self.hist = None               # (B, S+pad) token history (ngram mode)
+        self.spec_mode = ""
         self.spec_rounds = 0
         self.spec_drafted = 0          # draft tokens proposed (host-observed)
         self.spec_accepted = 0         # draft tokens accepted
-        if self.ecfg.draft_model:
+        if self.ecfg.draft_model or self.ecfg.spec_ngram:
+            what = "draft_model" if self.ecfg.draft_model else "spec_ngram"
             if self.mesh is not None:
-                raise ValueError("draft_model does not shard yet; "
+                raise ValueError(f"{what} does not shard yet; "
                                  "use single-device (tp=dp=1)")
             if self.ecfg.kv_layout != "contig":
-                raise ValueError("draft_model requires kv_layout='contig'")
+                raise ValueError(f"{what} requires kv_layout='contig'")
+            # per-dispatch token budget comparable to multi_step fusion
+            self.spec_rounds = max(1, self.ecfg.multi_step
+                                   // (self.ecfg.spec_tokens + 1))
+        if self.ecfg.draft_model:
             dcfg, dparams, dreader = load_model(self.ecfg.draft_model,
                                                 mode=self.ecfg.mode, fuse=True)
             if dcfg.vocab_size != cfg.vocab_size:
@@ -210,9 +227,12 @@ class InferenceEngine:
             self.draft_cfg = dcfg
             self.draft_params = dparams
             self.draft_cache = KVCache.zeros(dcfg, B, S)
-            # per-dispatch token budget comparable to multi_step fusion
-            self.spec_rounds = max(1, self.ecfg.multi_step
-                                   // (self.ecfg.spec_tokens + 1))
+            self.spec_mode = "draft"
+        elif self.ecfg.spec_ngram:
+            # padded past capacity so in-scan + sync writes never hit the
+            # dynamic-update-slice clamp (which would shift the write)
+            self.hist = jnp.zeros((B, S + _HIST_PAD), jnp.int32)
+            self.spec_mode = "ngram"
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
         self._queue: "queue.Queue[tuple[str, list[int], SamplingParams, queue.Queue]]" = queue.Queue()
@@ -419,6 +439,18 @@ class InferenceEngine:
             self._spec_fn = make_spec_decode(cfg, dcfg, forward,
                                              self.ecfg.spec_tokens,
                                              self.spec_rounds)
+        elif self.spec_mode == "ngram":
+            from .speculative import make_ngram_spec
+            self._spec_fn = make_ngram_spec(cfg, forward,
+                                            self.ecfg.spec_tokens,
+                                            self.spec_rounds)
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def hist_write(hist, b, start, chunk):
+                return jax.lax.dynamic_update_slice(hist, chunk[None, :],
+                                                    (b, start))
+
+            self._hist_write = hist_write
 
         # mean-pooled embedding over valid positions (for /v1/embeddings)
         def make_embed(T: int):
@@ -726,6 +758,7 @@ class InferenceEngine:
             slot.utf8_buf = b""
             slot.started = time.monotonic()
             slot.offset = 0
+            slot.hist_upto = 0
             if self._admit_hook is not None:
                 self._admit_hook(b, ids, params)
             _tr(f"admit slot={b} n_ids={len(ids)}")
@@ -1013,7 +1046,7 @@ class InferenceEngine:
         """Route this dispatch through draft/verify rounds?  Exactness
         requires every active slot to sample pure greedy (the verify is a
         raw argmax); capacity must cover the worst-case advance."""
-        if self.draft_params is None or self._decode_hook is not None:
+        if not self.spec_mode or self._decode_hook is not None:
             return False
         if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
             return False   # stay responsive: admit waiting requests first
@@ -1050,11 +1083,19 @@ class InferenceEngine:
             pending[b, 0] = seq[-1]
             prev[b, 0] = seq[-2] if len(seq) >= 2 else seq[-1]
             offsets[b] = slot.offset
-        _tr(f"spec dispatch rounds={self.spec_rounds} K={K}")
+        _tr(f"spec dispatch mode={self.spec_mode} rounds={self.spec_rounds} "
+            f"K={K}")
         t0 = time.monotonic()
-        toks_d, counts_d, self.cache, self.draft_cache = self._spec_fn(
-            self.params, self.draft_params, self.cache, self.draft_cache,
-            jnp.asarray(pending), jnp.asarray(prev), jnp.asarray(offsets))
+        if self.spec_mode == "draft":
+            toks_d, counts_d, self.cache, self.draft_cache = self._spec_fn(
+                self.params, self.draft_params, self.cache, self.draft_cache,
+                jnp.asarray(pending), jnp.asarray(prev), jnp.asarray(offsets))
+        else:
+            for b in active:
+                self._sync_hist(b)
+            toks_d, counts_d, self.cache, self.hist = self._spec_fn(
+                self.params, self.cache, self.hist,
+                jnp.asarray(pending), jnp.asarray(prev), jnp.asarray(offsets))
         toks, counts = jax.device_get((toks_d, counts_d))
         _tr("spec fetched")
         emitted = 0
@@ -1072,11 +1113,35 @@ class InferenceEngine:
                     slot.offset += 1
                     self._emit_token(b, int(toks[r, b, i]), None, None)
                     emitted += 1
+        if self.spec_mode == "ngram":
+            # device wrote history through each slot's new offset; freed
+            # slots re-sync from zero at their next admission
+            for b in active:
+                if self.slots[b].state == "active":
+                    self.slots[b].hist_upto = self.slots[b].offset
         per_slot = max(1, emitted // max(1, len(active)))
         dt = (time.monotonic() - t0) / per_slot
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
             if self._last_decode_s else dt
         return True
+
+    def _sync_hist(self, b: int) -> None:
+        """Bring slot b's device token history up to its offset (ngram
+        lookup reads [0, offset)).  Chunked exact-size writes; the final
+        chunk's zero padding lands in the stale region past the offset
+        (hist rows are padded by _HIST_PAD so the DUS never clamps)."""
+        slot = self.slots[b]
+        seq = slot.prompt_ids + slot.generated
+        upto, target = slot.hist_upto, slot.offset
+        bj = jnp.int32(b)
+        while upto < target:
+            chunk = np.zeros(_HIST_CHUNK, np.int32)
+            avail = min(_HIST_CHUNK, len(seq) - upto)
+            chunk[:avail] = seq[upto:upto + avail]
+            self.hist = self._hist_write(self.hist, bj, jnp.int32(upto),
+                                         jnp.asarray(chunk))
+            upto += _HIST_CHUNK
+        slot.hist_upto = target
 
     def _host_token_stats(self, slot, logits_row, tok: int):
         """First-token logprob/top-k computed host-side (once per request)."""
@@ -1201,7 +1266,7 @@ class InferenceEngine:
         """Worst-case per-dispatch offset advance (free slots park just
         past their claim; parked decode/spec writes must stay beyond it)."""
         adv = self.ecfg.multi_step
-        if self.draft_params is not None:
+        if self.spec_mode:
             adv = max(adv, self.spec_rounds * (self.ecfg.spec_tokens + 1))
         return adv
 
@@ -1234,11 +1299,12 @@ class InferenceEngine:
             "total_prompt_tokens": self.total_prompt_tokens,
             "prefix_tokens_reused": self.total_prefix_reused,
             "decode_step_ewma_ms": round(self._last_decode_s * 1000, 3),
-            **({"spec_drafted": self.spec_drafted,
+            **({"spec_mode": self.spec_mode,
+                "spec_drafted": self.spec_drafted,
                 "spec_accepted": self.spec_accepted,
                 "spec_acceptance": round(
                     self.spec_accepted / max(1, self.spec_drafted), 4)}
-               if self.draft_params is not None else {}),
+               if self.spec_mode else {}),
             **({"kv_pages_free": self.alloc.free_pages,
                 "kv_pages_total": self.alloc.table.shape[1],
                 "kv_page_size": self.ecfg.kv_page_size}

@@ -34,6 +34,84 @@ import jax
 import jax.numpy as jnp
 
 
+def ngram_propose(hist: jax.Array, prev: jax.Array, pending: jax.Array,
+                  off: jax.Array, K: int) -> jax.Array:
+    """Prompt-lookup proposals: continuation after the most recent
+    historical occurrence of the current bigram.
+
+    hist (B, H): per-slot token history, valid in [0, off) (stale beyond —
+    same overwrite discipline as the KV cache).  Finds the latest j with
+    ``hist[j] == prev and hist[j+1] == pending`` strictly before the
+    sequence head and proposes ``hist[j+2 : j+2+K]``; no match proposes
+    zeros (acceptance then just falls to the verify's 1 token).
+    """
+    B, H = hist.shape
+    idx = jnp.arange(H - 1)
+    match = (hist[:, :-1] == prev) & (hist[:, 1:] == pending) \
+        & (idx[None, :] < off[:, None] - 1)
+    j = jnp.max(jnp.where(match, idx[None, :], -1), axis=1)    # (B,)
+
+    def take(row, jj):
+        return jax.lax.dynamic_slice(row, (jnp.maximum(jj, 0) + 2,), (K,))
+
+    drafts = jax.vmap(take)(hist, j)
+    return jnp.where(j[:, None] >= 0, drafts, 0).astype(jnp.int32)
+
+
+def make_ngram_spec(cfg_t, forward, K: int, rounds: int):
+    """Draft-free speculative decoding (llama.cpp "lookup decoding"):
+    proposals come from the sequence's own history — strong on
+    repetitive continuations (code, extraction, structured output) at
+    ZERO extra weight traffic; the worst case (no matches) still emits
+    one verified token per round for ~one decode step's weight reads.
+
+    Returns fn(params, cache, hist, pending, prev, offsets) ->
+    (toks (rounds, B, K+1), counts (rounds, B), cache, hist); cache and
+    hist are donated.  hist rows must be padded past the slot capacity so
+    in-scan writes never hit the dynamic-update-slice clamp.
+    """
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def ngram_spec(params, cache, hist, pending, prev, offsets):
+        B = pending.shape[0]
+        ones = jnp.ones(B, jnp.int32)
+
+        def round_body(carry, _):
+            cache, hist, pending, prev, off = carry
+            drafts = ngram_propose(hist, prev, pending, off, K)
+            seq = jnp.concatenate([pending, drafts], axis=1)   # (B, K+1)
+            lg, cache2 = forward(params, cfg_t, seq, off, cache,
+                                 (K + 1) * ones)
+            g = jnp.argmax(lg, axis=-1).astype(jnp.int32)      # (B, K+1)
+            match = (drafts == g[:, :-1]).astype(jnp.int32)
+            accepted = jnp.cumprod(match, axis=1).sum(axis=1)
+            emit = accepted + 1
+            # history absorbs the round's inputs + candidates: hist[off]
+            # = pending, hist[off+1 .. off+K+1] = g (stale past the new
+            # offset, overwritten by later rounds)
+            upd = jnp.concatenate([pending, g], axis=1)        # (B, K+2)
+
+            def wr(row, u, o):
+                return jax.lax.dynamic_update_slice(row, u, (o,))
+
+            hist = jax.vmap(wr)(hist, upd, off)
+            new_pending = jnp.take_along_axis(g, accepted[:, None], axis=1)
+            new_prev = jnp.where(
+                accepted[:, None] > 0,
+                jnp.take_along_axis(
+                    g, jnp.maximum(accepted - 1, 0)[:, None], axis=1),
+                pending)
+            return ((cache2, hist, new_pending, new_prev, off + emit),
+                    (g, emit))
+
+        (cache, hist, pending, prev, offsets), (toks, counts) = \
+            jax.lax.scan(round_body, (cache, hist, pending, prev, offsets),
+                         None, length=rounds)
+        return toks, counts, cache, hist
+
+    return ngram_spec
+
+
 def make_spec_decode(cfg_t, cfg_d, forward, K: int, rounds: int):
     """Build the fused speculative-decode dispatch.
 

@@ -589,9 +589,12 @@ def main() -> None:
             kv_page_size=int(os.environ.get("KV_PAGE_SIZE", 1024)),
             prefix_cache=os.environ.get("PREFIX_CACHE", "true").lower()
             not in ("0", "false", "no"),
-            # speculative decoding (llama-server --model-draft equivalent)
+            # speculative decoding (llama-server --model-draft equivalent;
+            # SPEC_NGRAM enables the draft-free lookup variant)
             draft_model=os.environ.get("DRAFT_MODEL", ""),
             spec_tokens=int(os.environ.get("SPEC_TOKENS", 5)),
+            spec_ngram=os.environ.get("SPEC_NGRAM", "").lower()
+            in ("1", "true", "yes"),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:

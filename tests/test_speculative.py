@@ -140,6 +140,87 @@ def test_spec_near_capacity_falls_back(models):
         eng.stop()
 
 
+def test_ngram_propose_finds_latest_bigram():
+    import jax.numpy as jnp
+    import numpy as np
+    from llama_gguf_inference_tpu.runtime.speculative import ngram_propose
+
+    #        0  1  2  3  4  5  6  7  8
+    hist = jnp.asarray([[7, 8, 1, 2, 7, 8, 3, 4, 0]], jnp.int32)
+    # sequence head: prev=7 pending=8 at offset 8 -> latest historical
+    # (7,8) is at j=4 (strictly before the head) -> continuation [3, 4]
+    drafts = ngram_propose(hist, jnp.asarray([[7]]), jnp.asarray([[8]]),
+                           jnp.asarray([8]), K=2)
+    assert np.asarray(drafts).tolist() == [[3, 4]]
+    # no match -> zeros
+    drafts = ngram_propose(hist, jnp.asarray([[9]]), jnp.asarray([[9]]),
+                           jnp.asarray([8]), K=2)
+    assert np.asarray(drafts).tolist() == [[0, 0]]
+    # the match at the head itself (j = off-1) must not count
+    hist2 = jnp.asarray([[1, 2, 3, 7, 8, 0, 0, 0, 0]], jnp.int32)
+    drafts = ngram_propose(hist2, jnp.asarray([[7]]), jnp.asarray([[8]]),
+                           jnp.asarray([4]), K=2)
+    assert np.asarray(drafts).tolist() == [[0, 0]]
+
+
+def _mk_ngram(target, **kw):
+    cfg = EngineConfig(max_slots=2, ctx=128, prefill_buckets=(16, 32),
+                       mode="quant", spec_ngram=True, spec_tokens=3,
+                       multi_step=kw.pop("multi_step", 8), **kw)
+    eng = InferenceEngine(target, cfg)
+    eng.start()
+    return eng
+
+
+def test_ngram_greedy_matches_plain_engine(models):
+    target, _ = models
+    plain = _mk(target)
+    ng = _mk_ngram(target)
+    try:
+        for prompt in (list(range(5, 25)),
+                       [5, 6, 7, 5, 6, 7, 5, 6] * 3):   # repetitive
+            assert _tokens(ng, prompt, n=30) == _tokens(plain, prompt, n=30)
+        st = ng.stats()
+        assert st["spec_mode"] == "ngram" and st["spec_drafted"] > 0
+    finally:
+        plain.stop(); ng.stop()
+
+
+def test_ngram_multi_slot_parity(models):
+    target, _ = models
+    plain = _mk(target)
+    ng = _mk_ngram(target)
+    try:
+        p1, p2 = [5, 6, 7] * 6, list(range(40, 52))
+        want1, want2 = _tokens(plain, p1), _tokens(plain, p2)
+        params = SamplingParams(temperature=0.0, max_tokens=24)
+        _, q1 = ng.submit(p1, params)
+        _, q2 = ng.submit(p2, params)
+
+        def drain(q):
+            out = []
+            while True:
+                ev = q.get(timeout=300)
+                if ev.token_id >= 0:
+                    out.append(ev.token_id)
+                if ev.finished:
+                    return out
+        assert drain(q1) == want1 and drain(q2) == want2
+    finally:
+        plain.stop(); ng.stop()
+
+
+def test_draft_wins_over_ngram(models):
+    target, draft = models
+    eng = InferenceEngine(target, EngineConfig(
+        max_slots=1, ctx=64, prefill_buckets=(16,), mode="quant",
+        draft_model=draft, spec_ngram=True))
+    try:
+        assert eng.spec_mode == "draft"
+    finally:
+        eng.stop()
+
+
 def test_spec_requires_contig_kv(models):
     target, draft = models
     with pytest.raises(ValueError, match="contig"):
