@@ -4,7 +4,8 @@ The reference never sees these — it passes the GGUF path to llama-server
 (``start.sh:473-480``) which derives the graph from metadata; llama.cpp
 serves every architecture its converters emit.  We do the same from the
 keys written by llama.cpp converters for the families this engine
-implements: llama/mistral/mixtral, qwen2, qwen3, gemma, gemma2.
+implements: llama/mistral/mixtral, qwen2, qwen3, gemma, gemma2, gemma3,
+phi3, starcoder2.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ _ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci")
 
 # architectures this engine can build a graph for (loader + models.llama)
 SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2",
-                    "phi3")
+                    "gemma3", "phi3", "starcoder2")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +60,9 @@ class ModelConfig:
     final_softcap: float = 0.0       # gemma2: applied to output logits
     sliding_window: int = 0          # SWA width (0 = full attention)
     swa_pattern: int = 0             # every Nth layer (idx%N==N-1) is full attn
+    rope_local_base: float = 0.0     # gemma3: SWA layers' rope base (0 = same)
+    norm_type: str = "rms"           # "rms" | "layernorm" (starcoder2)
+    ffn_gated: bool = True           # False: plain up->act->down MLP
 
     @property
     def is_moe(self) -> bool:
@@ -120,6 +124,32 @@ class ModelConfig:
             # phi-3-mini-4k ships sliding_window 2047 on every layer
             sliding_window = int(md.get("phi3.attention.sliding_window", 0))
             swa_pattern = 1 if sliding_window else 0
+        rope_local_base = 0.0
+        norm_type = "rms"
+        ffn_gated = True
+        rope_base_default = 10000.0
+        if arch == "gemma3":
+            # 5 local : 1 global interleave; local (sliding) layers run a
+            # separate short rope base with NO long-context scaling
+            act = "gelu_tanh"
+            embedding_scale = math.sqrt(dim)
+            sliding_window = int(md.get("gemma3.attention.sliding_window",
+                                        1024))
+            swa_pattern = 6
+            rope_base_default = 1_000_000.0
+            rope_local_base = float(
+                md.get("gemma3.rope.local_freq_base",
+                       md.get("gemma3.rope.freq_base_swa", 10000.0)))
+            scalar = float(md.get("gemma3.attention.query_pre_attn_scalar",
+                                  head_dim))
+            if scalar != head_dim:   # post-q_norm score scale (see convert)
+                attn_scale = 1.0 / math.sqrt(scalar)
+        if arch == "starcoder2":
+            # LayerNorm (mean-centered, biased) + bias on every projection
+            # + plain gelu MLP (c_fc -> gelu -> c_proj, no gate)
+            norm_type = "layernorm"
+            ffn_gated = False
+            act = "gelu_tanh"
 
         # longrope magnitude scale: explicit key, else the HF formula
         # sqrt(1 + ln(ctx/orig)/ln(orig)) when the file extends the context
@@ -142,8 +172,10 @@ class ModelConfig:
             n_kv_heads=int(md.get(k(Keys.HEAD_COUNT_KV), n_heads)),
             head_dim=head_dim,
             ffn_dim=int(md[k(Keys.FEED_FORWARD_LENGTH)]),
-            rms_eps=float(md.get(k(Keys.LAYERNORM_RMS_EPS), 1e-5)),
-            rope_base=float(md.get(k(Keys.ROPE_FREQ_BASE), 10000.0)),
+            rms_eps=float(md.get(k(Keys.LAYERNORM_RMS_EPS),
+                                 md.get(f"{arch}.attention.layer_norm_epsilon",
+                                        1e-5))),
+            rope_base=float(md.get(k(Keys.ROPE_FREQ_BASE), rope_base_default)),
             rope_dim=rope_dim,
             rope_interleaved=interleaved,
             context_length=ctx_len,
@@ -164,4 +196,7 @@ class ModelConfig:
             final_softcap=final_softcap,
             sliding_window=sliding_window,
             swa_pattern=swa_pattern,
+            rope_local_base=rope_local_base,
+            norm_type=norm_type,
+            ffn_gated=ffn_gated,
         )

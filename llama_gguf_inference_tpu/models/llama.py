@@ -1,5 +1,6 @@
 """Llama-family forward graph in JAX (also covers Mixtral via MoE blocks,
-plus the qwen2 / qwen3 / gemma / gemma2 graph variations).
+plus the qwen2 / qwen3 / gemma / gemma2 / gemma3 / phi3 / starcoder2 graph
+variations).
 
 TPU-native replacement for the transformer graph inside llama.cpp's
 ``llama-server`` (the reference's opaque C++ backend, SURVEY.md §2.9 / §3.2;
@@ -73,6 +74,28 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array | None,
+               eps: float) -> jax.Array:
+    """Mean-centered LayerNorm with optional bias (starcoder2 family)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * w
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def _norm(x: jax.Array, container: Params, key: str,
+          cfg: ModelConfig) -> jax.Array:
+    """Block norm per cfg.norm_type (q/k head norms stay RMS everywhere)."""
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, container[key], container.get(key + "_bias"),
+                          cfg.rms_eps)
+    return rms_norm(x, container[key], cfg.rms_eps)
 
 
 def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
@@ -160,6 +183,14 @@ def _write_kv(cache: jax.Array, new: jax.Array, offsets: jax.Array) -> jax.Array
     return jax.vmap(one)(cache, new, offsets)
 
 
+def _out_proj(layer: Params, ctx: jax.Array) -> jax.Array:
+    out = matmul(layer["attn_output"], ctx)
+    if "attn_output_bias" in layer:   # starcoder2 carries an O bias
+        out = (out.astype(jnp.float32)
+               + layer["attn_output_bias"]).astype(out.dtype)
+    return out
+
+
 def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
               cos: jax.Array, sin: jax.Array, cache, layer_idx: int,
               offsets: jax.Array, mask: jax.Array, sliding: bool = False):
@@ -220,7 +251,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
                                         cache.v[layer_idx], offsets,
                                         cache.page_table)
             ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
-            return matmul(layer["attn_output"], ctx), cache
+            return _out_proj(layer, ctx), cache
         k_cache, v_cache = cache.gather(layer_idx)   # XLA fallback view
         qh = q.reshape(B, T, KVH, group, hd)
         scores = jnp.einsum("btkgd,bksd->bkgts", qh.astype(jnp.float32),
@@ -233,7 +264,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
         ctx = jnp.einsum("bkgts,bksd->btkgd", probs,
                          v_cache.astype(jnp.float32))
         ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
-        return matmul(layer["attn_output"], ctx), cache
+        return _out_proj(layer, ctx), cache
     if quant_kv:
         cache = cache.write(layer_idx, k, v, offsets)
         S = cache.max_seq
@@ -246,7 +277,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
                 q, cache.k_q[layer_idx], cache.k_s[layer_idx],
                 cache.v_q[layer_idx], cache.v_s[layer_idx], offsets)
             ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
-            return matmul(layer["attn_output"], ctx), cache
+            return _out_proj(layer, ctx), cache
         k_cache = cache.k_full(layer_idx)
         v_cache = cache.v_full(layer_idx)
     else:
@@ -273,7 +304,7 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache.astype(jnp.float32))
         ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
-    return matmul(layer["attn_output"], ctx), cache
+    return _out_proj(layer, ctx), cache
 
 
 def _use_flash_attention(B: int, T: int, group: int, KVH: int, S: int,
@@ -297,6 +328,22 @@ def _use_flash_attention(B: int, T: int, group: int, KVH: int, S: int,
     from ..ops.flash_attention import flash_feasible, flash_sharding_ok
     return (flash_feasible(T, group, S, head_dim, qbytes)
             and flash_sharding_ok(B, KVH))
+
+
+def ffn_mlp(layer: Params, x: jax.Array, act: str = "gelu_tanh") -> jax.Array:
+    """Plain (un-gated) MLP: up -> act -> down, with optional biases
+    (starcoder2's c_fc/c_proj)."""
+    up = matmul(layer["ffn_up"], x)
+    uf = up.astype(jnp.float32)
+    if "ffn_up_bias" in layer:
+        uf = uf + layer["ffn_up_bias"]
+    g = jax.nn.gelu(uf, approximate=True) if act == "gelu_tanh" \
+        else jax.nn.silu(uf)
+    out = matmul(layer["ffn_down"], g.astype(x.dtype))
+    if "ffn_down_bias" in layer:
+        out = (out.astype(jnp.float32)
+               + layer["ffn_down_bias"]).astype(out.dtype)
+    return out
 
 
 def ffn_swiglu(layer: Params, x: jax.Array, act: str = "silu") -> jax.Array:
@@ -434,6 +481,11 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
                         else "rope_factors_short")
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_dim,
                            cfg.rope_base, cfg, freq_factors=ff)
+    cos_l = sin_l = None
+    if cfg.rope_local_base > 0.0:    # gemma3: SWA layers use the short
+        # rope base with no long-context scaling (HF rope_local_base_freq)
+        cos_l, sin_l = rope_angles(positions, cfg.head_dim, cfg.rope_dim,
+                                   cfg.rope_local_base)
 
     # mask (B, T, S): key s visible to query t iff s <= offset + t and s is
     # a written slot (s < offset + T chunk region or pre-existing)
@@ -448,23 +500,28 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
 
     for i, layer in enumerate(params["layers"]):
         sliding = cfg.is_sliding(i)
-        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-        attn_out, cache = attention(layer, cfg, h, cos, sin, cache, i,
+        local_rope = sliding and cos_l is not None
+        h = _norm(x, layer, "attn_norm", cfg)
+        attn_out, cache = attention(layer, cfg, h,
+                                    cos_l if local_rope else cos,
+                                    sin_l if local_rope else sin, cache, i,
                                     offsets,
                                     swa_mask if sliding else mask, sliding)
-        if "attn_post_norm" in layer:    # gemma2 post-attention norm
+        if "attn_post_norm" in layer:    # gemma2/3 post-attention norm
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
         x = x + attn_out
-        h = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        h = _norm(x, layer, "ffn_norm", cfg)
         if cfg.is_moe:
             ffn_out = ffn_moe(layer, cfg, h)
+        elif not cfg.ffn_gated:
+            ffn_out = ffn_mlp(layer, h, cfg.act)
         else:
             ffn_out = ffn_swiglu(layer, h, cfg.act)
-        if "ffn_post_norm" in layer:     # gemma2 post-FFN norm
+        if "ffn_post_norm" in layer:     # gemma2/3 post-FFN norm
             ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
         x = x + ffn_out
 
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    x = _norm(x, params, "output_norm", cfg)
     logits = matmul(params["output"], x).astype(jnp.float32)
     if cfg.final_softcap > 0.0:      # gemma2 final-logit softcapping
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)

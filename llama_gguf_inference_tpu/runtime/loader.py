@@ -125,6 +125,8 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         "tok_embd": _load_embedding(reader, mode, cache),
         "output_norm": _load_array(reader, "output_norm.weight"),
     }
+    if "output_norm.bias" in t:   # starcoder2 LayerNorm bias
+        params["output_norm_bias"] = _load_array(reader, "output_norm.bias")
     # phi3 longrope per-dim frequency factor tensors
     for rf in ("rope_factors_long", "rope_factors_short"):
         if rf + ".weight" in t:
@@ -154,11 +156,14 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             layer["attn_k"] = _load_linear(reader, p + "attn_k.weight", mode, cache)
             layer["attn_v"] = _load_linear(reader, p + "attn_v.weight", mode, cache)
         # optional per-arch tensors: Q/K/V biases (qwen2), per-head Q/K
-        # norms (qwen3), post-attention/post-FFN norms (gemma2) — presence
-        # in the file drives presence in the pytree (models.llama checks)
+        # norms (qwen3/gemma3), post-attention/post-FFN norms (gemma2/3),
+        # LayerNorm + projection biases (starcoder2) — presence in the
+        # file drives presence in the pytree (models.llama checks)
         for extra in ("attn_q.bias", "attn_k.bias", "attn_v.bias",
                       "attn_q_norm.weight", "attn_k_norm.weight",
-                      "attn_post_norm.weight", "ffn_post_norm.weight"):
+                      "attn_post_norm.weight", "ffn_post_norm.weight",
+                      "attn_output.bias", "attn_norm.bias", "ffn_norm.bias",
+                      "ffn_up.bias", "ffn_down.bias"):
             if p + extra in t:
                 key = extra.replace(".weight", "").replace(".", "_")
                 layer[key] = _load_array(reader, p + extra)
@@ -166,6 +171,12 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight",
                                                  mode, cache)
             layer["experts"] = _load_experts(reader, p, cfg, mode, cache)
+        elif not cfg.ffn_gated:
+            # plain up -> act -> down MLP (starcoder2's c_fc/c_proj)
+            layer["ffn_up"] = _load_linear(reader, p + "ffn_up.weight",
+                                           mode, cache)
+            layer["ffn_down"] = _load_linear(reader, p + "ffn_down.weight",
+                                             mode, cache)
         elif p + "ffn_gate.weight" not in t:
             # phi3 ships gate+up pre-fused as a double-height ffn_up
             layer["ffn_gateup"] = _load_linear(reader, p + "ffn_up.weight",

@@ -101,7 +101,8 @@ def tokenizer_metadata(hf_dir: str) -> dict:
 # HF model_type -> GGUF architecture (llama.cpp convert_hf_to_gguf naming)
 _ARCH_MAP = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
              "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
-             "phi3": "phi3"}
+             "gemma3": "gemma3", "gemma3_text": "gemma3",
+             "phi3": "phi3", "starcoder2": "starcoder2"}
 
 
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
@@ -111,7 +112,7 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     arch = _ARCH_MAP.get(model_type)
     if arch is None:
         raise SystemExit(f"unsupported model_type {model_type!r}")
-    gemma = arch in ("gemma", "gemma2")
+    gemma = arch in ("gemma", "gemma2", "gemma3")
     # "norm"-rope arches store Q/K permuted for interleaved pairs;
     # neox arches (qwen*/gemma*) keep the HF layout (models.config)
     permute = arch == "llama"
@@ -144,8 +145,12 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     w.add(f"{arch}.feed_forward_length", cfg["intermediate_size"])
     w.add(f"{arch}.attention.head_count", n_head)
     w.add(f"{arch}.attention.head_count_kv", n_kv)
-    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
-          cfg.get("rms_norm_eps", 1e-5))
+    if arch == "starcoder2":
+        w.add(f"{arch}.attention.layer_norm_epsilon",
+              cfg.get("norm_epsilon", 1e-5))
+    else:
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              cfg.get("rms_norm_eps", 1e-5))
     w.add(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
     w.add(f"{arch}.rope.dimension_count", head_dim)
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
@@ -159,8 +164,24 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
               float(cfg.get("final_logit_softcapping", 30.0)))
         w.add("gemma2.attention.sliding_window",
               int(cfg.get("sliding_window", 4096)))
+    if arch == "gemma3":
+        w.add("gemma3.attention.sliding_window",
+              int(cfg.get("sliding_window", 1024)))
+        w.add("gemma3.rope.local_freq_base",
+              float(cfg.get("rope_local_base_freq", 10000.0)))
+        # scores scale by 1/sqrt(query_pre_attn_scalar); it CANNOT fold
+        # into Q weights (gemma3's q_norm is scale-invariant), so record
+        # it when it differs from head_dim (all released gemma3 sizes use
+        # scalar == head_dim == 256 — real files take the default)
+        scalar = float(cfg.get("query_pre_attn_scalar", head_dim))
+        if scalar != head_dim:
+            w.add("gemma3.attention.query_pre_attn_scalar", scalar)
     rope_scaling = cfg.get("rope_scaling") or {}
     rs_type = rope_scaling.get("rope_type") or rope_scaling.get("type")
+    if arch == "gemma3" and rs_type == "linear":
+        # gemma3 long-context: linear factor on GLOBAL layers only
+        w.add("gemma3.rope.scaling.type", "linear")
+        w.add("gemma3.rope.scaling.factor", float(rope_scaling["factor"]))
     if arch == "phi3":
         if cfg.get("sliding_window"):
             w.add("phi3.attention.sliding_window", int(cfg["sliding_window"]))
@@ -206,6 +227,34 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
             put("output.weight", sd["lm_head.weight"].astype(np.float32))
         w.write()
         return
+    if arch == "starcoder2":
+        # LayerNorm (weight+bias) everywhere, biased projections, and a
+        # plain c_fc -> gelu -> c_proj MLP (no gate)
+        for i in range(n_layers):
+            p, g = f"layers.{i}.", f"blk.{i}."
+            put(g + "attn_norm.weight", get(p + "input_layernorm.weight"))
+            put(g + "attn_norm.bias", get(p + "input_layernorm.bias"))
+            put(g + "attn_q.weight", get(p + "self_attn.q_proj.weight"))
+            put(g + "attn_k.weight", get(p + "self_attn.k_proj.weight"))
+            put(g + "attn_v.weight", get(p + "self_attn.v_proj.weight"))
+            put(g + "attn_q.bias", get(p + "self_attn.q_proj.bias"))
+            put(g + "attn_k.bias", get(p + "self_attn.k_proj.bias"))
+            put(g + "attn_v.bias", get(p + "self_attn.v_proj.bias"))
+            put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
+            put(g + "attn_output.bias", get(p + "self_attn.o_proj.bias"))
+            put(g + "ffn_norm.weight",
+                get(p + "post_attention_layernorm.weight"))
+            put(g + "ffn_norm.bias", get(p + "post_attention_layernorm.bias"))
+            put(g + "ffn_up.weight", get(p + "mlp.c_fc.weight"))
+            put(g + "ffn_up.bias", get(p + "mlp.c_fc.bias"))
+            put(g + "ffn_down.weight", get(p + "mlp.c_proj.weight"))
+            put(g + "ffn_down.bias", get(p + "mlp.c_proj.bias"))
+        put("output_norm.weight", get("norm.weight"))
+        put("output_norm.bias", get("norm.bias"))
+        if "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"].astype(np.float32))
+        w.write()
+        return
     for i in range(n_layers):
         p = f"layers.{i}."
         g = f"blk.{i}."
@@ -222,11 +271,13 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
             put(g + "attn_k.bias", get(p + "self_attn.k_proj.bias"))
             put(g + "attn_v.bias", get(p + "self_attn.v_proj.bias"))
         if "model." + p + "self_attn.q_norm.weight" in sd \
-                or p + "self_attn.q_norm.weight" in sd:  # qwen3
-            put(g + "attn_q_norm.weight", get(p + "self_attn.q_norm.weight"))
-            put(g + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"))
-        if arch == "gemma2":
-            # gemma2's four norms: HF post_attention -> attn_post_norm,
+                or p + "self_attn.q_norm.weight" in sd:  # qwen3 / gemma3
+            put(g + "attn_q_norm.weight",
+                get_norm(p + "self_attn.q_norm.weight"))
+            put(g + "attn_k_norm.weight",
+                get_norm(p + "self_attn.k_norm.weight"))
+        if arch in ("gemma2", "gemma3"):
+            # the four norms: HF post_attention -> attn_post_norm,
             # pre_feedforward -> ffn_norm, post_feedforward -> ffn_post_norm
             put(g + "attn_post_norm.weight",
                 get_norm(p + "post_attention_layernorm.weight"))

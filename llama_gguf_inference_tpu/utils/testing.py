@@ -92,6 +92,10 @@ def write_tiny_llama(
         w.add("gemma2.final_logit_softcapping", 30.0)
         w.add("gemma2.attention.sliding_window",
               sliding_window or context_length)
+    elif arch == "gemma3":
+        w.add("gemma3.attention.sliding_window",
+              sliding_window or context_length)
+        w.add("gemma3.rope.local_freq_base", 10000.0)
     if n_experts:
         w.add(f"{arch}.expert_count", n_experts)
         w.add(f"{arch}.expert_used_count", n_experts_used or 2)
@@ -126,16 +130,35 @@ def write_tiny_llama(
         elif arch == "gemma2":
             w.add_tensor(p + "attn_post_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
             w.add_tensor(p + "ffn_post_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        elif arch == "gemma3":
+            w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "attn_post_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "ffn_post_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        elif arch == "starcoder2":
+            w.add_tensor(p + "attn_norm.bias", rand(dim), GGMLType.F32)
+            w.add_tensor(p + "ffn_norm.bias", rand(dim), GGMLType.F32)
+            w.add_tensor(p + "attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_k.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_v.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_output.bias", rand(dim), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.bias", rand(ffn_dim), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.bias", rand(dim), GGMLType.F32)
         if n_experts:
             w.add_tensor(p + "ffn_gate_inp.weight", rand(n_experts, dim), GGMLType.F32)
             w.add_tensor(p + "ffn_gate_exps.weight", rand(n_experts, ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_up_exps.weight", rand(n_experts, ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_down_exps.weight", rand(n_experts, dim, ffn_dim), quant)
+        elif arch == "starcoder2":   # plain MLP: no gate tensor
+            w.add_tensor(p + "ffn_up.weight", rand(ffn_dim, dim), quant)
+            w.add_tensor(p + "ffn_down.weight", rand(dim, ffn_dim), quant)
         else:
             w.add_tensor(p + "ffn_gate.weight", rand(ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_up.weight", rand(ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_down.weight", rand(dim, ffn_dim), quant)
     w.add_tensor("output_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+    if arch == "starcoder2":
+        w.add_tensor("output_norm.bias", rand(dim), GGMLType.F32)
     if not tie_output:
         w.add_tensor("output.weight", rand(vocab, dim), quant)
     return w.write()

@@ -1,4 +1,5 @@
-"""Multi-architecture support: qwen2 / qwen3 / gemma2 / phi3 (+ gemma keys).
+"""Multi-architecture support: qwen2 / qwen3 / gemma2 / gemma3 / phi3 /
+starcoder2 (+ gemma keys).
 
 The reference serves any GGUF architecture its llama.cpp backend knows
 (reference ``docs/CONFIGURATION.md:536`` names Qwen explicitly).  Two gates
@@ -99,6 +100,64 @@ def test_gemma2_hf_parity(tmp_path):
     assert got_cfg.act == "gelu_tanh" and got_cfg.embedding_scale == 8.0
 
 
+def test_gemma3_hf_parity(tmp_path):
+    """gemma3: q/k norms (+1 baked), 5:1 local/global SWA interleave with
+    a SEPARATE local rope base, sandwich norms, no softcaps."""
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=7, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+        sliding_window_pattern=6, rope_theta=1_000_000.0,
+        rope_local_base_freq=10000.0, max_position_embeddings=128,
+        rms_norm_eps=1e-5, attn_implementation="eager")
+    torch.manual_seed(6)
+    model = transformers.Gemma3ForCausalLM(cfg)
+    # 7 layers: indices 0-4 slide (local rope), 5 is global, 6 slides —
+    # n_tokens > window so both mask regimes and both rope bases bite
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path,
+                      n_tokens=14)
+    assert got_cfg.arch == "gemma3"
+    assert got_cfg.sliding_window == 8 and got_cfg.swa_pattern == 6
+    assert got_cfg.is_sliding(0) and not got_cfg.is_sliding(5)
+    assert got_cfg.rope_base == 1_000_000.0
+    assert got_cfg.rope_local_base == 10000.0
+    assert got_cfg.attn_softcap == 0.0 and got_cfg.final_softcap == 0.0
+    assert got_cfg.act == "gelu_tanh" and got_cfg.embedding_scale == 8.0
+
+
+def test_gemma3_query_scalar_folded(tmp_path):
+    """query_pre_attn_scalar != head_dim plumbs through as a post-q_norm
+    attention scale (it cannot fold into Q weights: the RMS q_norm is
+    scale-invariant and would erase it)."""
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=64, sliding_window=8,
+        sliding_window_pattern=6, rope_theta=1_000_000.0,
+        rope_local_base_freq=10000.0, max_position_embeddings=128,
+        rms_norm_eps=1e-5, attn_implementation="eager")
+    torch.manual_seed(10)   # seed 8 lands an argmax near-tie (top-2 gap
+    # 0.0013 < bf16 activation noise); the check is the scale plumbing
+    model = transformers.Gemma3ForCausalLM(cfg)
+    _parity(model, _save(model, tmp_path, "hf"), tmp_path, n_tokens=10)
+
+
+def test_starcoder2_hf_parity(tmp_path):
+    """starcoder2: LayerNorm+bias, biased projections, un-gated gelu MLP,
+    tied embeddings."""
+    cfg = transformers.Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, norm_epsilon=1e-5, rope_theta=10000.0,
+        use_bias=True, tie_word_embeddings=True)
+    torch.manual_seed(7)
+    model = transformers.Starcoder2ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "starcoder2"
+    assert got_cfg.norm_type == "layernorm" and not got_cfg.ffn_gated
+    assert not got_cfg.rope_interleaved
+
+
 def test_phi3_hf_parity(tmp_path):
     """phi3: fused QKV + fused gate_up, neox rope."""
     cfg = transformers.Phi3Config(
@@ -156,7 +215,8 @@ def test_phi3_longrope_parity(tmp_path):
     np.testing.assert_allclose(got, want, atol=0.35)
 
 
-@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2", "phi3"])
+@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2", "gemma3",
+                                  "phi3", "starcoder2"])
 def test_arch_engine_end_to_end(arch, tmp_path):
     """Synthesized GGUF per arch: quant-mode load + engine generate."""
     from llama_gguf_inference_tpu.runtime.engine import (
