@@ -85,6 +85,14 @@ class EngineConfig:
     # current bigram — zero extra weight traffic, strong on repetitive
     # output.  Ignored when draft_model is set.
     spec_ngram: bool = False
+    # adaptive gating: speculation is a net LOSS below some acceptance
+    # rate (each round pays a K+1-position verify + per-dispatch overhead
+    # for 1+accepted tokens; measured 62 vs 106 tok/s at 5% acceptance on
+    # the 8B bench shape).  Below this EWMA the dispatch falls back to
+    # plain decode, re-probing speculation every spec_probe_every
+    # dispatches in case the content regime changed.  0 disables gating.
+    spec_min_accept: float = 0.2
+    spec_probe_every: int = 16
 
 
 @dataclasses.dataclass
@@ -206,6 +214,8 @@ class InferenceEngine:
         self.spec_rounds = 0
         self.spec_drafted = 0          # draft tokens proposed (host-observed)
         self.spec_accepted = 0         # draft tokens accepted
+        self.spec_ewma = 1.0           # acceptance EWMA (starts optimistic)
+        self._spec_tick = 0            # dispatches since spec was gated off
         if self.ecfg.draft_model or self.ecfg.spec_ngram:
             what = "draft_model" if self.ecfg.draft_model else "spec_ngram"
             if self.mesh is not None:
@@ -1050,6 +1060,14 @@ class InferenceEngine:
             return False
         if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
             return False   # stay responsive: admit waiting requests first
+        if (self.ecfg.spec_min_accept > 0
+                and self.spec_ewma < self.ecfg.spec_min_accept):
+            # acceptance too low to pay for verify chunks: plain decode,
+            # but probe speculation periodically (content regime may change)
+            self._spec_tick += 1
+            if self._spec_tick % max(1, self.ecfg.spec_probe_every):
+                return False
+            self.spec_ewma = self.ecfg.spec_min_accept  # probe optimistically
         adv = self.spec_rounds * (self.ecfg.spec_tokens + 1)
         for b in active:
             p = self.slots[b].params
@@ -1099,6 +1117,7 @@ class InferenceEngine:
         toks, counts = jax.device_get((toks_d, counts_d))
         _tr("spec fetched")
         emitted = 0
+        disp_drafted = disp_accepted = 0
         for r in range(self.spec_rounds):
             for b in active:
                 slot = self.slots[b]
@@ -1107,12 +1126,17 @@ class InferenceEngine:
                 n = int(counts[r, b])
                 self.spec_drafted += K
                 self.spec_accepted += n - 1
+                disp_drafted += K
+                disp_accepted += n - 1
                 for i in range(n):
                     if slot.state != "active":
                         break
                     slot.offset += 1
                     self._emit_token(b, int(toks[r, b, i]), None, None)
                     emitted += 1
+        if disp_drafted:
+            rate = disp_accepted / disp_drafted
+            self.spec_ewma = 0.7 * self.spec_ewma + 0.3 * rate
         if self.spec_mode == "ngram":
             # device wrote history through each slot's new offset; freed
             # slots re-sync from zero at their next admission
@@ -1303,7 +1327,8 @@ class InferenceEngine:
                 "spec_drafted": self.spec_drafted,
                 "spec_accepted": self.spec_accepted,
                 "spec_acceptance": round(
-                    self.spec_accepted / max(1, self.spec_drafted), 4)}
+                    self.spec_accepted / max(1, self.spec_drafted), 4),
+                "spec_acceptance_ewma": round(self.spec_ewma, 4)}
                if self.spec_mode else {}),
             **({"kv_pages_free": self.alloc.free_pages,
                 "kv_pages_total": self.alloc.table.shape[1],

@@ -595,6 +595,7 @@ def main() -> None:
             spec_tokens=int(os.environ.get("SPEC_TOKENS", 5)),
             spec_ngram=os.environ.get("SPEC_NGRAM", "").lower()
             in ("1", "true", "yes"),
+            spec_min_accept=float(os.environ.get("SPEC_MIN_ACCEPT", 0.2)),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:

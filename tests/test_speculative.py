@@ -221,6 +221,45 @@ def test_draft_wins_over_ngram(models):
         eng.stop()
 
 
+def test_adaptive_gate_disengages_at_low_acceptance(models):
+    """Unrelated draft -> near-zero acceptance -> the EWMA gate falls back
+    to plain decode (speculation is a net loss there), output unchanged."""
+    target, draft = models
+    plain = _mk(target)
+    spec = _mk(target, draft)   # default spec_min_accept = 0.2
+    try:
+        prompt = list(range(5, 25))
+        want = _tokens(plain, prompt, n=60)
+        got = _tokens(spec, prompt, n=60)
+        assert got == want
+        st = spec.stats()
+        assert st["spec_acceptance_ewma"] < 0.2
+        drafted_after_gate = st["spec_drafted"]
+        # further greedy decode mostly bypasses speculation (only probes)
+        _tokens(spec, list(range(30, 44)), n=40)
+        probes = (spec.stats()["spec_drafted"] - drafted_after_gate) \
+            / (spec.spec_rounds * spec.ecfg.spec_tokens)
+        assert probes <= 2   # at most the periodic re-probes
+    finally:
+        plain.stop(); spec.stop()
+
+
+def test_adaptive_gate_can_be_disabled(models):
+    target, draft = models
+    cfg = EngineConfig(max_slots=1, ctx=256, prefill_buckets=(16, 32),
+                       mode="quant", draft_model=draft, spec_tokens=3,
+                       multi_step=8, spec_min_accept=0.0)
+    eng = InferenceEngine(target, cfg)
+    eng.start()
+    try:
+        _tokens(eng, list(range(5, 25)), n=60)
+        st = eng.stats()
+        # gating off: every greedy dispatch speculated despite ~0 acceptance
+        assert st["spec_drafted"] >= 60
+    finally:
+        eng.stop()
+
+
 def test_spec_requires_contig_kv(models):
     target, draft = models
     with pytest.raises(ValueError, match="contig"):
