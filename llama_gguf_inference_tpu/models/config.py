@@ -5,7 +5,7 @@ The reference never sees these — it passes the GGUF path to llama-server
 serves every architecture its converters emit.  We do the same from the
 keys written by llama.cpp converters for the families this engine
 implements: llama/mistral/mixtral, qwen2, qwen3, gemma, gemma2, gemma3,
-phi3, starcoder2.
+phi3, starcoder2, deepseek2.
 """
 
 from __future__ import annotations
@@ -19,11 +19,11 @@ from ..gguf.constants import Keys
 # GGUF rope style per architecture (llama.cpp ``llama_rope_type``):
 # "norm" = interleaved pairs (convert scripts permute Q/K for these);
 # everything else ships "neox" = split halves.
-_ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci")
+_ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci", "deepseek2")
 
 # architectures this engine can build a graph for (loader + models.llama)
 SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2",
-                    "gemma3", "phi3", "starcoder2")
+                    "gemma3", "phi3", "starcoder2", "deepseek2")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +63,33 @@ class ModelConfig:
     rope_local_base: float = 0.0     # gemma3: SWA layers' rope base (0 = same)
     norm_type: str = "rms"           # "rms" | "layernorm" (starcoder2)
     ffn_gated: bool = True           # False: plain up->act->down MLP
+    # -- deepseek2 multi-head latent attention + DeepSeekMoE ----------------
+    q_lora_rank: int = 0             # 0 = direct q projection (V2-Lite)
+    kv_lora_rank: int = 0            # > 0 selects the MLA attention path
+    qk_nope_head_dim: int = 0        # per-head un-roped query/key dims
+    qk_rope_head_dim: int = 0        # per-head roped (decoupled) dims
+    v_head_dim: int = 0              # per-head value dims (!= qk dims)
+    n_shared_experts: int = 0        # always-on experts alongside routed
+    n_dense_layers: int = 0          # leading layers with a dense FFN
+    routed_scale: float = 1.0        # multiplier on routed-expert weights
+    moe_renorm: bool = True          # renormalize top-k router weights
+    n_expert_groups: int = 1         # group-limited routing (device groups)
+    topk_groups: int = 1             # groups considered per token
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def kv_cache_dims(self) -> tuple[int, int]:
+        """(k_dim, v_dim) per head in the KV cache.  MLA caches the
+        EXPANDED per-head keys/values (k = nope+rope, v = v_head_dim —
+        llama.cpp's historical deepseek2 layout); everything else is
+        uniform head_dim."""
+        if self.is_mla:
+            return (self.qk_nope_head_dim + self.qk_rope_head_dim,
+                    self.v_head_dim)
+        return (self.head_dim, self.head_dim)
 
     @property
     def is_moe(self) -> bool:
@@ -150,6 +177,36 @@ class ModelConfig:
             norm_type = "layernorm"
             ffn_gated = False
             act = "gelu_tanh"
+        q_lora = kv_lora = qk_nope = qk_rope = v_hd = 0
+        n_shared = n_dense = 0
+        routed_scale = 1.0
+        moe_renorm = True
+        n_groups = topk_groups = 1
+        if arch == "deepseek2":
+            q_lora = int(md.get("deepseek2.attention.q_lora_rank", 0))
+            kv_lora = int(md.get("deepseek2.attention.kv_lora_rank", 512))
+            qk_rope = rope_dim       # rope.dimension_count = decoupled dims
+            qk_nope = head_dim - qk_rope
+            v_hd = int(md.get("deepseek2.attention.value_length",
+                              head_dim - qk_rope))
+            n_shared = int(md.get("deepseek2.expert_shared_count", 0))
+            n_dense = int(md.get("deepseek2.leading_dense_block_count", 0))
+            routed_scale = float(md.get("deepseek2.expert_weights_scale", 1.0))
+            moe_renorm = bool(md.get("deepseek2.expert_weights_norm", False))
+            n_groups = int(md.get("deepseek2.expert_group_count", 1))
+            topk_groups = int(md.get("deepseek2.expert_group_used_count", 1))
+            # YaRN magnitude correction: released deepseek checkpoints use
+            # mscale == mscale_all_dim, so cos/sin stay unscaled and the
+            # whole correction folds into the score scale (llama.cpp's
+            # kq_scale = mscale^2 / sqrt(dk) with
+            # mscale = 1 + yarn_log_mul * ln(factor))
+            log_mul = float(
+                md.get("deepseek2.rope.scaling.yarn_log_multiplier", 0.0))
+            factor = float(md.get(k(Keys.ROPE_SCALING_FACTOR), 1.0))
+            if (str(md.get(k(Keys.ROPE_SCALING_TYPE), "none")) == "yarn"
+                    and factor > 1.0 and log_mul):
+                ms = 1.0 + log_mul * math.log(factor)
+                attn_scale = ms * ms / math.sqrt(head_dim)
 
         # longrope magnitude scale: explicit key, else the HF formula
         # sqrt(1 + ln(ctx/orig)/ln(orig)) when the file extends the context
@@ -199,4 +256,15 @@ class ModelConfig:
             rope_local_base=rope_local_base,
             norm_type=norm_type,
             ffn_gated=ffn_gated,
+            q_lora_rank=q_lora,
+            kv_lora_rank=kv_lora,
+            qk_nope_head_dim=qk_nope,
+            qk_rope_head_dim=qk_rope,
+            v_head_dim=v_hd,
+            n_shared_experts=n_shared,
+            n_dense_layers=n_dense,
+            routed_scale=routed_scale,
+            moe_renorm=moe_renorm,
+            n_expert_groups=n_groups,
+            topk_groups=topk_groups,
         )

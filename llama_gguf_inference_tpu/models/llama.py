@@ -51,10 +51,12 @@ class KVCache(NamedTuple):
     @staticmethod
     def zeros(cfg: ModelConfig, batch: int, max_seq: int,
               dtype=jnp.bfloat16) -> "KVCache":
-        shape = (batch, cfg.n_kv_heads, max_seq, cfg.head_dim)
+        dk, dv = cfg.kv_cache_dims   # MLA (deepseek2): k and v dims differ
+        shape_k = (batch, cfg.n_kv_heads, max_seq, dk)
+        shape_v = (batch, cfg.n_kv_heads, max_seq, dv)
         return KVCache(
-            k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)),
-            v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)),
+            k=tuple(jnp.zeros(shape_k, dtype) for _ in range(cfg.n_layers)),
+            v=tuple(jnp.zeros(shape_v, dtype) for _ in range(cfg.n_layers)),
         )
 
     @property
@@ -120,6 +122,28 @@ def rope_angles(positions: jax.Array, head_dim: int, rope_dim: int,
     if cfg is not None and cfg.rope_scaling_type == "linear" \
             and cfg.rope_scaling_factor > 1.0:
         pos = pos / cfg.rope_scaling_factor
+    elif cfg is not None and cfg.rope_scaling_type == "yarn" \
+            and cfg.rope_orig_ctx > 0 and cfg.rope_scaling_factor > 1.0:
+        # YaRN (deepseek2 long-context): high-frequency dims keep the
+        # original frequency (extrapolation), low-frequency dims divide by
+        # the factor (interpolation), linear ramp between the correction
+        # dims where the wavelength crosses beta_fast=32 / beta_slow=1
+        # rotations over the original context.  Magnitude correction
+        # (mscale) rides cfg.rope_attn_factor / cfg.attn_scale (set from
+        # the GGUF yarn_log_multiplier by models.config).
+        import math
+        factor = cfg.rope_scaling_factor
+
+        def corr_dim(n_rot: float) -> float:
+            return (rope_dim * math.log(cfg.rope_orig_ctx
+                                        / (n_rot * 2 * math.pi))
+                    / (2 * math.log(base)))
+
+        low = max(math.floor(corr_dim(32.0)), 0)
+        high = min(math.ceil(corr_dim(1.0)), rope_dim - 1)
+        ramp = jnp.clip((jnp.arange(half, dtype=jnp.float32) - low)
+                        / max(high - low, 1e-3), 0.0, 1.0)
+        freqs = (freqs / factor) * ramp + freqs * (1.0 - ramp)
     elif cfg is not None and cfg.rope_scaling_type == "llama3" \
             and cfg.rope_orig_ctx > 0:
         factor = cfg.rope_scaling_factor
@@ -307,6 +331,69 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     return _out_proj(layer, ctx), cache
 
 
+def attention_mla(layer: Params, cfg: ModelConfig, x: jax.Array,
+                  cos: jax.Array, sin: jax.Array, cache: KVCache,
+                  layer_idx: int, offsets: jax.Array, mask: jax.Array):
+    """deepseek2 multi-head latent attention (reference XLA path).
+
+    Weights compress KV through a rank-``kv_lora_rank`` latent with a
+    decoupled shared rope branch: ``kv_a`` emits [c_kv; k_pe], ``kv_b``
+    expands the normalized latent to per-head [k_nope; v].  Queries
+    optionally go through their own LoRA (``q_a``/``q_b``).  This build
+    caches the EXPANDED per-head K/V (k = nope+rope dims, v = v_head_dim
+    — llama.cpp's historical deepseek2 layout); latent-resident caching
+    is a later perf item, so MLA always takes the masked-softmax XLA path
+    (the flash kernel assumes uniform head dims).
+
+    Rope convention matches HF's modeling_deepseek: the de-interleave
+    ``view(d/2, 2).transpose`` before a half-split rotation equals an
+    INTERLEAVED-pairs rotation on the stored layout (cfg.rope_interleaved
+    is True for deepseek2).
+    """
+    B, T, _ = x.shape
+    H = cfg.n_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    dk = dn + dr
+
+    if "attn_q_a" in layer:          # query LoRA (full-size V2/V3)
+        qc = matmul(layer["attn_q_a"], x)
+        qc = rms_norm(qc, layer["attn_q_a_norm"], cfg.rms_eps)
+        q = matmul(layer["attn_q_b"], qc)
+    else:                            # direct projection (V2-Lite)
+        q = matmul(layer["attn_q"], x)
+    q = q.reshape(B, T, H, dk)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    kv = matmul(layer["attn_kv_a_mqa"], x)        # (B, T, kv_lora + dr)
+    c_kv, k_pe = kv[..., :cfg.kv_lora_rank], kv[..., cfg.kv_lora_rank:]
+    c_kv = rms_norm(c_kv, layer["attn_kv_a_norm"], cfg.rms_eps)
+    kvb = matmul(layer["attn_kv_b"], c_kv)        # (B, T, H*(dn+dv))
+    kvb = kvb.reshape(B, T, H, dn + dv)
+    k_nope, v = kvb[..., :dn], kvb[..., dn:]
+
+    q_pe = apply_rope(q_pe, cos, sin, cfg.rope_interleaved)
+    k_pe = apply_rope(k_pe.reshape(B, T, 1, dr), cos, sin,
+                      cfg.rope_interleaved)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr)).astype(k_nope.dtype)],
+        axis=-1)
+    q = jnp.concatenate([q_nope, q_pe.astype(q_nope.dtype)], axis=-1)
+
+    k_cache = _write_kv(cache.k[layer_idx], k, offsets)
+    v_cache = _write_kv(cache.v[layer_idx], v, offsets)
+    cache = KVCache(k=_tuple_set(cache.k, layer_idx, k_cache),
+                    v=_tuple_set(cache.v, layer_idx, v_cache))
+
+    scale = cfg.attn_scale if cfg.attn_scale > 0.0 else 1.0 / jnp.sqrt(float(dk))
+    scores = jnp.einsum("bthd,bhsd->bhts", q.astype(jnp.float32),
+                        k_cache.astype(jnp.float32)) * scale
+    scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_cache.astype(jnp.float32))
+    ctx = ctx.reshape(B, T, H * dv).astype(x.dtype)
+    return _out_proj(layer, ctx), cache
+
+
 def _use_flash_attention(B: int, T: int, group: int, KVH: int, S: int,
                          head_dim: int, qbytes: int = 2) -> bool:
     """Pallas flash attention on TPU wherever the kernel can lower the
@@ -362,13 +449,29 @@ def ffn_swiglu(layer: Params, x: jax.Array, act: str = "silu") -> jax.Array:
 
 
 def moe_router(layer: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    """Top-k routing weights (B, T, E): renormalized router softmax scattered
-    back to per-expert columns (zero for unrouted experts)."""
+    """Top-k routing weights (B, T, E) scattered back to per-expert columns
+    (zero for unrouted experts).
+
+    Mixtral renormalizes the selected softmax weights; deepseek2 keeps the
+    raw softmax values (``moe_renorm`` False), scales them by
+    ``routed_scale``, and optionally restricts selection to the best
+    ``topk_groups`` of ``n_expert_groups`` expert groups (the DeepSeekMoE
+    device-group-limited greedy scheme)."""
     n_exp, k = cfg.n_experts, cfg.n_experts_used
     router = matmul(layer["ffn_gate_inp"], x)                 # (B, T, n_exp)
     probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    if cfg.n_expert_groups > 1:
+        g = cfg.n_expert_groups
+        gsize = n_exp // g
+        gscore = probs.reshape(*probs.shape[:-1], g, gsize).max(-1)
+        _, topg = jax.lax.top_k(gscore, cfg.topk_groups)      # (B, T, tg)
+        gmask = jax.nn.one_hot(topg, g, dtype=jnp.float32).sum(-2)
+        probs = probs * jnp.repeat(gmask, gsize, axis=-1)
     topv, topi = jax.lax.top_k(probs, k)                      # (B, T, k)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.moe_renorm:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.routed_scale != 1.0:
+        topv = topv * cfg.routed_scale
     onehot = jax.nn.one_hot(topi, n_exp, dtype=jnp.float32)   # (B, T, k, E)
     return jnp.einsum("btk,btke->bte", topv, onehot)          # (B, T, E)
 
@@ -502,17 +605,26 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
         sliding = cfg.is_sliding(i)
         local_rope = sliding and cos_l is not None
         h = _norm(x, layer, "attn_norm", cfg)
-        attn_out, cache = attention(layer, cfg, h,
-                                    cos_l if local_rope else cos,
-                                    sin_l if local_rope else sin, cache, i,
-                                    offsets,
-                                    swa_mask if sliding else mask, sliding)
+        if cfg.is_mla:
+            attn_out, cache = attention_mla(layer, cfg, h, cos, sin,
+                                            cache, i, offsets, mask)
+        else:
+            attn_out, cache = attention(layer, cfg, h,
+                                        cos_l if local_rope else cos,
+                                        sin_l if local_rope else sin, cache,
+                                        i, offsets,
+                                        swa_mask if sliding else mask,
+                                        sliding)
         if "attn_post_norm" in layer:    # gemma2/3 post-attention norm
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
         x = x + attn_out
         h = _norm(x, layer, "ffn_norm", cfg)
-        if cfg.is_moe:
+        if "experts" in layer or "experts_ep" in layer:
+            # per-layer: deepseek2's leading layers are dense, the rest MoE
             ffn_out = ffn_moe(layer, cfg, h)
+            if "shared_experts" in layer:   # deepseek2 always-on experts
+                ffn_out = ffn_out + ffn_swiglu(layer["shared_experts"],
+                                               h, cfg.act)
         elif not cfg.ffn_gated:
             ffn_out = ffn_mlp(layer, h, cfg.act)
         else:

@@ -181,6 +181,10 @@ class InferenceEngine:
 
         B, S = self.ecfg.max_slots, self.ecfg.ctx
         self.alloc = None
+        if cfg.is_mla and (self.ecfg.kv_layout != "contig"
+                           or self.ecfg.kv_dtype == "q8_0"):
+            raise ValueError("deepseek2 (MLA) supports the contiguous bf16 "
+                             "KV layout only (k/v head dims differ)")
         if self.ecfg.kv_layout not in ("contig", "paged"):
             raise ValueError(f"unknown kv_layout {self.ecfg.kv_layout!r} "
                              "(expected 'contig' or 'paged')")

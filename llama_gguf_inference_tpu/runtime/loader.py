@@ -148,7 +148,24 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             "attn_output": _load_linear(reader, p + "attn_output.weight", mode, cache),
             "ffn_norm": _load_array(reader, p + "ffn_norm.weight"),
         }
-        if p + "attn_qkv.weight" in t:   # phi3 ships QKV pre-fused
+        if p + "attn_kv_a_mqa.weight" in t:   # deepseek2 MLA projections
+            if p + "attn_q_a.weight" in t:    # query LoRA (full-size V2/V3)
+                layer["attn_q_a"] = _load_linear(reader, p + "attn_q_a.weight",
+                                                 mode, cache)
+                layer["attn_q_a_norm"] = _load_array(reader,
+                                                     p + "attn_q_a_norm.weight")
+                layer["attn_q_b"] = _load_linear(reader, p + "attn_q_b.weight",
+                                                 mode, cache)
+            else:                             # direct q (V2-Lite)
+                layer["attn_q"] = _load_linear(reader, p + "attn_q.weight",
+                                               mode, cache)
+            layer["attn_kv_a_mqa"] = _load_linear(
+                reader, p + "attn_kv_a_mqa.weight", mode, cache)
+            layer["attn_kv_a_norm"] = _load_array(reader,
+                                                  p + "attn_kv_a_norm.weight")
+            layer["attn_kv_b"] = _load_linear(reader, p + "attn_kv_b.weight",
+                                              mode, cache)
+        elif p + "attn_qkv.weight" in t:   # phi3 ships QKV pre-fused
             layer["attn_qkv"] = _load_linear(reader, p + "attn_qkv.weight",
                                              mode, cache)
         else:
@@ -167,10 +184,17 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             if p + extra in t:
                 key = extra.replace(".weight", "").replace(".", "_")
                 layer[key] = _load_array(reader, p + extra)
-        if cfg.is_moe:
+        if cfg.is_moe and p + "ffn_gate_inp.weight" in t:
+            # per-layer: deepseek2's leading layers are dense (no router)
             layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight",
                                                  mode, cache)
             layer["experts"] = _load_experts(reader, p, cfg, mode, cache)
+            if p + "ffn_gate_shexp.weight" in t:   # deepseek2 shared experts
+                layer["shared_experts"] = {
+                    n: _load_linear(reader, p + f"{n}_shexp.weight",
+                                    mode, cache)
+                    for n in ("ffn_gate", "ffn_up", "ffn_down")
+                }
         elif not cfg.ffn_gated:
             # plain up -> act -> down MLP (starcoder2's c_fc/c_proj)
             layer["ffn_up"] = _load_linear(reader, p + "ffn_up.weight",
@@ -232,8 +256,8 @@ def _resolve_pending(params: dict, cache) -> dict:
 
 def _fuse_layer(layer: dict, cfg: ModelConfig) -> None:
     """Row-concatenate QKV and gate+up projections in place (exact)."""
-    if "attn_q" not in layer:
-        return
+    if "attn_q" not in layer or "attn_k" not in layer:
+        return   # pre-fused (phi3) or MLA (deepseek2: no separate K/V)
     from ..ops.linear import fuse_linears
     qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
     if qkv is not None:

@@ -102,7 +102,8 @@ def tokenizer_metadata(hf_dir: str) -> dict:
 _ARCH_MAP = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
              "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
-             "phi3": "phi3", "starcoder2": "starcoder2"}
+             "phi3": "phi3", "starcoder2": "starcoder2",
+             "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2"}
 
 
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
@@ -121,6 +122,11 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     n_kv = cfg.get("num_key_value_heads", n_head)
     dim = cfg["hidden_size"]
     head_dim = cfg.get("head_dim", dim // n_head)
+    rope_dim_count = head_dim
+    if arch == "deepseek2":   # MLA: decoupled rope dims; kv cache per head
+        head_dim = int(cfg["qk_nope_head_dim"]) + int(cfg["qk_rope_head_dim"])
+        rope_dim_count = int(cfg["qk_rope_head_dim"])
+        n_kv = n_head          # expanded-KV semantics (see models.llama)
 
     sd = load_state_dict(hf_dir)
 
@@ -152,9 +158,9 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
         w.add(f"{arch}.attention.layer_norm_rms_epsilon",
               cfg.get("rms_norm_eps", 1e-5))
     w.add(f"{arch}.rope.freq_base", float(cfg.get("rope_theta", 10000.0)))
-    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.rope.dimension_count", rope_dim_count)
     w.add(f"{arch}.vocab_size", cfg["vocab_size"])
-    if head_dim != dim // n_head:
+    if head_dim != dim // n_head and arch != "deepseek2":
         w.add(f"{arch}.attention.key_length", head_dim)
         w.add(f"{arch}.attention.value_length", head_dim)
     if arch == "gemma2":
@@ -164,6 +170,31 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
               float(cfg.get("final_logit_softcapping", 30.0)))
         w.add("gemma2.attention.sliding_window",
               int(cfg.get("sliding_window", 4096)))
+    if arch == "deepseek2":
+        # MLA + DeepSeekMoE hyper-parameters (llama.cpp key names)
+        w.add("deepseek2.attention.key_length", head_dim)
+        w.add("deepseek2.attention.value_length", int(cfg["v_head_dim"]))
+        if cfg.get("q_lora_rank"):
+            w.add("deepseek2.attention.q_lora_rank", int(cfg["q_lora_rank"]))
+        w.add("deepseek2.attention.kv_lora_rank", int(cfg["kv_lora_rank"]))
+        if cfg.get("n_routed_experts"):
+            w.add("deepseek2.expert_count", int(cfg["n_routed_experts"]))
+            w.add("deepseek2.expert_used_count",
+                  int(cfg["num_experts_per_tok"]))
+            w.add("deepseek2.expert_shared_count",
+                  int(cfg.get("n_shared_experts", 0)))
+            w.add("deepseek2.expert_weights_scale",
+                  float(cfg.get("routed_scaling_factor", 1.0)))
+            w.add("deepseek2.expert_weights_norm",
+                  bool(cfg.get("norm_topk_prob", False)))
+            w.add("deepseek2.leading_dense_block_count",
+                  int(cfg.get("first_k_dense_replace", 0)))
+            w.add("deepseek2.expert_feed_forward_length",
+                  int(cfg.get("moe_intermediate_size", 0)))
+            if cfg.get("topk_method") == "group_limited_greedy":
+                w.add("deepseek2.expert_group_count", int(cfg["n_group"]))
+                w.add("deepseek2.expert_group_used_count",
+                      int(cfg["topk_group"]))
     if arch == "gemma3":
         w.add("gemma3.attention.sliding_window",
               int(cfg.get("sliding_window", 1024)))
@@ -182,6 +213,21 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
         # gemma3 long-context: linear factor on GLOBAL layers only
         w.add("gemma3.rope.scaling.type", "linear")
         w.add("gemma3.rope.scaling.factor", float(rope_scaling["factor"]))
+    if arch == "deepseek2" and rs_type == "yarn":
+        w.add("deepseek2.rope.scaling.type", "yarn")
+        w.add("deepseek2.rope.scaling.factor", float(rope_scaling["factor"]))
+        w.add("deepseek2.rope.scaling.original_context_length",
+              int(rope_scaling.get("original_max_position_embeddings",
+                                   cfg.get("max_position_embeddings", 4096))))
+        # released checkpoints use mscale == mscale_all_dim (the cos/sin
+        # correction cancels); record the score-scale multiplier
+        msa = float(rope_scaling.get("mscale_all_dim", 0.0))
+        ms = float(rope_scaling.get("mscale", msa))
+        if ms != msa:
+            print(f"warning: yarn mscale {ms} != mscale_all_dim {msa}; "
+                  "assuming equal (cos/sin correction not representable "
+                  "in GGUF metadata)", file=sys.stderr)
+        w.add("deepseek2.rope.scaling.yarn_log_multiplier", 0.1 * msa)
     if arch == "phi3":
         if cfg.get("sliding_window"):
             w.add("phi3.attention.sliding_window", int(cfg["sliding_window"]))
@@ -222,6 +268,51 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
             # HF gate_up_proj is [gate; up] — matches ffn_swiglu's split
             put(g + "ffn_up.weight", get(p + "mlp.gate_up_proj.weight"))
             put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
+        put("output_norm.weight", get("norm.weight"))
+        if "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"].astype(np.float32))
+        w.write()
+        return
+    if arch == "deepseek2":
+        for i in range(n_layers):
+            p, g = f"layers.{i}.", f"blk.{i}."
+            put(g + "attn_norm.weight", get(p + "input_layernorm.weight"))
+            if cfg.get("q_lora_rank"):
+                put(g + "attn_q_a.weight", get(p + "self_attn.q_a_proj.weight"))
+                put(g + "attn_q_a_norm.weight",
+                    get(p + "self_attn.q_a_layernorm.weight"))
+                put(g + "attn_q_b.weight", get(p + "self_attn.q_b_proj.weight"))
+            else:
+                put(g + "attn_q.weight", get(p + "self_attn.q_proj.weight"))
+            put(g + "attn_kv_a_mqa.weight",
+                get(p + "self_attn.kv_a_proj_with_mqa.weight"))
+            put(g + "attn_kv_a_norm.weight",
+                get(p + "self_attn.kv_a_layernorm.weight"))
+            put(g + "attn_kv_b.weight", get(p + "self_attn.kv_b_proj.weight"))
+            put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
+            put(g + "ffn_norm.weight",
+                get(p + "post_attention_layernorm.weight"))
+            dense = i < int(cfg.get("first_k_dense_replace", 0)) \
+                or not cfg.get("n_routed_experts")
+            if dense:
+                put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
+                put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
+                put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
+            else:
+                put(g + "ffn_gate_inp.weight", get(p + "mlp.gate.weight"))
+                n_exp = int(cfg["n_routed_experts"])
+                for kind, hf in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                    stacked = np.stack([
+                        get(p + f"mlp.experts.{e}.{hf}.weight")
+                        for e in range(n_exp)])
+                    put(g + f"ffn_{kind}_exps.weight", stacked)
+                put(g + "ffn_gate_shexp.weight",
+                    get(p + "mlp.shared_experts.gate_proj.weight"))
+                put(g + "ffn_up_shexp.weight",
+                    get(p + "mlp.shared_experts.up_proj.weight"))
+                put(g + "ffn_down_shexp.weight",
+                    get(p + "mlp.shared_experts.down_proj.weight"))
         put("output_norm.weight", get("norm.weight"))
         if "lm_head.weight" in sd:
             put("output.weight", sd["lm_head.weight"].astype(np.float32))

@@ -86,7 +86,16 @@ def write_tiny_llama(
     w.add(f"{arch}.attention.head_count_kv", n_kv_heads)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add(f"{arch}.rope.freq_base", 10000.0)
-    w.add(f"{arch}.rope.dimension_count", head_dim)
+    # deepseek2 (MLA): decoupled rope dims + latent ranks; per-head cache
+    # dims are (qk_nope + qk_rope, v_head_dim) instead of head_dim
+    ds_rope, ds_nope, ds_v, ds_kv_lora = 8, 24, 16, 32
+    if arch == "deepseek2":
+        w.add("deepseek2.rope.dimension_count", ds_rope)
+        w.add("deepseek2.attention.key_length", ds_nope + ds_rope)
+        w.add("deepseek2.attention.value_length", ds_v)
+        w.add("deepseek2.attention.kv_lora_rank", ds_kv_lora)
+    else:
+        w.add(f"{arch}.rope.dimension_count", head_dim)
     if arch == "gemma2":
         w.add("gemma2.attn_logit_softcapping", 50.0)
         w.add("gemma2.final_logit_softcapping", 30.0)
@@ -115,10 +124,22 @@ def write_tiny_llama(
     for i in range(n_layers):
         p = f"blk.{i}."
         w.add_tensor(p + "attn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
-        w.add_tensor(p + "attn_q.weight", rand(n_heads * head_dim, dim), quant)
-        w.add_tensor(p + "attn_k.weight", rand(n_kv_heads * head_dim, dim), quant)
-        w.add_tensor(p + "attn_v.weight", rand(n_kv_heads * head_dim, dim), quant)
-        w.add_tensor(p + "attn_output.weight", rand(dim, n_heads * head_dim), quant)
+        if arch == "deepseek2":
+            dk = ds_nope + ds_rope
+            w.add_tensor(p + "attn_q.weight", rand(n_heads * dk, dim), quant)
+            w.add_tensor(p + "attn_kv_a_mqa.weight",
+                         rand(ds_kv_lora + ds_rope, dim), quant)
+            w.add_tensor(p + "attn_kv_a_norm.weight",
+                         np.ones(ds_kv_lora, np.float32), GGMLType.F32)
+            w.add_tensor(p + "attn_kv_b.weight",
+                         rand(n_heads * (ds_nope + ds_v), ds_kv_lora), quant)
+            w.add_tensor(p + "attn_output.weight",
+                         rand(dim, n_heads * ds_v), quant)
+        else:
+            w.add_tensor(p + "attn_q.weight", rand(n_heads * head_dim, dim), quant)
+            w.add_tensor(p + "attn_k.weight", rand(n_kv_heads * head_dim, dim), quant)
+            w.add_tensor(p + "attn_v.weight", rand(n_kv_heads * head_dim, dim), quant)
+            w.add_tensor(p + "attn_output.weight", rand(dim, n_heads * head_dim), quant)
         w.add_tensor(p + "ffn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
         if arch == "qwen2":
             w.add_tensor(p + "attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)

@@ -158,6 +158,75 @@ def test_starcoder2_hf_parity(tmp_path):
     assert not got_cfg.rope_interleaved
 
 
+def test_deepseek2_lite_hf_parity(tmp_path):
+    """deepseek2 (V2-Lite shape): MLA with direct q projection, decoupled
+    rope, leading dense layer, shared + routed experts, no weight renorm,
+    routed scaling."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=24,
+        qk_rope_head_dim=8, v_head_dim=20,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        norm_topk_prob=False, topk_method="greedy", n_group=1, topk_group=1,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(11)
+    model = transformers.DeepseekV2ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "deepseek2" and got_cfg.is_mla
+    assert got_cfg.kv_lora_rank == 32 and got_cfg.q_lora_rank == 0
+    assert got_cfg.kv_cache_dims == (32, 20)
+    assert got_cfg.n_dense_layers == 1 and got_cfg.n_shared_experts == 1
+    assert got_cfg.routed_scale == 1.5 and not got_cfg.moe_renorm
+
+
+def test_deepseek2_full_hf_parity(tmp_path):
+    """Full-size shape: query LoRA + group-limited greedy routing."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_nope_head_dim=24,
+        qk_rope_head_dim=8, v_head_dim=20,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=2,
+        first_k_dense_replace=1, routed_scaling_factor=2.0,
+        norm_topk_prob=False, topk_method="group_limited_greedy",
+        n_group=4, topk_group=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(12)
+    model = transformers.DeepseekV2ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.q_lora_rank == 24
+    assert got_cfg.n_expert_groups == 4 and got_cfg.topk_groups == 2
+
+
+def test_deepseek2_yarn_parity(tmp_path):
+    """YaRN long-context rope: ramped frequency interpolation + the
+    mscale^2 score correction folded into attn_scale."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=24,
+        qk_rope_head_dim=8, v_head_dim=20, n_routed_experts=None,
+        first_k_dense_replace=2,
+        rope_scaling={"type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 32,
+                      "beta_fast": 32, "beta_slow": 1,
+                      "mscale": 0.707, "mscale_all_dim": 0.707},
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(13)
+    model = transformers.DeepseekV2ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.rope_scaling_type == "yarn"
+    assert got_cfg.rope_orig_ctx == 32 and got_cfg.rope_scaling_factor == 4.0
+    assert got_cfg.attn_scale > 0
+
+
 def test_phi3_hf_parity(tmp_path):
     """phi3: fused QKV + fused gate_up, neox rope."""
     cfg = transformers.Phi3Config(
@@ -216,7 +285,7 @@ def test_phi3_longrope_parity(tmp_path):
 
 
 @pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2", "gemma3",
-                                  "phi3", "starcoder2"])
+                                  "phi3", "starcoder2", "deepseek2"])
 def test_arch_engine_end_to_end(arch, tmp_path):
     """Synthesized GGUF per arch: quant-mode load + engine generate."""
     from llama_gguf_inference_tpu.runtime.engine import (
