@@ -167,8 +167,14 @@ class ModelConfig:
             rope_local_base = float(
                 md.get("gemma3.rope.local_freq_base",
                        md.get("gemma3.rope.freq_base_swa", 10000.0)))
-            scalar = float(md.get("gemma3.attention.query_pre_attn_scalar",
-                                  head_dim))
+            # query scale: 1b/4b/12b use 1/sqrt(head_dim) (scalar == 256 ==
+            # head_dim); the 27B (62 layers) uses query_pre_attn_scalar =
+            # dim/n_heads like gemma2-27B — llama.cpp special-cases it by
+            # size since no GGUF key carries the scalar.  Our converter
+            # additionally records the exact value when it differs.
+            scalar = float(md.get(
+                "gemma3.attention.query_pre_attn_scalar",
+                dim / n_heads if n_layers == 62 else head_dim))
             if scalar != head_dim:   # post-q_norm score scale (see convert)
                 attn_scale = 1.0 / math.sqrt(scalar)
         if arch == "starcoder2":

@@ -129,7 +129,19 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
             "ffn_norm": jax.device_put(layer["ffn_norm"], rep),
             "attn_output": _shard_linear(layer["attn_output"], mesh, AXIS_TP, 1),
         }
-        if "attn_qkv" in layer:
+        if "attn_kv_a_mqa" in layer:
+            # deepseek2 MLA: per-head projections column-parallel over the
+            # head axis; the small latent projections (kv_a, q_a) replicate
+            if "attn_q" in layer:
+                new["attn_q"] = _shard_linear(layer["attn_q"], mesh, AXIS_TP, 0)
+            else:
+                new["attn_q_a"] = _device_put_tree(layer["attn_q_a"], rep)
+                new["attn_q_b"] = _shard_linear(layer["attn_q_b"], mesh,
+                                                AXIS_TP, 0)
+            new["attn_kv_a_mqa"] = _device_put_tree(layer["attn_kv_a_mqa"], rep)
+            new["attn_kv_b"] = _shard_linear(layer["attn_kv_b"], mesh,
+                                             AXIS_TP, 0)
+        elif "attn_qkv" in layer:
             # phi3 pre-fused QKV: out-axis sharding crosses the q/k/v
             # boundaries — XLA reshards at the split, correctness intact
             new["attn_qkv"] = _shard_linear(layer["attn_qkv"], mesh, AXIS_TP, 0)
@@ -162,8 +174,11 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
         elif "ffn_gateup" in layer:
             new["ffn_gateup"] = _shard_linear(layer["ffn_gateup"], mesh, AXIS_TP, 0)
             new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
-        else:
+        elif "ffn_gate" in layer:
             new["ffn_gate"] = _shard_linear(layer["ffn_gate"], mesh, AXIS_TP, 0)
+            new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)
+            new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
+        else:   # plain MLP (starcoder2): up column-, down row-parallel
             new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)
             new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
         # per-arch extras (qwen2 biases, qwen3 q/k norms, gemma2 post-norms):

@@ -126,10 +126,12 @@ class _Slot:
     """Tokens whose KV verifiably sit at positions [0, len) of this slot's
     region — kept across release for prompt-prefix reuse."""
     hist_upto: int = 0                 # ngram: device history valid [0, n)
+    draft_upto: int = 0                # draft spec: draft KV valid [0, n)
 
 
 _HIST_PAD = 2048       # ngram history slack: sync chunk + in-scan writes
-_HIST_CHUNK = 256      # host->device history sync granularity
+_HIST_CHUNK = 1024     # host->device history sync granularity (each chunk
+#                        costs a full dispatch round trip on remote relays)
 
 
 def _utf8_split(buf: bytes, flush: bool = False) -> tuple[str, bytes]:
@@ -854,6 +856,7 @@ class InferenceEngine:
                 if dpos >= len(ids):
                     break
             _tr("draft prefill dispatched")
+            self.slots[b].draft_upto = len(ids)
         tok = int(tok)
         _tr("first token synced to host")
         return tok, logits_last
@@ -1067,11 +1070,13 @@ class InferenceEngine:
         if (self.ecfg.spec_min_accept > 0
                 and self.spec_ewma < self.ecfg.spec_min_accept):
             # acceptance too low to pay for verify chunks: plain decode,
-            # but probe speculation periodically (content regime may change)
+            # but probe speculation periodically (content regime may
+            # change).  No state mutation here — a probe dispatch's own
+            # EWMA update re-opens the gate if acceptance recovered
+            # (0.7*old + 0.3*good_rate clears the threshold).
             self._spec_tick += 1
             if self._spec_tick % max(1, self.ecfg.spec_probe_every):
                 return False
-            self.spec_ewma = self.ecfg.spec_min_accept  # probe optimistically
         adv = self.spec_rounds * (self.ecfg.spec_tokens + 1)
         for b in active:
             p = self.slots[b].params
@@ -1090,25 +1095,21 @@ class InferenceEngine:
         amortize the host round trip."""
         B = self.ecfg.max_slots
         K = self.ecfg.spec_tokens
-        pending = np.zeros((B, 1), np.int32)
+        # pending/offsets come from _decode_inputs — the SAME free-slot
+        # parking rule as plain decode (getting it wrong corrupts the
+        # prefix-cache claim; the policy must live in one place)
+        pending, offsets = self._decode_inputs(active)
         prev = np.zeros((B, 1), np.int32)
-        offsets = np.zeros(B, np.int32)
-        for b, slot in enumerate(self.slots):
-            if slot.state == "free":
-                # park free slots past their prefix-cache claim (see
-                # _decode_inputs; _release truncates the claim below the
-                # spec advance bound)
-                offsets[b] = len(slot.cached_ids)
         for b in active:
             slot = self.slots[b]
             seq = slot.prompt_ids + slot.generated
-            pending[b, 0] = seq[-1]
             prev[b, 0] = seq[-2] if len(seq) >= 2 else seq[-1]
-            offsets[b] = slot.offset
         _tr(f"spec dispatch mode={self.spec_mode} rounds={self.spec_rounds} "
             f"K={K}")
         t0 = time.monotonic()
         if self.spec_mode == "draft":
+            for b in active:
+                self._sync_draft_cache(b)
             toks_d, counts_d, self.cache, self.draft_cache = self._spec_fn(
                 self.params, self.draft_params, self.cache, self.draft_cache,
                 jnp.asarray(pending), jnp.asarray(prev), jnp.asarray(offsets))
@@ -1147,11 +1148,41 @@ class InferenceEngine:
             for b in active:
                 if self.slots[b].state == "active":
                     self.slots[b].hist_upto = self.slots[b].offset
+        elif self.spec_mode == "draft":
+            # rounds write the draft cache through at least offset-2 and
+            # the next dispatch repairs offset-1: valid through offset-1
+            for b in active:
+                if self.slots[b].state == "active":
+                    self.slots[b].draft_upto = max(self.slots[b].offset - 1, 0)
         per_slot = max(1, emitted // max(1, len(active)))
         dt = (time.monotonic() - t0) / per_slot
         self._last_decode_s = 0.9 * self._last_decode_s + 0.1 * dt \
             if self._last_decode_s else dt
         return True
+
+    def _sync_draft_cache(self, b: int) -> None:
+        """Re-prefill the draft model's KV over positions plain-path
+        dispatches advanced without it (queue pressure, a non-greedy slot
+        in the batch, near-capacity fallbacks).  The in-round repair only
+        covers a ONE-token gap; anything wider would leave the draft
+        attending over holes and silently collapse acceptance."""
+        slot = self.slots[b]
+        target = max(slot.offset - 1, 0)   # offset-1 is repaired in-round
+        if slot.draft_upto >= target:
+            return
+        seq = slot.prompt_ids + slot.generated
+        pos = slot.draft_upto
+        bj = jnp.int32(b)
+        while pos < target:
+            chunk = min(len(seq) - pos, self.ecfg.prefill_buckets[-1])
+            T = self._bucket(chunk)
+            tok_arr = np.zeros((1, T), np.int32)
+            tok_arr[0, :chunk] = seq[pos:pos + chunk]
+            self.draft_cache = self._draft_prefill_fns[T](
+                self.draft_params, self.draft_cache, bj,
+                jnp.asarray(tok_arr), jnp.int32(pos), jnp.int32(chunk))
+            pos += chunk
+        slot.draft_upto = pos
 
     def _sync_hist(self, b: int) -> None:
         """Bring slot b's device token history up to its offset (ngram

@@ -169,7 +169,10 @@ class LayoutCache:
     def _open_for_append(self) -> bool:
         """Lazily open the blob for appending.  Returns writability."""
         if self._fh is not None:
-            return True
+            # a failed put() latches _writable False while the handle stays
+            # open; appending past a partial write would desync the
+            # manifest offsets from the real file positions
+            return self._writable
         if not self._writable:
             return False
         try:

@@ -244,6 +244,42 @@ def test_adaptive_gate_disengages_at_low_acceptance(models):
         plain.stop(); spec.stop()
 
 
+def test_draft_cache_resyncs_after_plain_interlude(models):
+    """A sampled request sharing the batch forces plain-path dispatches
+    that advance the greedy slot WITHOUT the draft model; the draft cache
+    must re-prefill the gap or acceptance silently collapses (review
+    finding).  Self-draft: acceptance stays near-total iff resync works."""
+    target, _ = models
+    plain = _mk(target)
+    spec = _mk(target, target)   # draft == target: proposals always verify
+    try:
+        prompt = list(range(5, 25))
+        want = _tokens(plain, prompt, n=80)
+        greedy = SamplingParams(temperature=0.0, max_tokens=80)
+        sampled = SamplingParams(temperature=0.9, seed=3, max_tokens=30)
+        _, qa = spec.submit(prompt, greedy)
+        _, qb = spec.submit(list(range(40, 50)), sampled)
+
+        def drain(q):
+            out = []
+            while True:
+                ev = q.get(timeout=300)
+                if ev.token_id >= 0:
+                    out.append(ev.token_id)
+                if ev.finished:
+                    return out
+        got = drain(qa)
+        drain(qb)
+        assert got == want
+        st = spec.stats()
+        # gap-resynced self-draft keeps verifying; a stale draft cache
+        # would push the EWMA under the gate and park speculation
+        assert st["spec_drafted"] > 0
+        assert st["spec_acceptance_ewma"] > 0.5
+    finally:
+        plain.stop(); spec.stop()
+
+
 def test_adaptive_gate_can_be_disabled(models):
     target, draft = models
     cfg = EngineConfig(max_slots=1, ctx=256, prefill_buckets=(16, 32),
