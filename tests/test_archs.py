@@ -360,6 +360,39 @@ def test_qwen2_sharded_forward_matches(tmp_path):
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("arch", ["starcoder2", "deepseek2"])
+def test_new_arch_sharded_forward_matches(arch, tmp_path):
+    """TP rules for the round-2 archs: starcoder2 (plain MLP, biases) and
+    deepseek2 (MLA projections) must shard without KeyError and match the
+    single-device logits."""
+    import jax
+    from llama_gguf_inference_tpu.parallel.mesh import make_mesh
+    from llama_gguf_inference_tpu.parallel.partition import (
+        batch_sharding, cache_sharding, shard_params,
+    )
+
+    p = tmp_path / f"{arch}.gguf"
+    write_tiny_llama(p, dim=128, n_layers=2, n_heads=8, n_kv_heads=8,
+                     ffn_dim=256, quant=GGMLType.Q8_0, arch=arch)
+    cfg, params, reader = load_model(p, mode="quant")
+    reader.close()
+    ids = np.full((8, 4), 7, np.int32)
+    offsets = jnp.zeros(8, jnp.int32)
+    lengths = jnp.full(8, 4, jnp.int32)
+    ref, _ = forward(params, cfg, jnp.asarray(ids), offsets,
+                     KVCache.zeros(cfg, 8, 16), lengths)
+
+    mesh = make_mesh(tp=4, dp=2)
+    sp = shard_params(params, cfg, mesh)
+    cache_s = jax.device_put(KVCache.zeros(cfg, 8, 16),
+                             cache_sharding(mesh, cfg.n_kv_heads, 8))
+    ids_s = jax.device_put(jnp.asarray(ids), batch_sharding(mesh, 8))
+    step = jax.jit(forward, static_argnums=(1,))
+    got, _ = step(sp, cfg, ids_s, offsets, cache_s, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_unsupported_arch_rejected(tmp_path):
     from llama_gguf_inference_tpu.gguf.writer import GGUFWriter
     from llama_gguf_inference_tpu.gguf.constants import Keys
