@@ -160,6 +160,11 @@ def main() -> None:
 
     leaves = jax.tree_util.tree_leaves(eng.params)
     weight_bytes = sum(l.nbytes for l in leaves if hasattr(l, "nbytes"))
+    # the embedding table is GATHERED per token, not streamed — decode's
+    # mandatory per-step HBM traffic excludes it (tools/decode_decompose:
+    # matmuls alone run at ~99% of this stream roofline)
+    embd_bytes = getattr(eng.params.get("tok_embd"), "nbytes", 0)
+    stream_bytes = weight_bytes - embd_bytes
     log(f"[bench] resident weight bytes: {weight_bytes / 1e9:.3f} GB")
 
     prompt = list(range(3, 3 + 100))
@@ -250,6 +255,9 @@ def main() -> None:
     if roofline:
         result["roofline_tok_s"] = round(roofline, 1)
         result["pct_roofline"] = round(100 * tok_s / roofline, 2)
+        # stream roofline: only bytes decode actually reads per step
+        stream_roof = V5E_HBM_GBS * 1e9 / max(stream_bytes, 1)
+        result["pct_stream_roofline"] = round(100 * tok_s / stream_roof, 2)
     print(json.dumps(result))
 
 
