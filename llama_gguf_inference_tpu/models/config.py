@@ -82,14 +82,19 @@ class ModelConfig:
 
     @property
     def kv_cache_dims(self) -> tuple[int, int]:
-        """(k_dim, v_dim) per head in the KV cache.  MLA caches the
-        EXPANDED per-head keys/values (k = nope+rope, v = v_head_dim —
-        llama.cpp's historical deepseek2 layout); everything else is
-        uniform head_dim."""
+        """(k_dim, v_dim) per cache head.  MLA caches the LATENT (one
+        shared head: k = roped decoupled dims, v = the compressed c_kv —
+        see models.llama.attention_mla's absorbed formulation); everything
+        else is uniform head_dim."""
         if self.is_mla:
-            return (self.qk_nope_head_dim + self.qk_rope_head_dim,
-                    self.v_head_dim)
+            return (self.qk_rope_head_dim, self.kv_lora_rank)
         return (self.head_dim, self.head_dim)
+
+    @property
+    def cache_kv_heads(self) -> int:
+        """KV heads in the CACHE: MLA's latent is shared by every query
+        head (MQA-like), everything else stores n_kv_heads."""
+        return 1 if self.is_mla else self.n_kv_heads
 
     @property
     def is_moe(self) -> bool:

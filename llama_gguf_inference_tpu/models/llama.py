@@ -52,8 +52,9 @@ class KVCache(NamedTuple):
     def zeros(cfg: ModelConfig, batch: int, max_seq: int,
               dtype=jnp.bfloat16) -> "KVCache":
         dk, dv = cfg.kv_cache_dims   # MLA (deepseek2): k and v dims differ
-        shape_k = (batch, cfg.n_kv_heads, max_seq, dk)
-        shape_v = (batch, cfg.n_kv_heads, max_seq, dv)
+        kvh = cfg.cache_kv_heads     # MLA: ONE shared latent head
+        shape_k = (batch, kvh, max_seq, dk)
+        shape_v = (batch, kvh, max_seq, dv)
         return KVCache(
             k=tuple(jnp.zeros(shape_k, dtype) for _ in range(cfg.n_layers)),
             v=tuple(jnp.zeros(shape_v, dtype) for _ in range(cfg.n_layers)),
@@ -334,16 +335,24 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
 def attention_mla(layer: Params, cfg: ModelConfig, x: jax.Array,
                   cos: jax.Array, sin: jax.Array, cache: KVCache,
                   layer_idx: int, offsets: jax.Array, mask: jax.Array):
-    """deepseek2 multi-head latent attention (reference XLA path).
+    """deepseek2 multi-head latent attention — LATENT-RESIDENT cache.
 
     Weights compress KV through a rank-``kv_lora_rank`` latent with a
-    decoupled shared rope branch: ``kv_a`` emits [c_kv; k_pe], ``kv_b``
-    expands the normalized latent to per-head [k_nope; v].  Queries
-    optionally go through their own LoRA (``q_a``/``q_b``).  This build
-    caches the EXPANDED per-head K/V (k = nope+rope dims, v = v_head_dim
-    — llama.cpp's historical deepseek2 layout); latent-resident caching
-    is a later perf item, so MLA always takes the masked-softmax XLA path
-    (the flash kernel assumes uniform head dims).
+    decoupled shared rope branch: ``kv_a`` emits [c_kv; k_pe]; ``kv_b``
+    would expand the normalized latent to per-head [k_nope; v].  Instead
+    of caching the expansion (H*(dn+dv) elements/token — 10 KB/token on
+    V2-Lite), the cache holds the latent itself: k = roped k_pe (dr) and
+    v = normalized c_kv (C) per position, C + dr ≈ 1.1 KB/token — the
+    MQA-like absorbed formulation:
+
+        score_h(s) = (W_uk[h]ᵀ q_nope_h) · c_s  +  q_pe_h · k_pe_s
+        out_h      = W_uv[h] · Σ_s p_h(s) c_s
+
+    with W_uk/W_uv the k/v halves of ``kv_b`` pre-split by the loader
+    into dense ``attn_kv_b_k`` (H, dn, C) / ``attn_kv_b_v`` (H, dv, C).
+    Decode is KV-bandwidth-bound, so ~9x less cache traffic wins despite
+    ~1.8x more score MACs.  Runs on the masked-softmax XLA path (one
+    shared latent "head"; the flash kernel assumes per-head uniform K/V).
 
     Rope convention matches HF's modeling_deepseek: the de-interleave
     ``view(d/2, 2).transpose`` before a half-split rotation equals an
@@ -352,7 +361,8 @@ def attention_mla(layer: Params, cfg: ModelConfig, x: jax.Array,
     """
     B, T, _ = x.shape
     H = cfg.n_heads
-    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    C = cfg.kv_lora_rank
     dk = dn + dr
 
     if "attn_q_a" in layer:          # query LoRA (full-size V2/V3)
@@ -363,34 +373,40 @@ def attention_mla(layer: Params, cfg: ModelConfig, x: jax.Array,
         q = matmul(layer["attn_q"], x)
     q = q.reshape(B, T, H, dk)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
-
-    kv = matmul(layer["attn_kv_a_mqa"], x)        # (B, T, kv_lora + dr)
-    c_kv, k_pe = kv[..., :cfg.kv_lora_rank], kv[..., cfg.kv_lora_rank:]
-    c_kv = rms_norm(c_kv, layer["attn_kv_a_norm"], cfg.rms_eps)
-    kvb = matmul(layer["attn_kv_b"], c_kv)        # (B, T, H*(dn+dv))
-    kvb = kvb.reshape(B, T, H, dn + dv)
-    k_nope, v = kvb[..., :dn], kvb[..., dn:]
-
     q_pe = apply_rope(q_pe, cos, sin, cfg.rope_interleaved)
+
+    kv = matmul(layer["attn_kv_a_mqa"], x)        # (B, T, C + dr)
+    c_kv, k_pe = kv[..., :C], kv[..., C:]
+    c_kv = rms_norm(c_kv, layer["attn_kv_a_norm"], cfg.rms_eps)
     k_pe = apply_rope(k_pe.reshape(B, T, 1, dr), cos, sin,
                       cfg.rope_interleaved)
-    k = jnp.concatenate(
-        [k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr)).astype(k_nope.dtype)],
-        axis=-1)
-    q = jnp.concatenate([q_nope, q_pe.astype(q_nope.dtype)], axis=-1)
 
-    k_cache = _write_kv(cache.k[layer_idx], k, offsets)
-    v_cache = _write_kv(cache.v[layer_idx], v, offsets)
+    # absorb W_uk into the queries: (B, T, H, dn) x (H, dn, C)
+    q_lat = jnp.einsum("bthd,hdc->bthc", q_nope.astype(jnp.float32),
+                       layer["attn_kv_b_k"].astype(jnp.float32))
+
+    k_cache = _write_kv(cache.k[layer_idx], k_pe.astype(x.dtype), offsets)
+    v_cache = _write_kv(cache.v[layer_idx],
+                        c_kv.reshape(B, T, 1, C).astype(x.dtype), offsets)
     cache = KVCache(k=_tuple_set(cache.k, layer_idx, k_cache),
                     v=_tuple_set(cache.v, layer_idx, v_cache))
 
     scale = cfg.attn_scale if cfg.attn_scale > 0.0 else 1.0 / jnp.sqrt(float(dk))
-    scores = jnp.einsum("bthd,bhsd->bhts", q.astype(jnp.float32),
-                        k_cache.astype(jnp.float32)) * scale
+    # scores over the shared latent: one "KV head", H query heads
+    scores = jnp.einsum("bthc,bsc->bhts", q_lat,
+                        v_cache[:, 0].astype(jnp.float32))
+    scores = scores + jnp.einsum("bthd,bsd->bhts",
+                                 q_pe.astype(jnp.float32),
+                                 k_cache[:, 0].astype(jnp.float32))
+    scores = scores * scale
     scores = jnp.where(mask[:, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhts,bhsd->bthd", probs, v_cache.astype(jnp.float32))
-    ctx = ctx.reshape(B, T, H * dv).astype(x.dtype)
+    ctx_lat = jnp.einsum("bhts,bsc->bthc", probs,
+                         v_cache[:, 0].astype(jnp.float32))
+    # expand back through W_uv: (B, T, H, C) x (H, dv, C)
+    ctx = jnp.einsum("bthc,hvc->bthv", ctx_lat,
+                     layer["attn_kv_b_v"].astype(jnp.float32))
+    ctx = ctx.reshape(B, T, H * cfg.v_head_dim).astype(x.dtype)
     return _out_proj(layer, ctx), cache
 
 

@@ -332,13 +332,7 @@ def _flash_paged_jit(q, k_pool, v_pool, offsets, page_table, *, cfg):
             .transpose(0, 2, 1, 3))
 
 
-def flash_attention_paged(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
-                          offsets: jax.Array, page_table: jax.Array,
-                          blk_s: int = 1024) -> jax.Array:
-    """q: (B, T, H, D); pools: (P, KVH, page_s, D); offsets: (B,);
-    page_table: (B, NP) int32 physical page per logical page (entries past
-    a sequence's live pages may be any valid page id — masking hides them).
-    Returns (B, T, H, D)."""
+def _flash_paged_local(q, k_pool, v_pool, offsets, page_table, *, blk_s):
     B, T, H, D = q.shape
     KVH, page_s = k_pool.shape[1], k_pool.shape[2]
     NP = page_table.shape[1]
@@ -347,6 +341,38 @@ def flash_attention_paged(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     blk_s = _pick_blk_s(min(blk_s, page_s), page_s, HF, R, D, 2, qb)
     cfg = (B, T, H, D, KVH, NP, page_s, HF, blk_s)
     return _flash_paged_jit(q, k_pool, v_pool, offsets, page_table, cfg=cfg)
+
+
+def flash_attention_paged(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                          offsets: jax.Array, page_table: jax.Array,
+                          blk_s: int = 1024) -> jax.Array:
+    """q: (B, T, H, D); pools: (P, KVH, page_s, D); offsets: (B,);
+    page_table: (B, NP) int32 physical page per logical page (entries past
+    a sequence's live pages may be any valid page id — masking hides them).
+    Returns (B, T, H, D).
+
+    Under a registered mesh the kernel runs shard_map'd over LOCAL tp-head
+    shards of the pools — heads are embarrassingly parallel and the table
+    replicates.  The physical page pool is GLOBAL (pages assign to any
+    slot dynamically), so it cannot shard over a dp batch axis; the engine
+    restricts paged layouts to dp == 1 meshes.
+    """
+    ax = _mesh_axes(q.shape[0], k_pool.shape[1])
+    if ax is not None:
+        mesh, dp, tp = ax
+        if dp is not None:
+            raise ValueError("paged KV cannot shard the page pool over a "
+                             "dp batch axis; use dp=1 (tp-only) meshes")
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        fn = shard_map(
+            functools.partial(_flash_paged_local, blk_s=blk_s), mesh=mesh,
+            in_specs=(P(None, None, tp, None), P(None, tp, None, None),
+                      P(None, tp, None, None), P(None), P(None, None)),
+            out_specs=P(None, None, tp, None), check_rep=False)
+        return fn(q, k_pool, v_pool, offsets, page_table)
+    return _flash_paged_local(q, k_pool, v_pool, offsets, page_table,
+                              blk_s=blk_s)
 
 
 # Per-core VMEM is 16 MB (v5e); leave headroom for Mosaic's own buffers.

@@ -139,8 +139,12 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
                 new["attn_q_b"] = _shard_linear(layer["attn_q_b"], mesh,
                                                 AXIS_TP, 0)
             new["attn_kv_a_mqa"] = _device_put_tree(layer["attn_kv_a_mqa"], rep)
-            new["attn_kv_b"] = _shard_linear(layer["attn_kv_b"], mesh,
-                                             AXIS_TP, 0)
+            # absorbed kv_b halves: (H, dn|dv, C) — shard the head axis
+            tp_div = cfg.n_heads % mesh.shape[AXIS_TP] == 0
+            head_spec = NamedSharding(
+                mesh, P(AXIS_TP if tp_div else None, None, None))
+            new["attn_kv_b_k"] = jax.device_put(layer["attn_kv_b_k"], head_spec)
+            new["attn_kv_b_v"] = jax.device_put(layer["attn_kv_b_v"], head_spec)
         elif "attn_qkv" in layer:
             # phi3 pre-fused QKV: out-axis sharding crosses the q/k/v
             # boundaries — XLA reshards at the split, correctness intact
@@ -217,6 +221,20 @@ def shard_cache(cache, mesh: Mesh, n_kv_heads: int | None = None,
                          n_kv_heads % mesh.shape[AXIS_TP] == 0) else None
     b_axis = AXIS_DP if (batch is None or
                          batch % mesh.shape[AXIS_DP] == 0) else None
+
+    from ..runtime.paged_kv import PagedKV
+    if isinstance(cache, PagedKV):
+        # pools are (P, KVH, page_s, D): the PAGE axis is global (pages
+        # assign to any slot) so only KV heads shard; the tiny page table
+        # replicates.  dp batch sharding is unsound for a shared pool —
+        # the engine restricts paged layouts to dp == 1 meshes.
+        pool_s = NamedSharding(mesh, P(None, h_axis, None, None))
+        rep = NamedSharding(mesh, P())
+        return PagedKV(
+            k=tuple(jax.device_put(a, pool_s) for a in cache.k),
+            v=tuple(jax.device_put(a, pool_s) for a in cache.v),
+            page_table=jax.device_put(cache.page_table, rep),
+        )
 
     def put(leaf):
         spec = (b_axis, h_axis, None, None)[:leaf.ndim]

@@ -194,9 +194,10 @@ class InferenceEngine:
             if self.ecfg.kv_dtype == "q8_0":
                 raise ValueError("kv_layout='paged' supports bf16 KV only "
                                  "(q8_0 paging is a contig-layout feature)")
-            if self.mesh is not None:
-                raise ValueError("kv_layout='paged' does not shard yet; "
-                                 "use the contiguous layout under tp/dp")
+            if self.mesh is not None and self.ecfg.dp > 1:
+                raise ValueError("kv_layout='paged' shards over tp only: "
+                                 "the page pool is shared by every slot, so "
+                                 "a dp batch axis cannot partition it")
             from .paged_kv import PagedKV, PageAllocator
             page_s = self.ecfg.kv_page_size
             pool_pages = max(1, (B * S) // page_s)   # same HBM as contig
@@ -210,7 +211,8 @@ class InferenceEngine:
             self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
         if self.mesh is not None:
             from ..parallel.partition import shard_cache
-            self.cache = shard_cache(self.cache, self.mesh, cfg.n_kv_heads, B)
+            self.cache = shard_cache(self.cache, self.mesh,
+                                     cfg.cache_kv_heads, B)
         # speculative decoding: draft-model or n-gram-lookup proposals
         self.draft_params = None
         self.draft_cfg = None
@@ -703,8 +705,14 @@ class InferenceEngine:
 
     def _push_table(self) -> None:
         """Mirror the host allocator's page table to the device cache."""
-        self.cache = self.cache._replace(
-            page_table=jnp.asarray(self.alloc.table))
+        table = jnp.asarray(self.alloc.table)
+        if self.mesh is not None:
+            # replicate explicitly: a default-device array mixed into the
+            # mesh-sharded cache pytree fails jit's device check
+            from jax.sharding import NamedSharding, PartitionSpec
+            table = jax.device_put(
+                table, NamedSharding(self.mesh, PartitionSpec()))
+        self.cache = self.cache._replace(page_table=table)
 
     def _next_request(self):
         if self._waiting:

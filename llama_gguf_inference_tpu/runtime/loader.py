@@ -216,7 +216,25 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
     if fuse:
         for layer in params["layers"]:
             _fuse_layer(layer, cfg)
+    if cfg.is_mla:
+        for layer in params["layers"]:
+            _absorb_mla(layer, cfg)
     return params
+
+
+def _absorb_mla(layer: dict, cfg: ModelConfig) -> None:
+    """Split kv_b into dense per-head absorption matrices for the
+    latent-resident MLA attention (models.llama.attention_mla): the k half
+    folds into the queries, the v half expands the attended latent.  kv_b
+    is small (C x H*(dn+dv)), so the dense bf16 copy costs little and the
+    expanded per-head K/V never materialize in the cache."""
+    kvb = layer.pop("attn_kv_b")
+    w = kvb.dequantize() if isinstance(kvb, DenseLinear) \
+        else kvb.dequantize(jnp.bfloat16)
+    H, dn, dv = cfg.n_heads, cfg.qk_nope_head_dim, cfg.v_head_dim
+    w3 = w.reshape(H, dn + dv, cfg.kv_lora_rank)
+    layer["attn_kv_b_k"] = w3[:, :dn, :]
+    layer["attn_kv_b_v"] = w3[:, dn:, :]
 
 
 def _resolve_pending(params: dict, cache) -> dict:

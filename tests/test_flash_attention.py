@@ -188,3 +188,39 @@ def test_flash_q8_sharded_matches_unsharded(rng, monkeypatch):
     sharded = np.asarray(fa.flash_attention_q8(
         jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(offsets), blk_s=32))
     np.testing.assert_allclose(sharded, plain, atol=1e-6, rtol=1e-6)
+
+
+def test_flash_paged_sharded_matches_unsharded(rng, monkeypatch):
+    """Paged flash under a tp-only mesh: pools shard over KV heads, the
+    page table replicates; output matches the unsharded kernel.  dp > 1
+    meshes are rejected (the shared page pool cannot batch-shard)."""
+    import jax
+    import pytest
+    import llama_gguf_inference_tpu.ops.flash_attention as fa
+    from llama_gguf_inference_tpu.parallel.mesh import make_mesh
+    from llama_gguf_inference_tpu.runtime.paged_kv import PagedKV
+
+    B, T, H, KVH, D = 2, 1, 8, 8, 64
+    page_s, NP, P_pages = 32, 4, 8
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k_pool = rng.normal(size=(P_pages, KVH, page_s, D)).astype(np.float32)
+    v_pool = rng.normal(size=(P_pages, KVH, page_s, D)).astype(np.float32)
+    table = np.array([[0, 2, 4, 6], [1, 3, 5, 7]], np.int32)
+    offsets = np.array([40, 99], np.int32)
+
+    plain = np.asarray(fa.flash_attention_paged(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(offsets), jnp.asarray(table), blk_s=32))
+
+    assert len(jax.devices()) >= 8
+    monkeypatch.setattr(fa, "_MESH", make_mesh(tp=8, dp=1))
+    sharded = np.asarray(fa.flash_attention_paged(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(offsets), jnp.asarray(table), blk_s=32))
+    np.testing.assert_allclose(sharded, plain, atol=1e-6, rtol=1e-6)
+
+    monkeypatch.setattr(fa, "_MESH", make_mesh(tp=4, dp=2))
+    with pytest.raises(ValueError, match="dp"):
+        fa.flash_attention_paged(
+            jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+            jnp.asarray(offsets), jnp.asarray(table), blk_s=32)

@@ -131,3 +131,33 @@ def test_engine_on_mesh_matches_single_device(model_path):
     single = run(1, 1)
     sharded = run(4, 2)
     assert sharded == single
+
+
+def test_paged_engine_on_tp_mesh_matches_single_device(model_path):
+    """Paged KV under tensor parallelism: pools shard over KV heads, the
+    page table replicates; tokens match the single-device paged engine.
+    dp > 1 is rejected (the shared page pool cannot batch-shard)."""
+    import pytest
+    from llama_gguf_inference_tpu.runtime.engine import EngineConfig, InferenceEngine
+    from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+
+    p = SamplingParams(temperature=0.0, max_tokens=6)
+
+    def run(tp, dp):
+        eng = InferenceEngine(str(model_path), EngineConfig(
+            max_slots=2, ctx=64, prefill_buckets=(16,), mode="quant",
+            multi_step=2, tp=tp, dp=dp, kv_layout="paged", kv_page_size=16))
+        eng.start()
+        try:
+            return [ev.token_id for ev in eng.generate("hello world", p)]
+        finally:
+            eng.stop()
+
+    single = run(1, 1)
+    sharded = run(8, 1)   # dp*tp must cover the 8 virtual devices
+    assert sharded == single
+
+    with pytest.raises(ValueError, match="dp"):
+        InferenceEngine(str(model_path), EngineConfig(
+            max_slots=2, ctx=64, prefill_buckets=(16,), mode="quant",
+            tp=4, dp=2, kv_layout="paged"))
