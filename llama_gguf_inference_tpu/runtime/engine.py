@@ -226,9 +226,6 @@ class InferenceEngine:
         self._spec_tick = 0            # dispatches since spec was gated off
         if self.ecfg.draft_model or self.ecfg.spec_ngram:
             what = "draft_model" if self.ecfg.draft_model else "spec_ngram"
-            if self.mesh is not None:
-                raise ValueError(f"{what} does not shard yet; "
-                                 "use single-device (tp=dp=1)")
             if self.ecfg.kv_layout != "contig":
                 raise ValueError(f"{what} requires kv_layout='contig'")
             # per-dispatch token budget comparable to multi_step fusion
@@ -236,20 +233,30 @@ class InferenceEngine:
                                    // (self.ecfg.spec_tokens + 1))
         if self.ecfg.draft_model:
             dcfg, dparams, dreader = load_model(self.ecfg.draft_model,
-                                                mode=self.ecfg.mode, fuse=True)
+                                                mode=self.ecfg.mode,
+                                                fuse=self.mesh is None)
             if dcfg.vocab_size != cfg.vocab_size:
                 raise ValueError(
                     f"draft vocab {dcfg.vocab_size} != target {cfg.vocab_size}"
                     " (speculative decoding needs a shared vocabulary)")
             dreader.close()
             self.draft_cfg = dcfg
-            self.draft_params = dparams
             self.draft_cache = KVCache.zeros(dcfg, B, S)
+            if self.mesh is not None:   # draft shards like the target
+                from ..parallel.partition import shard_cache, shard_params
+                dparams = shard_params(dparams, dcfg, self.mesh)
+                self.draft_cache = shard_cache(self.draft_cache, self.mesh,
+                                               dcfg.cache_kv_heads, B)
+            self.draft_params = dparams
             self.spec_mode = "draft"
         elif self.ecfg.spec_ngram:
             # padded past capacity so in-scan + sync writes never hit the
             # dynamic-update-slice clamp (which would shift the write)
             self.hist = jnp.zeros((B, S + _HIST_PAD), jnp.int32)
+            if self.mesh is not None:   # replicate: device-check parity
+                from jax.sharding import NamedSharding, PartitionSpec
+                self.hist = jax.device_put(
+                    self.hist, NamedSharding(self.mesh, PartitionSpec()))
             self.spec_mode = "ngram"
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]

@@ -296,6 +296,31 @@ def test_adaptive_gate_can_be_disabled(models):
         eng.stop()
 
 
+@pytest.mark.parametrize("mode", ["draft", "ngram"])
+def test_spec_on_mesh_matches_single_device(models, mode):
+    """Speculation under a (dp, tp) mesh: draft params/cache shard like
+    the target (ngram history replicates); tokens match the single-device
+    spec engine, which matches the plain engine."""
+    target, draft = models
+    kw = dict(draft_model=draft) if mode == "draft" else dict(spec_ngram=True)
+
+    def run(tp, dp):
+        eng = InferenceEngine(target, EngineConfig(
+            max_slots=2, ctx=128, prefill_buckets=(16, 32), mode="quant",
+            multi_step=8, spec_tokens=3, tp=tp, dp=dp, **kw))
+        eng.start()
+        try:
+            toks = _tokens(eng, list(range(5, 25)), n=20)
+            return toks, eng.stats().get("spec_drafted", 0)
+        finally:
+            eng.stop()
+
+    single, drafted_1 = run(1, 1)
+    sharded, drafted_8 = run(4, 2)
+    assert sharded == single
+    assert drafted_8 > 0   # speculation actually ran on the mesh
+
+
 def test_spec_requires_contig_kv(models):
     target, draft = models
     with pytest.raises(ValueError, match="contig"):
