@@ -357,12 +357,16 @@ def flash_attention_paged(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     slot dynamically), so it cannot shard over a dp batch axis; the engine
     restricts paged layouts to dp == 1 meshes.
     """
+    if _MESH is not None:
+        # unconditional: _mesh_axes returning None (non-divisible batch)
+        # must not silently run the kernel unsharded on a dp mesh
+        from ..parallel.mesh import AXIS_DP
+        if _MESH.shape[AXIS_DP] > 1:
+            raise ValueError("paged KV cannot shard the page pool over a "
+                             "dp batch axis; use dp=1 (tp-only) meshes")
     ax = _mesh_axes(q.shape[0], k_pool.shape[1])
     if ax is not None:
         mesh, dp, tp = ax
-        if dp is not None:
-            raise ValueError("paged KV cannot shard the page pool over a "
-                             "dp batch axis; use dp=1 (tp-only) meshes")
         from jax.sharding import PartitionSpec as P
         from jax.experimental.shard_map import shard_map
         fn = shard_map(

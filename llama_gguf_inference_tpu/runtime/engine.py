@@ -163,18 +163,49 @@ class InferenceEngine:
         enable_compile_cache()   # warm boots skip the minutes of Mosaic compiles
         self.ecfg = engine_cfg or EngineConfig()
         sharded = self.ecfg.tp * self.ecfg.dp > 1
+        # config validation BEFORE any global state mutates: a raise after
+        # set_mesh would poison the module-global flash mesh for every
+        # later engine in the process (review finding, reproduced)
+        if self.ecfg.kv_layout not in ("contig", "paged"):
+            raise ValueError(f"unknown kv_layout {self.ecfg.kv_layout!r} "
+                             "(expected 'contig' or 'paged')")
+        if self.ecfg.kv_layout == "paged":
+            if self.ecfg.kv_dtype == "q8_0":
+                raise ValueError("kv_layout='paged' supports bf16 KV only "
+                                 "(q8_0 paging is a contig-layout feature)")
+            if sharded and self.ecfg.dp > 1:
+                raise ValueError("kv_layout='paged' shards over tp only: "
+                                 "the page pool is shared by every slot, so "
+                                 "a dp batch axis cannot partition it")
+            import jax as _jax
+            if _jax.process_count() > 1:
+                # multi-host lockstep replays device ops only; the page
+                # table is leader-side HOST state followers never see —
+                # their writes would scatter-drop into -1 table entries
+                raise ValueError("kv_layout='paged' does not support "
+                                 "multi-host serving; use contig")
+        if (self.ecfg.draft_model or self.ecfg.spec_ngram) \
+                and self.ecfg.kv_layout != "contig":
+            raise ValueError("speculative decoding requires "
+                             "kv_layout='contig'")
         cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,
                                          fuse=not sharded)
         self.cfg = cfg
+        if cfg.is_mla and (self.ecfg.kv_layout != "contig"
+                           or self.ecfg.kv_dtype == "q8_0"):
+            raise ValueError("deepseek2 (MLA) supports the contiguous bf16 "
+                             "KV layout only (k/v head dims differ)")
         self.mesh = None
+        from ..ops.flash_attention import set_mesh
         if sharded:
             from ..parallel.mesh import make_mesh
             from ..parallel.partition import shard_params
             self.mesh = make_mesh(tp=self.ecfg.tp, dp=self.ecfg.dp)
             params = shard_params(params, cfg, self.mesh)
             # flash kernels run shard_map'd over local head/batch shards
-            from ..ops.flash_attention import set_mesh
             set_mesh(self.mesh)
+        else:
+            set_mesh(None)   # clear any stale mesh a prior engine left
         self.params = params
         self.metadata = dict(reader.metadata)
         self.tokenizer: Tokenizer = from_gguf_metadata(reader.metadata)
@@ -183,21 +214,7 @@ class InferenceEngine:
 
         B, S = self.ecfg.max_slots, self.ecfg.ctx
         self.alloc = None
-        if cfg.is_mla and (self.ecfg.kv_layout != "contig"
-                           or self.ecfg.kv_dtype == "q8_0"):
-            raise ValueError("deepseek2 (MLA) supports the contiguous bf16 "
-                             "KV layout only (k/v head dims differ)")
-        if self.ecfg.kv_layout not in ("contig", "paged"):
-            raise ValueError(f"unknown kv_layout {self.ecfg.kv_layout!r} "
-                             "(expected 'contig' or 'paged')")
         if self.ecfg.kv_layout == "paged":
-            if self.ecfg.kv_dtype == "q8_0":
-                raise ValueError("kv_layout='paged' supports bf16 KV only "
-                                 "(q8_0 paging is a contig-layout feature)")
-            if self.mesh is not None and self.ecfg.dp > 1:
-                raise ValueError("kv_layout='paged' shards over tp only: "
-                                 "the page pool is shared by every slot, so "
-                                 "a dp batch axis cannot partition it")
             from .paged_kv import PagedKV, PageAllocator
             page_s = self.ecfg.kv_page_size
             pool_pages = max(1, (B * S) // page_s)   # same HBM as contig
@@ -225,9 +242,7 @@ class InferenceEngine:
         self.spec_ewma = 1.0           # acceptance EWMA (starts optimistic)
         self._spec_tick = 0            # dispatches since spec was gated off
         if self.ecfg.draft_model or self.ecfg.spec_ngram:
-            what = "draft_model" if self.ecfg.draft_model else "spec_ngram"
-            if self.ecfg.kv_layout != "contig":
-                raise ValueError(f"{what} requires kv_layout='contig'")
+            # (layout validated up top, before global state mutates)
             # per-dispatch token budget comparable to multi_step fusion
             self.spec_rounds = max(1, self.ecfg.multi_step
                                    // (self.ecfg.spec_tokens + 1))
@@ -254,9 +269,8 @@ class InferenceEngine:
             # dynamic-update-slice clamp (which would shift the write)
             self.hist = jnp.zeros((B, S + _HIST_PAD), jnp.int32)
             if self.mesh is not None:   # replicate: device-check parity
-                from jax.sharding import NamedSharding, PartitionSpec
-                self.hist = jax.device_put(
-                    self.hist, NamedSharding(self.mesh, PartitionSpec()))
+                from ..parallel.mesh import replicated
+                self.hist = jax.device_put(self.hist, replicated(self.mesh))
             self.spec_mode = "ngram"
         self.sample_state = SampleState.init(B, cfg.vocab_size)
         self.slots = [_Slot() for _ in range(B)]
@@ -600,6 +614,11 @@ class InferenceEngine:
             self._thread.join(timeout=10)
             self._thread = None
         self._pending = None
+        if self.mesh is not None:
+            # clear the module-global flash mesh: later single-device
+            # engines or direct kernel calls must not inherit it
+            from ..ops.flash_attention import set_mesh
+            set_mesh(None)
 
     def _loop(self) -> None:
         while not self._stop_evt.is_set():
@@ -716,9 +735,8 @@ class InferenceEngine:
         if self.mesh is not None:
             # replicate explicitly: a default-device array mixed into the
             # mesh-sharded cache pytree fails jit's device check
-            from jax.sharding import NamedSharding, PartitionSpec
-            table = jax.device_put(
-                table, NamedSharding(self.mesh, PartitionSpec()))
+            from ..parallel.mesh import replicated
+            table = jax.device_put(table, replicated(self.mesh))
         self.cache = self.cache._replace(page_table=table)
 
     def _next_request(self):
