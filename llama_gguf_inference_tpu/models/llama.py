@@ -332,6 +332,45 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
     return _out_proj(layer, ctx), cache
 
 
+def shift_cache_slot(cache: KVCache, cfg: ModelConfig, b: jax.Array,
+                     keep: jax.Array, discard: jax.Array) -> KVCache:
+    """Context shift (llama-server ``--ctx-shift``): roll slot ``b``'s KV
+    left by ``discard`` positions beyond ``keep``, re-roping the cached K
+    by the position delta so attention geometry stays coherent after the
+    discarded window disappears.
+
+    The delta rotation is exact: every supported scaling ("linear",
+    "llama3", "yarn") keeps the angle linear in position, so rotating by
+    ``angle(discard)`` with inverted sin equals recomputing rope at the
+    shifted positions (up to the bf16 re-round of already-rounded values —
+    llama.cpp's K-shift has the same property).  Jit-compiled once per
+    engine; keep/discard/b ride as traced scalars.
+    """
+    S = cache.max_seq
+    delta = jnp.asarray(discard, jnp.float32).reshape(1, 1)
+    cos_d, sin_d = rope_angles(delta, cfg.head_dim, cfg.rope_dim,
+                               cfg.rope_base, cfg)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    moved = (pos >= keep)[None, :, None]             # (1, S, 1) over (H,S,D)
+
+    def shift_row(row, rope: bool):
+        rolled = jnp.roll(row, -discard, axis=1)
+        if rope:
+            x = rolled.transpose(1, 0, 2)[None]      # (1, S, KVH, D)
+            rolled = apply_rope(x, cos_d, -sin_d,
+                                cfg.rope_interleaved)[0].transpose(1, 0, 2)
+        return jnp.where(moved, rolled.astype(row.dtype), row)
+
+    new_k, new_v = list(cache.k), list(cache.v)
+    for li in range(cfg.n_layers):
+        for arrs, buf, rope in ((new_k, cache.k[li], True),
+                                (new_v, cache.v[li], False)):
+            row = jax.lax.dynamic_slice_in_dim(buf, b, 1, axis=0)[0]
+            arrs[li] = jax.lax.dynamic_update_slice_in_dim(
+                buf, shift_row(row, rope)[None], b, axis=0)
+    return KVCache(k=tuple(new_k), v=tuple(new_v))
+
+
 def attention_mla(layer: Params, cfg: ModelConfig, x: jax.Array,
                   cos: jax.Array, sin: jax.Array, cache: KVCache,
                   layer_idx: int, offsets: jax.Array, mask: jax.Array):

@@ -85,6 +85,13 @@ class EngineConfig:
     # current bigram — zero extra weight traffic, strong on repetitive
     # output.  Ignored when draft_model is set.
     spec_ngram: bool = False
+    # context shift (llama-server --ctx-shift): when a slot's KV region
+    # fills mid-generation, keep the first n_keep positions, discard half
+    # of the rest, roll the remainder left and re-rope cached K by the
+    # position delta — generation continues instead of finishing "length".
+    # bf16 contiguous KV + plain decode only (no MLA / SWA / longrope /
+    # speculation); default off, like current llama-server.
+    ctx_shift: bool = False
     # adaptive gating: speculation is a net LOSS below some acceptance
     # rate (each round pays a K+1-position verify + per-dispatch overhead
     # for 1+accepted tokens; measured 62 vs 106 tok/s at 5% acceptance on
@@ -188,6 +195,13 @@ class InferenceEngine:
                 and self.ecfg.kv_layout != "contig":
             raise ValueError("speculative decoding requires "
                              "kv_layout='contig'")
+        if self.ecfg.ctx_shift:
+            if self.ecfg.kv_layout != "contig" or self.ecfg.kv_dtype == "q8_0":
+                raise ValueError("ctx_shift requires the contiguous bf16 KV "
+                                 "layout (cached K is re-roped in place)")
+            if self.ecfg.draft_model or self.ecfg.spec_ngram:
+                raise ValueError("ctx_shift does not combine with "
+                                 "speculative decoding yet")
         cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,
                                          fuse=not sharded)
         self.cfg = cfg
@@ -195,6 +209,10 @@ class InferenceEngine:
                            or self.ecfg.kv_dtype == "q8_0"):
             raise ValueError("deepseek2 (MLA) supports the contiguous bf16 "
                              "KV layout only (k/v head dims differ)")
+        if self.ecfg.ctx_shift and (cfg.is_mla or cfg.sliding_window > 0
+                                    or cfg.rope_scaling_type == "longrope"):
+            raise ValueError("ctx_shift supports full-attention rope models "
+                             "only (no MLA / sliding-window / longrope)")
         self.mesh = None
         from ..ops.flash_attention import set_mesh
         if sharded:
@@ -285,6 +303,8 @@ class InferenceEngine:
         self.total_generated = 0
         self.total_prompt_tokens = 0
         self.total_prefix_reused = 0   # prompt tokens skipped via slot reuse
+        self.total_ctx_shifts = 0      # context-shift events (ctx_shift)
+        self._shift_fn = None          # lazily jitted shift_cache_slot
         # multi-host lockstep hooks (parallel.multihost.MultiHostEngine):
         # fire on host 0 right before the matching device op so followers
         # can replay the identical call sequence
@@ -1076,6 +1096,7 @@ class InferenceEngine:
         active = [b for b, s in enumerate(self.slots) if s.state == "active"]
         if not active:
             return False
+        self._maybe_shift(active)
         if self._spec_viable(active):
             return self._spec_dispatch(active)
         n_steps = self._multi_steps_viable(active)
@@ -1090,6 +1111,35 @@ class InferenceEngine:
             self._drain(pend)
         return True
 
+
+    # -- context shift ---------------------------------------------------------
+    def _maybe_shift(self, active: list[int]) -> None:
+        """llama-server --ctx-shift: a slot whose KV region cannot hold the
+        next dispatch keeps its first n_keep positions (the prompt, capped
+        at half the region), discards half the rest, and continues.  Runs
+        between dispatches only (never with one in flight)."""
+        if not self.ecfg.ctx_shift or self._pending is not None:
+            return
+        margin = self.ecfg.multi_step + 1
+        for b in active:
+            slot = self.slots[b]
+            cap = self._slot_cap(b)
+            if slot.offset + margin < cap:
+                continue
+            keep = min(len(slot.prompt_ids), cap // 2)
+            discard = max(margin, (slot.offset - keep) // 2)
+            if self._shift_fn is None:
+                from ..models.llama import shift_cache_slot
+                self._shift_fn = jax.jit(
+                    partial(shift_cache_slot, cfg=self.cfg),
+                    donate_argnums=(0,))
+            self.cache = self._shift_fn(self.cache, b=jnp.int32(b),
+                                        keep=jnp.int32(keep),
+                                        discard=jnp.int32(discard))
+            slot.offset -= discard
+            slot.cached_ids = []   # positions no longer match the prompt
+            self.total_ctx_shifts += 1
+            _tr(f"ctx shift slot={b} keep={keep} discard={discard}")
 
     # -- speculative decoding -------------------------------------------------
     def _spec_viable(self, active: list[int]) -> bool:
@@ -1269,7 +1319,10 @@ class InferenceEngine:
             finish = "stop"
         elif n_gen >= slot.params.max_tokens:
             finish = "length"
-        elif slot.offset + 1 >= self._slot_cap(b):
+        elif (slot.offset + 1 >= self._slot_cap(b)
+                and not self.ecfg.ctx_shift):
+            # ctx_shift keeps generating: the scheduler shifts the slot's
+            # window before the next dispatch instead of finishing
             finish = "length"
 
         # UTF-8 boundary holdback: byte-fallback tokens can carry partial
@@ -1390,6 +1443,8 @@ class InferenceEngine:
             "total_generated": self.total_generated,
             "total_prompt_tokens": self.total_prompt_tokens,
             "prefix_tokens_reused": self.total_prefix_reused,
+            **({"ctx_shifts": self.total_ctx_shifts}
+               if self.ecfg.ctx_shift else {}),
             "decode_step_ewma_ms": round(self._last_decode_s * 1000, 3),
             **({"spec_mode": self.spec_mode,
                 "spec_drafted": self.spec_drafted,

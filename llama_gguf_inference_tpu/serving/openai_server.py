@@ -596,6 +596,10 @@ def main() -> None:
             spec_ngram=os.environ.get("SPEC_NGRAM", "").lower()
             in ("1", "true", "yes"),
             spec_min_accept=float(os.environ.get("SPEC_MIN_ACCEPT", 0.2)),
+            # CTX_SHIFT=1: llama-server --ctx-shift (continue generating
+            # past the KV capacity by discarding the oldest window)
+            ctx_shift=os.environ.get("CTX_SHIFT", "").lower()
+            in ("1", "true", "yes"),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:
