@@ -17,13 +17,16 @@ from typing import Any, Mapping
 from ..gguf.constants import Keys
 
 # GGUF rope style per architecture (llama.cpp ``llama_rope_type``):
-# "norm" = interleaved pairs (convert scripts permute Q/K for these);
+# "norm" = interleaved pairs (convert scripts permute Q/K for these;
+# command-r's HF layout is already interleaved so it ships unpermuted);
 # everything else ships "neox" = split halves.
-_ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci", "deepseek2")
+_ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci", "deepseek2",
+                     "granite", "command-r")
 
 # architectures this engine can build a graph for (loader + models.llama)
 SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2",
-                    "gemma3", "phi3", "starcoder2", "deepseek2")
+                    "gemma3", "phi3", "starcoder2", "deepseek2", "granite",
+                    "command-r", "olmo2")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +66,11 @@ class ModelConfig:
     rope_local_base: float = 0.0     # gemma3: SWA layers' rope base (0 = same)
     norm_type: str = "rms"           # "rms" | "layernorm" (starcoder2)
     ffn_gated: bool = True           # False: plain up->act->down MLP
+    residual_scale: float = 1.0      # granite: multiplier on residual adds
+    logit_multiplier: float = 1.0    # command-r: x logit_scale;
+    #                                  granite: x 1/logits_scaling
+    parallel_residual: bool = False  # command-r: x + attn(n) + ffn(n),
+    #                                  one shared pre-norm for both branches
     # -- deepseek2 multi-head latent attention + DeepSeekMoE ----------------
     q_lora_rank: int = 0             # 0 = direct q projection (V2-Lite)
     kv_lora_rank: int = 0            # > 0 selects the MLA attention path
@@ -188,6 +196,26 @@ class ModelConfig:
             norm_type = "layernorm"
             ffn_gated = False
             act = "gelu_tanh"
+        residual_scale = 1.0
+        logit_multiplier = 1.0
+        parallel_residual = False
+        if arch == "granite":
+            # llama graph + 4 scalar multipliers (llm_build_granite):
+            # embeddings x embedding_scale, residual adds x residual_scale,
+            # attention scores x attention.scale (replaces 1/sqrt(hd)),
+            # final logits / logit_scale
+            embedding_scale = float(md.get("granite.embedding_scale", 1.0))
+            residual_scale = float(md.get("granite.residual_scale", 1.0))
+            attn_scale = float(md.get("granite.attention.scale", 0.0))
+            ls = float(md.get("granite.logit_scale", 0.0))
+            if ls > 0.0:
+                logit_multiplier = 1.0 / ls
+        if arch == "command-r":
+            # bias-free LayerNorm, parallel attention+FFN residual off one
+            # shared pre-norm, logits x logit_scale (llm_build_command_r)
+            norm_type = "layernorm"
+            parallel_residual = True
+            logit_multiplier = float(md.get("command-r.logit_scale", 1.0))
         q_lora = kv_lora = qk_nope = qk_rope = v_hd = 0
         n_shared = n_dense = 0
         routed_scale = 1.0
@@ -267,6 +295,9 @@ class ModelConfig:
             rope_local_base=rope_local_base,
             norm_type=norm_type,
             ffn_gated=ffn_gated,
+            residual_scale=residual_scale,
+            logit_multiplier=logit_multiplier,
+            parallel_residual=parallel_residual,
             q_lora_rank=q_lora,
             kv_lora_rank=kv_lora,
             qk_nope_head_dim=qk_nope,

@@ -244,11 +244,19 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
             q = (q.astype(jnp.float32) + layer["attn_q_bias"]).astype(q.dtype)
             k = (k.astype(jnp.float32) + layer["attn_k_bias"]).astype(k.dtype)
             v = (v.astype(jnp.float32) + layer["attn_v_bias"]).astype(v.dtype)
+        if "attn_q_norm" in layer \
+                and layer["attn_q_norm"].shape[-1] == q.shape[-1] != hd:
+            # olmo2: RMSNorm over the FLAT projection (H*hd dims), before
+            # the head reshape — weight size distinguishes it from the
+            # per-head variant below
+            q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KVH, hd)
         v = v.reshape(B, T, KVH, hd)
 
-    if "attn_q_norm" in layer:       # qwen3: per-head RMSNorm before rope
+    if "attn_q_norm" in layer and layer["attn_q_norm"].shape[-1] == hd:
+        # qwen3: per-head RMSNorm before rope
         q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
         k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
 
@@ -659,7 +667,8 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
     for i, layer in enumerate(params["layers"]):
         sliding = cfg.is_sliding(i)
         local_rope = sliding and cos_l is not None
-        h = _norm(x, layer, "attn_norm", cfg)
+        # olmo2 ships post-norms ONLY: attention/FFN read the raw residual
+        h = _norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
         if cfg.is_mla:
             attn_out, cache = attention_mla(layer, cfg, h, cos, sin,
                                             cache, i, offsets, mask)
@@ -670,28 +679,43 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
                                         i, offsets,
                                         swa_mask if sliding else mask,
                                         sliding)
-        if "attn_post_norm" in layer:    # gemma2/3 post-attention norm
+        if "attn_post_norm" in layer:    # gemma2/3, olmo2 post-attention norm
             attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
-        x = x + attn_out
-        h = _norm(x, layer, "ffn_norm", cfg)
+        if cfg.parallel_residual:
+            # command-r: the FFN branch reads the SAME normed input as
+            # attention; both add to the residual together at the bottom
+            ffn_in = h
+        else:
+            if cfg.residual_scale != 1.0:    # granite
+                attn_out = attn_out * jnp.asarray(cfg.residual_scale, x.dtype)
+            x = x + attn_out
+            ffn_in = _norm(x, layer, "ffn_norm", cfg) \
+                if "ffn_norm" in layer else x
         if "experts" in layer or "experts_ep" in layer:
             # per-layer: deepseek2's leading layers are dense, the rest MoE
-            ffn_out = ffn_moe(layer, cfg, h)
+            ffn_out = ffn_moe(layer, cfg, ffn_in)
             if "shared_experts" in layer:   # deepseek2 always-on experts
                 ffn_out = ffn_out + ffn_swiglu(layer["shared_experts"],
-                                               h, cfg.act)
+                                               ffn_in, cfg.act)
         elif not cfg.ffn_gated:
-            ffn_out = ffn_mlp(layer, h, cfg.act)
+            ffn_out = ffn_mlp(layer, ffn_in, cfg.act)
         else:
-            ffn_out = ffn_swiglu(layer, h, cfg.act)
-        if "ffn_post_norm" in layer:     # gemma2/3 post-FFN norm
+            ffn_out = ffn_swiglu(layer, ffn_in, cfg.act)
+        if "ffn_post_norm" in layer:     # gemma2/3, olmo2 post-FFN norm
             ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
-        x = x + ffn_out
+        if cfg.parallel_residual:
+            x = x + attn_out + ffn_out
+        else:
+            if cfg.residual_scale != 1.0:    # granite
+                ffn_out = ffn_out * jnp.asarray(cfg.residual_scale, x.dtype)
+            x = x + ffn_out
 
     x = _norm(x, params, "output_norm", cfg)
     logits = matmul(params["output"], x).astype(jnp.float32)
     if cfg.final_softcap > 0.0:      # gemma2 final-logit softcapping
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    if cfg.logit_multiplier != 1.0:  # command-r x scale; granite x 1/scale
+        logits = logits * cfg.logit_multiplier
     if return_hidden:
         return logits, cache, x
     return logits, cache

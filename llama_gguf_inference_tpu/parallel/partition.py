@@ -125,10 +125,11 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
     layers = []
     for layer in params["layers"]:
         new: dict[str, Any] = {
-            "attn_norm": jax.device_put(layer["attn_norm"], rep),
-            "ffn_norm": jax.device_put(layer["ffn_norm"], rep),
             "attn_output": _shard_linear(layer["attn_output"], mesh, AXIS_TP, 1),
         }
+        # pre-norms are optional (olmo2 ships post-norms only; command-r
+        # has a single shared pre-norm) — the catch-all below replicates
+        # whatever norm vectors the layer actually carries
         if "attn_kv_a_mqa" in layer:
             # deepseek2 MLA: per-head projections column-parallel over the
             # head axis; the small latent projections (kv_a, q_a) replicate

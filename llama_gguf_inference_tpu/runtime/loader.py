@@ -144,10 +144,14 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         layer: dict[str, Any] = {
-            "attn_norm": _load_array(reader, p + "attn_norm.weight"),
             "attn_output": _load_linear(reader, p + "attn_output.weight", mode, cache),
-            "ffn_norm": _load_array(reader, p + "ffn_norm.weight"),
         }
+        # pre-norms are presence-driven: olmo2 ships POST-norms only
+        # (attn_post_norm/ffn_post_norm); command-r has no ffn_norm (one
+        # shared pre-norm feeds both parallel branches)
+        for pre in ("attn_norm", "ffn_norm"):
+            if p + pre + ".weight" in t:
+                layer[pre] = _load_array(reader, p + pre + ".weight")
         if p + "attn_kv_a_mqa.weight" in t:   # deepseek2 MLA projections
             if p + "attn_q_a.weight" in t:    # query LoRA (full-size V2/V3)
                 layer["attn_q_a"] = _load_linear(reader, p + "attn_q_a.weight",
@@ -276,6 +280,8 @@ def _fuse_layer(layer: dict, cfg: ModelConfig) -> None:
     """Row-concatenate QKV and gate+up projections in place (exact)."""
     if "attn_q" not in layer or "attn_k" not in layer:
         return   # pre-fused (phi3) or MLA (deepseek2: no separate K/V)
+    if "attn_q_norm" in layer and layer["attn_q_norm"].shape[-1] != cfg.head_dim:
+        return   # olmo2's FLAT q/k norms apply pre-reshape on separate q/k
     from ..ops.linear import fuse_linears
     qkv = fuse_linears([layer["attn_q"], layer["attn_k"], layer["attn_v"]])
     if qkv is not None:

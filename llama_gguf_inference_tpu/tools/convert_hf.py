@@ -103,7 +103,8 @@ _ARCH_MAP = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
              "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
              "phi3": "phi3", "starcoder2": "starcoder2",
-             "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2"}
+             "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
+             "granite": "granite", "cohere": "command-r", "olmo2": "olmo2"}
 
 
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
@@ -115,8 +116,10 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
         raise SystemExit(f"unsupported model_type {model_type!r}")
     gemma = arch in ("gemma", "gemma2", "gemma3")
     # "norm"-rope arches store Q/K permuted for interleaved pairs;
-    # neox arches (qwen*/gemma*) keep the HF layout (models.config)
-    permute = arch == "llama"
+    # neox arches (qwen*/gemma*/olmo2) keep the HF layout (models.config).
+    # command-r is "norm"-rope but HF cohere ALREADY rotates interleaved
+    # pairs (repeat_interleave'd angles), so its weights ship unpermuted.
+    permute = arch in ("llama", "granite")
     n_layers = cfg["num_hidden_layers"]
     n_head = cfg["num_attention_heads"]
     n_kv = cfg.get("num_key_value_heads", n_head)
@@ -151,9 +154,9 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     w.add(f"{arch}.feed_forward_length", cfg["intermediate_size"])
     w.add(f"{arch}.attention.head_count", n_head)
     w.add(f"{arch}.attention.head_count_kv", n_kv)
-    if arch == "starcoder2":
+    if arch in ("starcoder2", "command-r"):
         w.add(f"{arch}.attention.layer_norm_epsilon",
-              cfg.get("norm_epsilon", 1e-5))
+              cfg.get("norm_epsilon", cfg.get("layer_norm_eps", 1e-5)))
     else:
         w.add(f"{arch}.attention.layer_norm_rms_epsilon",
               cfg.get("rms_norm_eps", 1e-5))
@@ -195,6 +198,17 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
                 w.add("deepseek2.expert_group_count", int(cfg["n_group"]))
                 w.add("deepseek2.expert_group_used_count",
                       int(cfg["topk_group"]))
+    if arch == "granite":
+        # 4 scalar multipliers (HF GraniteConfig -> llama.cpp key names)
+        w.add("granite.embedding_scale",
+              float(cfg.get("embedding_multiplier", 1.0)))
+        w.add("granite.residual_scale",
+              float(cfg.get("residual_multiplier", 1.0)))
+        w.add("granite.attention.scale",
+              float(cfg.get("attention_multiplier", 0.0)))
+        w.add("granite.logit_scale", float(cfg.get("logits_scaling", 1.0)))
+    if arch == "command-r":
+        w.add("command-r.logit_scale", float(cfg.get("logit_scale", 1.0)))
     if arch == "gemma3":
         w.add("gemma3.attention.sliding_window",
               int(cfg.get("sliding_window", 1024)))
@@ -313,6 +327,47 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
                     get(p + "mlp.shared_experts.up_proj.weight"))
                 put(g + "ffn_down_shexp.weight",
                     get(p + "mlp.shared_experts.down_proj.weight"))
+        put("output_norm.weight", get("norm.weight"))
+        if "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"].astype(np.float32))
+        w.write()
+        return
+    if arch == "command-r":
+        # one bias-free LayerNorm per block feeds BOTH parallel branches;
+        # embeddings are tied (HF cohere has no separate lm_head)
+        for i in range(n_layers):
+            p, g = f"layers.{i}.", f"blk.{i}."
+            put(g + "attn_norm.weight", get(p + "input_layernorm.weight"))
+            put(g + "attn_q.weight", get(p + "self_attn.q_proj.weight"))
+            put(g + "attn_k.weight", get(p + "self_attn.k_proj.weight"))
+            put(g + "attn_v.weight", get(p + "self_attn.v_proj.weight"))
+            put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
+            put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
+            put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
+            put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
+        put("output_norm.weight", get("norm.weight"))
+        if "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"].astype(np.float32))
+        w.write()
+        return
+    if arch == "olmo2":
+        # POST-norms only (post_attention/post_feedforward), plus FLAT
+        # q/k RMSNorms (over H*hd, applied before the head reshape)
+        for i in range(n_layers):
+            p, g = f"layers.{i}.", f"blk.{i}."
+            put(g + "attn_q.weight", get(p + "self_attn.q_proj.weight"))
+            put(g + "attn_k.weight", get(p + "self_attn.k_proj.weight"))
+            put(g + "attn_v.weight", get(p + "self_attn.v_proj.weight"))
+            put(g + "attn_output.weight", get(p + "self_attn.o_proj.weight"))
+            put(g + "attn_q_norm.weight", get(p + "self_attn.q_norm.weight"))
+            put(g + "attn_k_norm.weight", get(p + "self_attn.k_norm.weight"))
+            put(g + "attn_post_norm.weight",
+                get(p + "post_attention_layernorm.weight"))
+            put(g + "ffn_post_norm.weight",
+                get(p + "post_feedforward_layernorm.weight"))
+            put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
+            put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
+            put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
         put("output_norm.weight", get("norm.weight"))
         if "lm_head.weight" in sd:
             put("output.weight", sd["lm_head.weight"].astype(np.float32))

@@ -105,6 +105,13 @@ def write_tiny_llama(
         w.add("gemma3.attention.sliding_window",
               sliding_window or context_length)
         w.add("gemma3.rope.local_freq_base", 10000.0)
+    elif arch == "granite":
+        w.add("granite.embedding_scale", 4.0)
+        w.add("granite.residual_scale", 0.5)
+        w.add("granite.attention.scale", 0.125)
+        w.add("granite.logit_scale", 2.0)
+    elif arch == "command-r":
+        w.add("command-r.logit_scale", 0.5)
     if n_experts:
         w.add(f"{arch}.expert_count", n_experts)
         w.add(f"{arch}.expert_used_count", n_experts_used or 2)
@@ -123,7 +130,9 @@ def write_tiny_llama(
     w.add_tensor("token_embd.weight", rand(vocab, dim), GGMLType.F32)
     for i in range(n_layers):
         p = f"blk.{i}."
-        w.add_tensor(p + "attn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        if arch != "olmo2":   # olmo2 ships POST-norms only
+            w.add_tensor(p + "attn_norm.weight", np.ones(dim, np.float32),
+                         GGMLType.F32)
         if arch == "deepseek2":
             dk = ds_nope + ds_rope
             w.add_tensor(p + "attn_q.weight", rand(n_heads * dk, dim), quant)
@@ -140,7 +149,20 @@ def write_tiny_llama(
             w.add_tensor(p + "attn_k.weight", rand(n_kv_heads * head_dim, dim), quant)
             w.add_tensor(p + "attn_v.weight", rand(n_kv_heads * head_dim, dim), quant)
             w.add_tensor(p + "attn_output.weight", rand(dim, n_heads * head_dim), quant)
-        w.add_tensor(p + "ffn_norm.weight", np.ones(dim, np.float32), GGMLType.F32)
+        if arch not in ("olmo2", "command-r"):
+            # command-r: ONE shared pre-norm; olmo2: post-norms only
+            w.add_tensor(p + "ffn_norm.weight", np.ones(dim, np.float32),
+                         GGMLType.F32)
+        if arch == "olmo2":
+            w.add_tensor(p + "attn_q_norm.weight",
+                         np.ones(n_heads * head_dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "attn_k_norm.weight",
+                         np.ones(n_kv_heads * head_dim, np.float32),
+                         GGMLType.F32)
+            w.add_tensor(p + "attn_post_norm.weight",
+                         np.ones(dim, np.float32), GGMLType.F32)
+            w.add_tensor(p + "ffn_post_norm.weight",
+                         np.ones(dim, np.float32), GGMLType.F32)
         if arch == "qwen2":
             w.add_tensor(p + "attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)
             w.add_tensor(p + "attn_k.bias", rand(n_kv_heads * head_dim), GGMLType.F32)

@@ -158,6 +158,62 @@ def test_starcoder2_hf_parity(tmp_path):
     assert not got_cfg.rope_interleaved
 
 
+def test_granite_hf_parity(tmp_path):
+    """granite: llama graph + 4 scalar multipliers (embedding, residual,
+    attention-score, 1/logits_scaling on the head)."""
+    cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        embedding_multiplier=12.0, residual_multiplier=0.22,
+        attention_multiplier=0.0156, logits_scaling=8.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(21)
+    model = transformers.GraniteForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "granite" and got_cfg.rope_interleaved
+    assert got_cfg.embedding_scale == 12.0
+    assert got_cfg.residual_scale == pytest.approx(0.22)   # f32 round-trip
+    assert got_cfg.attn_scale == pytest.approx(0.0156)
+    assert abs(got_cfg.logit_multiplier - 1 / 8.0) < 1e-7
+
+
+def test_command_r_hf_parity(tmp_path):
+    """command-r (cohere): bias-free LayerNorm, PARALLEL attention+FFN
+    residual off one shared pre-norm, logit_scale multiplier, tied
+    embeddings, interleaved rope WITHOUT the convert-time permute (HF
+    cohere already rotates interleaved pairs)."""
+    cfg = transformers.CohereConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, layer_norm_eps=1e-5, rope_theta=10000.0,
+        logit_scale=0.25, use_qk_norm=False, tie_word_embeddings=True,
+        attn_implementation="eager")
+    torch.manual_seed(22)
+    model = transformers.CohereForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "command-r"
+    assert got_cfg.parallel_residual and got_cfg.rope_interleaved
+    assert got_cfg.norm_type == "layernorm"
+    assert got_cfg.logit_multiplier == 0.25
+
+
+def test_olmo2_hf_parity(tmp_path):
+    """olmo2: POST-norm-only placement (attention/FFN read the raw
+    residual; norms apply to the branch outputs), FLAT q/k RMSNorms over
+    the whole projection, neox rope."""
+    cfg = transformers.Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(24)   # seed 23 lands an argmax near-tie (< bf16
+    # activation noise under the dense path)
+    model = transformers.Olmo2ForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "olmo2" and not got_cfg.rope_interleaved
+
+
 def test_deepseek2_lite_hf_parity(tmp_path):
     """deepseek2 (V2-Lite shape): MLA with direct q projection, decoupled
     rope, leading dense layer, shared + routed experts, no weight renorm,
@@ -288,7 +344,8 @@ def test_phi3_longrope_parity(tmp_path):
 
 
 @pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2", "gemma3",
-                                  "phi3", "starcoder2", "deepseek2"])
+                                  "phi3", "starcoder2", "deepseek2",
+                                  "granite", "command-r", "olmo2"])
 def test_arch_engine_end_to_end(arch, tmp_path):
     """Synthesized GGUF per arch: quant-mode load + engine generate."""
     from llama_gguf_inference_tpu.runtime.engine import (
