@@ -185,7 +185,51 @@ class QuantLinear:
         ).astype(x.dtype)
 
 
-LinearWeight = DenseLinear | QuantLinear
+@_register
+@dataclasses.dataclass
+class LoraLinear:
+    """Low-rank adapter riding a base weight (llama-server ``--lora``,
+    reference EXTRA_ARGS passthrough ``start.sh:490-494``):
+
+        y = base(x) + scale * (x @ A.T) @ B.T
+
+    with A (r, in), B (out, r) from a GGUF adapter file and
+    ``scale = user_scale * alpha / r`` (llama.cpp convention).  The base
+    stays quantized-resident (Pallas kernel path untouched); the rank-r
+    matmuls are FLOP/bandwidth-negligible and ride XLA.  ``fuse_linears``
+    deliberately rejects wrapped weights, so adapted projections stay
+    un-fused."""
+
+    base: DenseLinear | QuantLinear
+    a: jax.Array                         # (r, in)
+    b: jax.Array                         # (out, r)
+    scale: float = static_field(default=1.0)
+
+    @property
+    def out_features(self) -> int:
+        return self.base.out_features
+
+    @property
+    def in_features(self) -> int:
+        return self.base.in_features
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        y = self.base.matmul(x)
+        dn = lambda lhs, rhs: jax.lax.dot_general(  # noqa: E731
+            lhs, rhs, dimension_numbers=(((lhs.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = dn(dn(x, self.a).astype(x.dtype), self.b)
+        return (y.astype(jnp.float32)
+                + delta * self.scale).astype(x.dtype)
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        w = self.base.dequantize().astype(jnp.float32)
+        merged = w + self.scale * (self.b.astype(jnp.float32)
+                                   @ self.a.astype(jnp.float32))
+        return merged.astype(dtype)
+
+
+LinearWeight = DenseLinear | QuantLinear | LoraLinear
 
 
 def matmul(w: LinearWeight, x: jax.Array) -> jax.Array:

@@ -37,6 +37,21 @@ def _block_multiple(w: QuantLinear | DenseLinear) -> int:
 def _shard_linear(w, mesh: Mesh, axis: str, dim: int):
     """dim 0 = column-parallel (out), dim 1 = row-parallel (in)."""
     tp = mesh.shape[axis]
+    from ..ops.linear import LoraLinear
+    if isinstance(w, LoraLinear):
+        # LoRA wrapper: base follows the normal rule; the rank-r factors
+        # are tiny — B (out, r) shards with the out axis when column-
+        # parallel, A and anything non-divisible replicate
+        rep = NamedSharding(mesh, P())
+        b_spec = rep
+        if dim == 0 and tp > 1 and w.b.shape[0] % tp == 0:
+            b_spec = NamedSharding(mesh, P(axis, None))
+        a_spec = rep
+        if dim == 1 and tp > 1 and w.a.shape[1] % tp == 0:
+            a_spec = NamedSharding(mesh, P(None, axis))
+        return LoraLinear(base=_shard_linear(w.base, mesh, axis, dim),
+                          a=jax.device_put(w.a, a_spec),
+                          b=jax.device_put(w.b, b_spec), scale=w.scale)
     if tp == 1:
         return _device_put_tree(w, NamedSharding(mesh, P()))
     dim_size = w.out_features if dim == 0 else w.in_features

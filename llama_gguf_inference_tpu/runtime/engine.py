@@ -100,6 +100,11 @@ class EngineConfig:
     # dispatches in case the content regime changed.  0 disables gating.
     spec_min_accept: float = 0.2
     spec_probe_every: int = 16
+    # GGUF LoRA adapter (llama-server --lora / --lora-scaled; runtime.lora):
+    # applied to the target model's weights at load time as low-rank
+    # LoraLinear wrappers (quantized base stays resident).
+    lora_path: str = ""
+    lora_scale: float = 1.0
 
 
 @dataclasses.dataclass
@@ -203,7 +208,9 @@ class InferenceEngine:
                 raise ValueError("ctx_shift does not combine with "
                                  "speculative decoding yet")
         cfg, params, reader = load_model(model_path, mode=self.ecfg.mode,
-                                         fuse=not sharded)
+                                         fuse=not sharded,
+                                         lora_path=self.ecfg.lora_path,
+                                         lora_scale=self.ecfg.lora_scale)
         self.cfg = cfg
         if cfg.is_mla and (self.ecfg.kv_layout != "contig"
                            or self.ecfg.kv_dtype == "q8_0"):

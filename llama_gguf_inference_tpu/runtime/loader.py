@@ -94,12 +94,16 @@ def _load_embedding(reader: GGUFReader, mode: str, cache=None):
     return lw.dequantize(jnp.bfloat16)
 
 
-def load_model(path: str | Path, mode: str = "quant", fuse: bool = False):
+def load_model(path: str | Path, mode: str = "quant", fuse: bool = False,
+               lora_path: str = "", lora_scale: float = 1.0):
     """Returns (config, params, metadata).
 
     ``fuse=True`` row-concatenates QKV and gate+up projections into single
     linears (fewer kernel launches per layer; exact).  Leave False for
     TP-sharded use — the partition rules split per-projection.
+
+    ``lora_path`` applies a GGUF LoRA adapter (llama-server ``--lora``;
+    see runtime.lora) to the loaded weights before fusion.
     """
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
@@ -112,14 +116,16 @@ def load_model(path: str | Path, mode: str = "quant", fuse: bool = False):
     if mode == "quant":
         from .layout_cache import LayoutCache
         cache = LayoutCache.open(path)
-    params = load_params(reader, cfg, mode, fuse=fuse, cache=cache)
+    params = load_params(reader, cfg, mode, fuse=fuse, cache=cache,
+                         lora_path=lora_path, lora_scale=lora_scale)
     if cache is not None:
         cache.finalize()
     return cfg, params, reader
 
 
 def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
-                fuse: bool = False, cache=None) -> dict[str, Any]:
+                fuse: bool = False, cache=None, lora_path: str = "",
+                lora_scale: float = 1.0) -> dict[str, Any]:
     t = reader.tensors
     params: dict[str, Any] = {
         "tok_embd": _load_embedding(reader, mode, cache),
@@ -217,6 +223,11 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         layers.append(layer)
     params["layers"] = layers
     params = _resolve_pending(params, cache)
+    if lora_path:
+        # BEFORE fusion (fuse_linears rejects wrapped weights, so adapted
+        # projections stay per-tensor) and before MLA absorption
+        from .lora import apply_lora
+        apply_lora(params, lora_path, lora_scale)
     if fuse:
         for layer in params["layers"]:
             _fuse_layer(layer, cfg)

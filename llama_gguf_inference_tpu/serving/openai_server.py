@@ -600,6 +600,9 @@ def main() -> None:
             # past the KV capacity by discarding the oldest window)
             ctx_shift=os.environ.get("CTX_SHIFT", "").lower()
             in ("1", "true", "yes"),
+            # GGUF LoRA adapter (llama-server --lora / --lora-scaled)
+            lora_path=os.environ.get("LORA_PATH", ""),
+            lora_scale=float(os.environ.get("LORA_SCALE", 1.0)),
         )
         engine = InferenceEngine(model_path, ecfg)
         if distributed:
