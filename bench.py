@@ -93,33 +93,42 @@ def bench_model_path(shape: str, quant: str = "q4_k") -> str:
 
     # throughput is weight-SHAPE-bound, not value-bound: tile a small random
     # pool instead of drawing 8B gaussians (standard_normal runs ~1.6M/s on
-    # this host — it alone took >45 min for the 8B model)
+    # this host — it alone took >45 min for the 8B model).  Quantize the
+    # pool ONCE per quant type and tile the wire BYTES per tensor: the pool
+    # length is a multiple of every block size, so tiling quantized blocks
+    # is bit-identical to quantizing the tiled floats (which took 906s of
+    # numpy K-quant math over 8.5B values — the round-2 driver timeout).
+    from llama_gguf_inference_tpu.gguf.constants import type_block_info
+    from llama_gguf_inference_tpu.quant.numpy_ref import quantize
+
     pool = (rng.standard_normal(1 << 20) * 0.02).astype(np.float32)
+    qpool: dict[GGMLType, np.ndarray] = {}
 
-    def rand(*shape_):
-        n = int(np.prod(shape_))
-        reps = -(-n // pool.size)
-        return np.tile(pool, reps)[:n].reshape(shape_)
+    def add_q(name, rows, cols, t):
+        if t not in qpool:
+            qpool[t] = np.frombuffer(quantize(pool.reshape(1, -1), t),
+                                     np.uint8)
+        qp = qpool[t]
+        blk, bpb = type_block_info(t)
+        nbytes = rows * cols // blk * bpb          # wire bytes for the tensor
+        reps = -(-nbytes // qp.size)
+        raw = np.tile(qp, reps)[:nbytes].tobytes()
+        w.add_raw_tensor(name, (cols, rows), t, raw)
 
-    w.add_tensor("token_embd.weight", rand(vocab, d["dim"]), wq)
+    add_q("token_embd.weight", vocab, d["dim"], wq)
     for i in range(d["n_layers"]):
         p = f"blk.{i}."
         w.add_tensor(p + "attn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        w.add_tensor(p + "attn_q.weight", rand(d["dim"], d["dim"]), wq)
-        w.add_tensor(p + "attn_k.weight",
-                     rand(d["n_kv_heads"] * head_dim, d["dim"]), wq)
-        w.add_tensor(p + "attn_v.weight",
-                     rand(d["n_kv_heads"] * head_dim, d["dim"]), wq)
-        w.add_tensor(p + "attn_output.weight", rand(d["dim"], d["dim"]), wq)
+        add_q(p + "attn_q.weight", d["dim"], d["dim"], wq)
+        add_q(p + "attn_k.weight", d["n_kv_heads"] * head_dim, d["dim"], wq)
+        add_q(p + "attn_v.weight", d["n_kv_heads"] * head_dim, d["dim"], wq)
+        add_q(p + "attn_output.weight", d["dim"], d["dim"], wq)
         w.add_tensor(p + "ffn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        w.add_tensor(p + "ffn_gate.weight", rand(d["ffn_dim"], d["dim"]), wq)
-        w.add_tensor(p + "ffn_up.weight", rand(d["ffn_dim"], d["dim"]), wq)
-        w.add_tensor(p + "ffn_down.weight", rand(d["dim"], d["ffn_dim"]), wq)
-        if i % 8 == 0:
-            log(f"[bench] ... layer {i}/{d['n_layers']} "
-                f"({time.time() - t0:.0f}s)")
+        add_q(p + "ffn_gate.weight", d["ffn_dim"], d["dim"], wq)
+        add_q(p + "ffn_up.weight", d["ffn_dim"], d["dim"], wq)
+        add_q(p + "ffn_down.weight", d["dim"], d["ffn_dim"], wq)
     w.add_tensor("output_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-    w.add_tensor("output.weight", rand(vocab, d["dim"]), GGMLType.Q6_K)
+    add_q("output.weight", vocab, d["dim"], GGMLType.Q6_K)
     w.write()
     log(f"[bench] model written in {time.time() - t0:.1f}s "
         f"({os.path.getsize(path) / 1e9:.2f} GB)")
@@ -184,12 +193,15 @@ def main() -> None:
         pass
     log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
 
-    # TTFT: 512-token prompts, submit -> first streamed event (warm graphs).
+    # TTFT: 512-token prompts, submit -> first streamed event (warm graphs),
+    # nearest-rank p50/p95 over >=20 samples (reference benchmark.py:43-79
+    # methodology; targets <500ms p50 / <1000ms p95, LIVE_TESTING_GUIDE:277).
     # Each request gets a UNIQUE prompt head so the slot prompt cache can't
     # skip the prefill — this measures true full-prefill TTFT (the engine's
     # prefix reuse would otherwise collapse repeats to one decode step).
+    from llama_gguf_inference_tpu.serving.benchmark import percentile
     ttfts = []
-    for i in range(int(os.environ.get("BENCH_TTFT_REQS", 3))):
+    for i in range(int(os.environ.get("BENCH_TTFT_REQS", 20))):
         uniq = [10 + i] + list(range(3, 3 + 499))
         t0 = time.time()
         gen = eng.generate(uniq, SamplingParams(temperature=0.0,
@@ -198,10 +210,10 @@ def main() -> None:
         ttfts.append((time.time() - t0) * 1000)
         for _ in gen:
             pass
-    ttfts.sort()
-    ttft_p50 = ttfts[len(ttfts) // 2]
-    log(f"[bench] TTFT(512) p50: {ttft_p50:.0f} ms  (all: "
-        f"{[round(t) for t in ttfts]})")
+    ttft_p50 = percentile(ttfts, 50)
+    ttft_p95 = percentile(ttfts, 95)
+    log(f"[bench] TTFT(512) p50: {ttft_p50:.0f} ms  p95: {ttft_p95:.0f} ms "
+        f"(n={len(ttfts)})")
 
     # timed run: decode throughput from first to last streamed token
     eng._last_decode_s = 0.0   # reset EWMA (warmup seeded it with compile time)
@@ -249,6 +261,7 @@ def main() -> None:
         "device": str(dev),
         "decode_step_ms": round(step_ms, 2),
         "ttft512_p50_ms": round(ttft_p50, 1),
+        "ttft512_p95_ms": round(ttft_p95, 1),
         "weight_gb": round(weight_bytes / 1e9, 3),
         "load_s": round(load_s, 1),
     }

@@ -52,8 +52,12 @@ _NUMPY_TO_VTYPE = {
 
 
 def _infer_vtype(v: Any) -> GGUFValueType:
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return GGUFValueType.BOOL
+    if isinstance(v, np.floating):
+        return GGUFValueType.FLOAT64 if v.dtype == np.float64 else GGUFValueType.FLOAT32
+    if isinstance(v, np.integer):
+        return _NUMPY_TO_VTYPE[v.dtype]
     if isinstance(v, int):
         return GGUFValueType.INT64 if v < 0 else GGUFValueType.UINT32 if v < 2**32 else GGUFValueType.UINT64
     if isinstance(v, float):

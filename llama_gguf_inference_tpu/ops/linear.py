@@ -50,12 +50,12 @@ class DenseLinear:
         o, i = w.shape
         return DenseLinear(w=jnp.asarray(w, dtype=dtype), out_features=o, in_features=i)
 
-    def matmul(self, x: jax.Array) -> jax.Array:
+    def matmul(self, x: jax.Array, out_dtype=None) -> jax.Array:
         return jax.lax.dot_general(
             x, self.w,
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        ).astype(out_dtype or x.dtype)
 
     def dequantize(self) -> jax.Array:
         return self.w
@@ -171,18 +171,18 @@ class QuantLinear:
         return (w.reshape(self.out_features, sub, g, nd)
                 .transpose(0, 3, 2, 1).reshape(self.out_features, self.in_features))
 
-    def matmul(self, x: jax.Array) -> jax.Array:
+    def matmul(self, x: jax.Array, out_dtype=None) -> jax.Array:
         from .matmul_kernels import quant_matmul
-        return quant_matmul(self, x)
+        return quant_matmul(self, x, out_dtype)
 
-    def matmul_xla(self, x: jax.Array) -> jax.Array:
+    def matmul_xla(self, x: jax.Array, out_dtype=None) -> jax.Array:
         w = self.dequantize_bm(x.dtype)
         xp = self.permute_activations(x)
         return jax.lax.dot_general(
             xp, w,
             dimension_numbers=(((xp.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        ).astype(out_dtype or x.dtype)
 
 
 @_register
@@ -213,14 +213,17 @@ class LoraLinear:
     def in_features(self) -> int:
         return self.base.in_features
 
-    def matmul(self, x: jax.Array) -> jax.Array:
-        y = self.base.matmul(x)
+    def matmul(self, x: jax.Array, out_dtype=None) -> jax.Array:
+        # base output must stay f32 until the delta lands: when base and
+        # delta partially cancel, a bf16 round-trip of y leaves an absolute
+        # error of one ulp of |y| — catastrophic relative error in the sum
+        # (ggml mul_mat outputs are f32, so llama.cpp has the same property)
+        y = self.base.matmul(x, out_dtype=jnp.float32)
         dn = lambda lhs, rhs: jax.lax.dot_general(  # noqa: E731
             lhs, rhs, dimension_numbers=(((lhs.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        delta = dn(dn(x, self.a).astype(x.dtype), self.b)
-        return (y.astype(jnp.float32)
-                + delta * self.scale).astype(x.dtype)
+        delta = dn(dn(x, self.a), self.b.astype(jnp.float32))
+        return (y + delta * self.scale).astype(out_dtype or x.dtype)
 
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         w = self.base.dequantize().astype(jnp.float32)

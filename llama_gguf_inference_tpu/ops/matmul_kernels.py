@@ -31,9 +31,9 @@ def _on_tpu() -> bool:
         return False
 
 
-def quant_matmul(w, x: jax.Array) -> jax.Array:
+def quant_matmul(w, x: jax.Array, out_dtype=None) -> jax.Array:
     """x: (..., in) -> (..., out) against a QuantLinear weight."""
     if _on_tpu():
         from .pallas_matmul import pallas_quant_matmul
-        return pallas_quant_matmul(w, x)
-    return w.matmul_xla(x)
+        return pallas_quant_matmul(w, x, out_dtype)
+    return w.matmul_xla(x, out_dtype)

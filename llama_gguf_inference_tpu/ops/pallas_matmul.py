@@ -657,7 +657,7 @@ def _quantize_acts(x2: jax.Array, sub: int) -> tuple[jax.Array, jax.Array]:
     return q.reshape(B, in_f), s
 
 
-def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
+def pallas_quant_matmul(w: QuantLinear, x: jax.Array, out_dtype=None) -> jax.Array:
     """x (..., in) -> (..., out).  Falls back to XLA when shapes don't tile."""
     in_f, out_f = w.in_features, w.out_features
     lead = x.shape[:-1]
@@ -673,7 +673,7 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
     # is MXU-bound anyway — streaming packed weights buys nothing there.
     max_b = int(os.environ.get("LGT_MM_MAX_B", 64))
     if TO == 0 or in_f % _LANE or B > max_b:
-        return w.matmul_xla(x)
+        return w.matmul_xla(x, out_dtype)
 
     # reorder activation features into the weight's block-minor order
     # (a cheap XLA transpose, fused with surrounding ops)
@@ -711,11 +711,11 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array) -> jax.Array:
                 meta=meta, shapes=shapes, interpret=interpret)
         if Bp != B:
             out = out[:B]
-        return out.reshape(*lead, out_f).astype(x.dtype)
+        return out.reshape(*lead, out_f).astype(out_dtype or x.dtype)
 
     x2 = x2.astype(jnp.bfloat16)
     out = _quant_matmul_2d(x2, w.codes, w.d, w.sc, w.dmin, w.mn,
                            meta=meta, shapes=shapes, interpret=interpret)
     if Bp != B:
         out = out[:B]
-    return out.reshape(*lead, out_f).astype(x.dtype)
+    return out.reshape(*lead, out_f).astype(out_dtype or x.dtype)

@@ -152,12 +152,18 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         layer: dict[str, Any] = {
             "attn_output": _load_linear(reader, p + "attn_output.weight", mode, cache),
         }
-        # pre-norms are presence-driven: olmo2 ships POST-norms only
-        # (attn_post_norm/ffn_post_norm); command-r has no ffn_norm (one
-        # shared pre-norm feeds both parallel branches)
+        # pre-norms: olmo2 ships POST-norms only (attn_post_norm /
+        # ffn_post_norm); command-r has no ffn_norm (one shared pre-norm
+        # feeds both parallel branches).  Every other arch REQUIRES both —
+        # a truncated GGUF must fail here, not silently skip the norm in
+        # forward() (h = x) and generate garbage.
         for pre in ("attn_norm", "ffn_norm"):
             if p + pre + ".weight" in t:
                 layer[pre] = _load_array(reader, p + pre + ".weight")
+            elif not (cfg.arch == "olmo2"
+                      or (cfg.arch == "command-r" and pre == "ffn_norm")):
+                raise KeyError(f"{p}{pre}.weight missing from GGUF "
+                               f"(required for arch {cfg.arch!r})")
         if p + "attn_kv_a_mqa.weight" in t:   # deepseek2 MLA projections
             if p + "attn_q_a.weight" in t:    # query LoRA (full-size V2/V3)
                 layer["attn_q_a"] = _load_linear(reader, p + "attn_q_a.weight",
@@ -227,7 +233,7 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
         # BEFORE fusion (fuse_linears rejects wrapped weights, so adapted
         # projections stay per-tensor) and before MLA absorption
         from .lora import apply_lora
-        apply_lora(params, lora_path, lora_scale)
+        apply_lora(params, lora_path, lora_scale, arch=cfg.arch)
     if fuse:
         for layer in params["layers"]:
             _fuse_layer(layer, cfg)

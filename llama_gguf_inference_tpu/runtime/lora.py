@@ -28,8 +28,13 @@ from ..utils import logging as log
 _A, _B = ".lora_a", ".lora_b"
 
 
-def load_adapter(path: str) -> tuple[float, dict[str, tuple[Any, Any]]]:
-    """Returns (alpha, {base_tensor_name: (A (r, in), B (out, r))})."""
+def load_adapter(path: str, arch: str = "",
+                 ) -> tuple[float, dict[str, tuple[Any, Any]]]:
+    """Returns (alpha, {base_tensor_name: (A (r, in), B (out, r))}).
+
+    ``arch``, when given, must match the adapter's ``general.architecture``
+    — llama.cpp refuses mismatched adapters, and applying one here would
+    silently corrupt any same-named tensors."""
     r = GGUFReader(path)
     try:
         md = r.metadata
@@ -38,6 +43,11 @@ def load_adapter(path: str) -> tuple[float, dict[str, tuple[Any, Any]]]:
             raise ValueError(
                 f"{path} is not a GGUF LoRA adapter "
                 "(expected general.type=adapter, adapter.type=lora)")
+        ad_arch = str(md.get("general.architecture", ""))
+        if arch and ad_arch and ad_arch != arch:
+            raise ValueError(
+                f"adapter {path} was trained for architecture "
+                f"'{ad_arch}', base model is '{arch}'")
         alpha = float(md.get("adapter.lora.alpha", 0.0))
         pairs: dict[str, tuple[Any, Any]] = {}
         for name in r.tensors:
@@ -71,7 +81,8 @@ def _resolve(params: dict, base_name: str):
     return None, None
 
 
-def apply_lora(params: dict, path: str, scale: float = 1.0) -> int:
+def apply_lora(params: dict, path: str, scale: float = 1.0,
+               arch: str = "") -> int:
     """Wrap matching weights in LoraLinear in place; returns count applied.
 
     Unmatched adapter tensors (token embeddings — gathered, not matmul'd —
@@ -80,7 +91,7 @@ def apply_lora(params: dict, path: str, scale: float = 1.0) -> int:
     """
     from ..ops.linear import DenseLinear, LoraLinear, QuantLinear
 
-    alpha, pairs = load_adapter(path)
+    alpha, pairs = load_adapter(path, arch=arch)
     applied = 0
     for base_name, (a, b) in sorted(pairs.items()):
         container, key = _resolve(params, base_name)

@@ -114,6 +114,13 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     arch = _ARCH_MAP.get(model_type)
     if arch is None:
         raise SystemExit(f"unsupported model_type {model_type!r}")
+    if model_type == "cohere" and cfg.get("use_qk_norm"):
+        # Cohere's use_qk_norm variants carry per-head q_norm/k_norm
+        # LayerNorms that this converter does not export (and the engine
+        # would apply RMSNorm where cohere needs LayerNorm) — a silent drop
+        # produces a GGUF that loads fine but yields wrong logits.
+        raise SystemExit("cohere models with use_qk_norm=True are not "
+                         "supported by this converter")
     gemma = arch in ("gemma", "gemma2", "gemma3")
     # "norm"-rope arches store Q/K permuted for interleaved pairs;
     # neox arches (qwen*/gemma*/olmo2) keep the HF layout (models.config).

@@ -149,3 +149,27 @@ def test_rope_scaling_linear():
     c0, s0 = rope_angles(jnp.asarray(np.array([[2]]), jnp.int32), 64, 64,
                          10000.0, None)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-6)
+
+
+def test_missing_required_norm_fails_at_load(tmp_path):
+    """A truncated GGUF (required pre-norm tensor absent) must fail at load
+    for arches that need it — not silently skip the norm in forward()."""
+    from llama_gguf_inference_tpu.gguf import GGMLType, GGUFReader
+    from llama_gguf_inference_tpu.gguf.writer import GGUFWriter
+
+    src = tmp_path / "ok.gguf"
+    write_tiny_llama(src, dim=64, n_layers=1, n_heads=4, n_kv_heads=2,
+                     ffn_dim=128)
+    r = GGUFReader(src)
+    bad = tmp_path / "truncated.gguf"
+    w = GGUFWriter(bad)
+    for k, v in r.metadata.items():
+        w.add(k, v)
+    for name in r.tensors:
+        if name == "blk.0.ffn_norm.weight":
+            continue
+        w.add_tensor(name, np.asarray(r.tensor_f32(name)), GGMLType.F32)
+    r.close()
+    w.write()
+    with pytest.raises(KeyError, match="ffn_norm"):
+        load_model(bad, mode="dense")
