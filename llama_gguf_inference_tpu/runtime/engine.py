@@ -36,8 +36,8 @@ import numpy as np
 
 from ..models.llama import KVCache, forward
 from .loader import load_model
-from .sampler import (SampleState, SamplingParams, sample,
-                      write_slot_device)
+from .sampler import (SampleState, SamplingParams, bias_row, sample,
+                      set_bias_row, write_slot_device)
 from .tokenizer import Tokenizer, from_gguf_metadata
 
 # LGT_ENGINE_TRACE=1: per-phase wall-clock trace of the scheduler loop to
@@ -139,6 +139,9 @@ class _Slot:
     region — kept across release for prompt-prefix reuse."""
     hist_upto: int = 0                 # ngram: device history valid [0, n)
     draft_upto: int = 0                # draft spec: draft KV valid [0, n)
+    matcher: Any = None                # grammar.GrammarMatcher (constrained)
+    static_bias: Any = None            # np (V,) logit_bias row under grammar
+    mask_dirty: bool = False           # matcher advanced; device row stale
 
 
 _HIST_PAD = 2048       # ngram history slack: sync chunk + in-scan writes
@@ -426,6 +429,7 @@ class InferenceEngine:
                 repeat=st.repeat, seed=st.seed,
                 counts=st.counts.at[b].set(st2.counts[b]),
                 step=st.step.at[b].set(st2.step[b]),
+                bias=st.bias,
             )
             return tok[b], merged
 
@@ -822,6 +826,26 @@ class InferenceEngine:
                     # running request frees its pages
                     break
                 self._push_table()
+            # grammar-constrained request: build the matcher BEFORE touching
+            # the slot, so a bad grammar fails THIS request (the server
+            # pre-validates; this is the engine-side safety net) instead of
+            # tripping _fail_all
+            matcher = None
+            if params.grammar:
+                try:
+                    if self._admit_hook is not None:
+                        raise ValueError(
+                            "grammar constraints are not supported under "
+                            "multi-host lockstep")
+                    matcher = self._make_matcher(params.grammar)
+                except Exception as e:  # noqa: BLE001 — bad grammar/schema
+                    self._waiting.pop(0)
+                    if self.alloc is not None:
+                        self.alloc.release(b)
+                        self._push_table()
+                    out.put(GenEvent(finished=True, finish_reason="error",
+                                     text=f"invalid grammar: {e}"))
+                    continue
             self._waiting.pop(0)
             slot.state = "prefill"
             slot.request_id = rid
@@ -835,6 +859,9 @@ class InferenceEngine:
             slot.started = time.monotonic()
             slot.offset = 0
             slot.hist_upto = 0
+            slot.matcher = matcher
+            slot.static_bias = None
+            slot.mask_dirty = False
             if self._admit_hook is not None:
                 self._admit_hook(b, ids, params)
             _tr(f"admit slot={b} n_ids={len(ids)}")
@@ -851,10 +878,16 @@ class InferenceEngine:
                                 params.min_p, params.presence_penalty,
                                 params.frequency_penalty,
                                 params.repeat_penalty], jnp.float32)
+            brow = bias_row(params, self.cfg.vocab_size)
+            if matcher is not None:
+                if params.logit_bias:
+                    slot.static_bias = brow.copy()
+                brow = self._grammar_bias(slot, brow)
             self.sample_state = write_slot_device(
                 self.sample_state, jnp.int32(b), scal,
                 jnp.int32(params.top_k), jnp.uint32(params.seed),
-                jnp.asarray(ids_arr), jnp.int32(len(ids)))
+                jnp.asarray(ids_arr), jnp.int32(len(ids)),
+                jnp.asarray(brow))
             _tr("write_slot dispatched")
             self._prefill_slot(b)
             _tr("prefill_slot done (token 0 emitted)")
@@ -938,12 +971,49 @@ class InferenceEngine:
         if self.slots[b].state != "free":
             self.slots[b].state = "active"
 
+    # -- grammar-constrained decoding -----------------------------------------
+    def _make_matcher(self, gbnf: str):
+        """GrammarMatcher for this engine's tokenizer.  Parsed grammars and
+        the vocab trie are cached (same schema across requests = one parse,
+        shared per-state mask cache)."""
+        from ..grammar import GrammarMatcher, TokenTrie, parse_gbnf
+        if not hasattr(self, "_token_trie") or self._token_trie is None:
+            self._token_trie = TokenTrie(self.tokenizer)
+            self._grammar_cache: dict[str, Any] = {}
+        g = self._grammar_cache.get(gbnf)
+        if g is None:
+            g = self._grammar_cache[gbnf] = parse_gbnf(gbnf)
+        return GrammarMatcher(g, self._token_trie)
+
+    def _grammar_bias(self, slot: _Slot, base: np.ndarray | None = None
+                      ) -> np.ndarray:
+        """(V,) f32 bias row: -inf on grammar-invalid tokens, the request's
+        static logit_bias elsewhere."""
+        mask = slot.matcher.valid_mask()
+        if base is None:
+            base = slot.static_bias if slot.static_bias is not None \
+                else np.zeros(self.cfg.vocab_size, np.float32)
+        return np.where(mask, base, -np.inf).astype(np.float32)
+
+    def _flush_grammar_masks(self, active: list[int]) -> None:
+        """Push stale grammar masks to the device bias rows (one fused
+        dispatch per dirty slot) — called right before a decode issue."""
+        for b in active:
+            slot = self.slots[b]
+            if slot.matcher is not None and slot.mask_dirty:
+                self.sample_state = set_bias_row(
+                    self.sample_state, jnp.int32(b),
+                    jnp.asarray(self._grammar_bias(slot)))
+                slot.mask_dirty = False
+
     # -- batched decode ------------------------------------------------------
     def _multi_steps_viable(self, active: list[int]) -> int:
         """How many decode steps can be fused into one dispatch right now."""
         n = self.ecfg.multi_step
         if n <= 1:
             return 1
+        if any(self.slots[b].matcher is not None for b in active):
+            return 1   # the mask must refresh between steps (host automaton)
         if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
             return 1   # stay responsive: admit waiting requests first
         # all-or-nothing: a variable scan length would compile a new graph
@@ -1108,6 +1178,7 @@ class InferenceEngine:
             return self._spec_dispatch(active)
         n_steps = self._multi_steps_viable(active)
         want_lp = any(self.slots[b].params.n_probs > 0 for b in active)
+        self._flush_grammar_masks(active)
         tokens, offsets = self._decode_inputs(active)
         if self._decode_hook is not None:
             self._decode_hook(tokens, offsets, n_steps, want_lp)
@@ -1157,6 +1228,8 @@ class InferenceEngine:
             return False
         if not self._queue.empty() and self.n_active() < self.ecfg.max_slots:
             return False   # stay responsive: admit waiting requests first
+        if any(self.slots[b].matcher is not None for b in active):
+            return False   # constrained slots decode one masked step at a time
         if (self.ecfg.spec_min_accept > 0
                 and self.spec_ewma < self.ecfg.spec_min_accept):
             # acceptance too low to pay for verify chunks: plain decode,
@@ -1332,6 +1405,13 @@ class InferenceEngine:
             # window before the next dispatch instead of finishing
             finish = "length"
 
+        if slot.matcher is not None and finish is None:
+            if slot.matcher.accept_token(token_id):
+                slot.mask_dirty = True
+            else:
+                # defensive: the mask should make this unreachable
+                finish = "stop"
+
         # UTF-8 boundary holdback: byte-fallback tokens can carry partial
         # multi-byte sequences; emit only complete sequences (llama.cpp
         # streams the same way)
@@ -1399,6 +1479,9 @@ class InferenceEngine:
         slot.state = "free"
         slot.request_id = ""
         slot.offset = 0
+        slot.matcher = None
+        slot.static_bias = None
+        slot.mask_dirty = False
         # keep the slot's KV claim for prompt-prefix reuse: prompt plus all
         # generated tokens that were FED back (the final token's KV is
         # never written; speculative mid-burst tails beyond the claim are

@@ -37,6 +37,7 @@ class SamplingParams:
     stop: tuple[str, ...] = ()
     logit_bias: dict[int, float] | None = None
     n_probs: int = 0             # logprobs per token (OpenAI `logprobs`)
+    grammar: str = ""            # GBNF text (response_format / grammar)
 
 
 class SampleState(NamedTuple):
@@ -52,6 +53,7 @@ class SampleState(NamedTuple):
     seed: jax.Array              # (B,) u32
     counts: jax.Array            # (B, vocab) i32 — tokens emitted so far
     step: jax.Array              # (B,) i32 — fold-in counter
+    bias: jax.Array              # (B, vocab) f32 — logit_bias + grammar mask
 
     @staticmethod
     def init(batch: int, vocab: int) -> "SampleState":
@@ -65,6 +67,7 @@ class SampleState(NamedTuple):
             seed=jnp.zeros(batch, jnp.uint32),
             counts=jnp.zeros((batch, vocab), jnp.int32),
             step=jnp.zeros(batch, jnp.int32),
+            bias=jnp.zeros((batch, vocab), jnp.float32),
         )
 
     def write_slot(self, b: int, p: SamplingParams, prompt_ids=None) -> "SampleState":
@@ -85,13 +88,33 @@ class SampleState(NamedTuple):
             seed=self.seed.at[b].set(np.uint32(p.seed)),
             counts=counts,
             step=self.step.at[b].set(0),
+            bias=self.bias.at[b].set(
+                jnp.asarray(bias_row(p, self.counts.shape[1]))),
         )
+
+
+def bias_row(p: SamplingParams, vocab: int) -> np.ndarray:
+    """(V,) f32 static logit bias for a request: OpenAI ``logit_bias``
+    entries applied additively (llama.cpp semantics — raw addition)."""
+    row = np.zeros(vocab, np.float32)
+    if p.logit_bias:
+        for tid, v in p.logit_bias.items():
+            t = int(tid)
+            if 0 <= t < vocab:
+                row[t] = float(v)
+    return row
+
+
+@jax.jit
+def set_bias_row(st: SampleState, b: jax.Array, row: jax.Array) -> SampleState:
+    """Replace slot b's bias row (grammar mask updates, one dispatch)."""
+    return st._replace(bias=st.bias.at[b].set(row))
 
 
 @jax.jit
 def write_slot_device(st: SampleState, b: jax.Array, scal: jax.Array,
                       top_k: jax.Array, seed: jax.Array, ids: jax.Array,
-                      n_valid: jax.Array) -> SampleState:
+                      n_valid: jax.Array, bias: jax.Array) -> SampleState:
     """Jitted slot (re)initialization: ONE dispatch per admission.
 
     The host-side :meth:`SampleState.write_slot` runs ~14 eager jax ops —
@@ -119,6 +142,7 @@ def write_slot_device(st: SampleState, b: jax.Array, scal: jax.Array,
         seed=st.seed.at[b].set(seed),
         counts=st.counts.at[b].set(add),
         step=st.step.at[b].set(0),
+        bias=st.bias.at[b].set(bias),
     )
 
 
@@ -170,6 +194,11 @@ def sample(logits: jax.Array, st: SampleState) -> tuple[jax.Array, SampleState]:
     # features cost nothing at runtime (top-k/top-p are full-vocab sorts)
     def maybe(pred, fn, x):
         return jax.lax.cond(pred, fn, lambda v: v, x)
+
+    # logit_bias + grammar masks: a plain (B, V) add — negligible next to
+    # the forward's weight streaming, so no any()-gate (which would itself
+    # read the full array)
+    logits = logits + st.bias
 
     logits = maybe(
         jnp.any((st.presence != 0.0) | (st.frequency != 0.0) | (st.repeat != 1.0)),

@@ -82,6 +82,62 @@ def _now() -> int:
     return int(time.time())
 
 
+def _resolve_grammar(body: dict) -> str:
+    """GBNF text for the request's constraint fields, '' when none.
+
+    Honors llama-server's surface (reachable through the reference's
+    verbatim proxy, reference ``scripts/gateway.py:807``): OpenAI
+    ``response_format`` (json_object / json_schema), the native
+    ``grammar`` (GBNF) and ``json_schema`` fields.  Raises ValueError
+    (-> HTTP 400) on malformed schemas/grammars."""
+    from ..grammar import JSON_GBNF, json_schema_to_gbnf, parse_gbnf
+
+    if body.get("grammar"):
+        g = str(body["grammar"])
+        parse_gbnf(g)                    # validate here -> 400, not mid-decode
+        return g
+    if body.get("json_schema") is not None:
+        return json_schema_to_gbnf(body["json_schema"])
+    rf = body.get("response_format")
+    if not rf:
+        return ""
+    if not isinstance(rf, dict):
+        raise ValueError("response_format must be an object")
+    rtype = rf.get("type", "text")
+    if rtype == "text":
+        return ""
+    if rtype == "json_object":
+        schema = rf.get("schema")        # llama.cpp extension
+        return json_schema_to_gbnf(schema) if schema else JSON_GBNF
+    if rtype == "json_schema":
+        js = rf.get("json_schema") or {}
+        schema = js.get("schema") if isinstance(js, dict) else None
+        if schema is None:
+            raise ValueError("response_format.json_schema.schema is required")
+        return json_schema_to_gbnf(schema)
+    raise ValueError(f"unsupported response_format type {rtype!r}")
+
+
+def _parse_logit_bias(body: dict) -> dict[int, float] | None:
+    lb = body.get("logit_bias")
+    if not lb:
+        return None
+    out: dict[int, float] = {}
+    if isinstance(lb, dict):             # OpenAI: {"token_id": bias}
+        items = lb.items()
+    elif isinstance(lb, list):           # llama.cpp: [[id, bias], ...]
+        items = ((p[0], p[1]) for p in lb
+                 if isinstance(p, (list, tuple)) and len(p) == 2)
+    else:
+        raise ValueError("logit_bias must be an object or a list of pairs")
+    for k, v in items:
+        try:
+            out[int(k)] = -1e9 if v is False else float(v)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"bad logit_bias entry {k!r}: {v!r}") from e
+    return out or None
+
+
 def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
     stop = body.get("stop") or ()
     if isinstance(stop, str):
@@ -110,6 +166,8 @@ def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
         seed=int(seed) if seed is not None else int.from_bytes(os.urandom(4), "little"),
         max_tokens=int(max_tokens),
         stop=stop,
+        logit_bias=_parse_logit_bias(body),
+        grammar=_resolve_grammar(body),
     )
 
 
@@ -173,6 +231,9 @@ class OpenAIServer:
                 await self.handle_slots(writer)
             elif path == "/infill" and req.method == "POST":
                 await self.handle_infill(req, writer)
+            elif path in ("/v1/rerank", "/rerank", "/v1/reranking") \
+                    and req.method == "POST":
+                await self.handle_rerank(req, writer)
             else:
                 await send_error(writer, 404, f"Unknown endpoint {path}",
                                  "invalid_request_error", "not_found")
@@ -219,7 +280,12 @@ class OpenAIServer:
                              "invalid_request_error", "bad_request")
             return
         prompt = self._render_prompt(body["messages"])
-        params = _params_from_request(body)
+        try:
+            params = _params_from_request(body)
+        except ValueError as e:
+            await send_error(writer, 400, str(e), "invalid_request_error",
+                             "bad_request")
+            return
         rid = "chatcmpl-" + uuid.uuid4().hex[:24]
         if body.get("stream"):
             await self._stream(writer, rid, "chat.completion.chunk", prompt,
@@ -239,7 +305,12 @@ class OpenAIServer:
         prompt = body["prompt"]
         if isinstance(prompt, list):
             prompt = "".join(str(p) for p in prompt)
-        params = _params_from_request(body)
+        try:
+            params = _params_from_request(body)
+        except ValueError as e:
+            await send_error(writer, 400, str(e), "invalid_request_error",
+                             "bad_request")
+            return
         rid = "cmpl-" + uuid.uuid4().hex[:24]
         if body.get("stream"):
             await self._stream(writer, rid, "text_completion", prompt, params,
@@ -272,6 +343,55 @@ class OpenAIServer:
             "data": data,
             "model": self.engine.model_name,
             "usage": {"prompt_tokens": total_tokens, "total_tokens": total_tokens},
+        }).encode())
+
+    async def handle_rerank(self, req, writer) -> None:
+        """llama-server ``/v1/rerank`` (native surface the reference reaches
+        via passthrough + EXTRA_ARGS ``--rerank``, reference
+        ``scripts/start.sh:490-494``).  Without a cross-encoder rank head
+        (no GGUF this engine loads ships one), scores are cosine
+        similarities of mean-pooled final-hidden-state embeddings — the
+        pooling-model path over the same machinery as /v1/embeddings.
+        Engines without embedding support get a clean 501."""
+        body = self._parse_json(req)
+        if body is None or "query" not in body:
+            await send_error(writer, 400, "query is required",
+                             "invalid_request_error", "bad_request")
+            return
+        docs = body.get("documents", body.get("texts"))
+        if not isinstance(docs, list) or not docs:
+            await send_error(writer, 400,
+                             "documents must be a non-empty array",
+                             "invalid_request_error", "bad_request")
+            return
+        if not hasattr(self.engine, "embed"):
+            await send_error(writer, 501,
+                             "this model cannot rerank (no embedding path)",
+                             "server_error", "not_supported")
+            return
+        import math
+        loop = asyncio.get_running_loop()
+        qv, q_tok = await loop.run_in_executor(
+            None, self.engine.embed, str(body["query"]))
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        results = []
+        total = q_tok
+        for i, doc in enumerate(docs):
+            dv, n_tok = await loop.run_in_executor(
+                None, self.engine.embed, str(doc))
+            total += n_tok
+            dn = math.sqrt(sum(x * x for x in dv)) or 1.0
+            score = sum(a * b for a, b in zip(qv, dv)) / (qn * dn)
+            results.append({"index": i, "relevance_score": score})
+        results.sort(key=lambda r: -r["relevance_score"])
+        top_n = body.get("top_n")
+        if isinstance(top_n, int) and top_n > 0:
+            results = results[:top_n]
+        await send_response(writer, 200, json.dumps({
+            "model": self.engine.model_name,
+            "object": "list",
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+            "results": results,
         }).encode())
 
     def _render_prompt(self, messages: list) -> str:
@@ -373,7 +493,12 @@ class OpenAIServer:
         ids += [fim_suf]
         ids += tok.encode(suffix, add_bos=False)
         ids += [fim_mid]
-        params = _params_from_request(body)
+        try:
+            params = _params_from_request(body)
+        except ValueError as e:
+            await send_error(writer, 400, str(e), "invalid_request_error",
+                             "bad_request")
+            return
         rid = "infill-" + uuid.uuid4().hex[:24]
         if body.get("stream"):
             await self._stream(writer, rid, "text_completion", ids, params,
@@ -564,7 +689,10 @@ def main() -> None:
     mock = os.environ.get("MOCK_BACKEND", "").lower() in ("1", "true", "yes")
     if mock or not model_path:
         from ..runtime.mock import MockEngine
-        engine = MockEngine(model_name=os.environ.get("MODEL_NAME", "mock-model"))
+        engine = MockEngine(
+            model_name=os.environ.get("MODEL_NAME", "mock-model"),
+            # per-token delay: lets black-box queue tests hold a slot open
+            delay_s=float(os.environ.get("MOCK_DELAY_S", "0") or 0))
     else:
         import jax.numpy as jnp
 

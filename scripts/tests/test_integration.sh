@@ -83,10 +83,117 @@ after=$(curl -s "$GATEWAY_URL/metrics" | python3 -c \
 [ "$after" -gt "$before" ] && ok "requests_total increments" \
     || bad "requests_total did not increment ($before -> $after)"
 
-# --- limits -------------------------------------------------------------------
+# --- per-counter metrics matrix ------------------------------------------------
+counter() {
+    curl -s "$GATEWAY_URL/metrics" | python3 -c \
+        "import json,sys; print(json.load(sys.stdin)['gateway']['$1'])"
+}
+if [ -n "$API_KEY" ]; then
+    s_before=$(counter requests_success)
+    a_before=$(counter requests_authenticated)
+    b_before=$(counter bytes_sent)
+    curl -s -o /dev/null -H "Authorization: Bearer $API_KEY" "$GATEWAY_URL/v1/models"
+    sleep 0.3
+    [ "$(counter requests_success)" -gt "$s_before" ] \
+        && ok "requests_success increments on proxied 200" \
+        || bad "requests_success $s_before -> $(counter requests_success)"
+    [ "$(counter requests_authenticated)" -gt "$a_before" ] \
+        && ok "requests_authenticated increments" \
+        || bad "requests_authenticated stuck at $a_before"
+    [ "$(counter bytes_sent)" -gt "$b_before" ] \
+        && ok "bytes_sent grows on proxied response" \
+        || bad "bytes_sent $b_before -> $(counter bytes_sent)"
+fi
+
+# all 11 documented counters present in BOTH formats
+want="requests_total requests_success requests_error requests_active \
+requests_authenticated requests_unauthorized bytes_sent queue_depth \
+queue_rejections queue_wait_seconds_total uptime_seconds"
+mjson=$(curl -s "$GATEWAY_URL/metrics")
+mprom=$(curl -s -H "Accept: text/plain" "$GATEWAY_URL/metrics")
+allj=1; allp=1
+for m in $want; do
+    echo "$mjson" | grep -q "\"$m\"" || { allj=0; bad "metrics JSON missing $m"; }
+    echo "$mprom" | grep -q "gateway_$m" || { allp=0; bad "prometheus missing gateway_$m"; }
+done
+[ "$allj" = "1" ] && ok "all 11 counters in JSON metrics"
+[ "$allp" = "1" ] && ok "all 11 counters in prometheus metrics"
+
+# --- SSE framing exactness ------------------------------------------------------
+if [ -n "$API_KEY" ]; then
+    sse=$(curl -s -N -X POST -H "Authorization: Bearer $API_KEY" \
+        -H "Content-Type: application/json" \
+        -d '{"model":"m","messages":[{"role":"user","content":"hi"}],"max_tokens":4,"stream":true}' \
+        "$GATEWAY_URL/v1/chat/completions")
+    if echo "$sse" | grep -q "^data: "; then
+        # every non-empty line is a data: line
+        stray=$(echo "$sse" | grep -v '^data: ' | grep -cv '^[[:space:]]*$')
+        [ "$stray" = "0" ] && ok "SSE: only data:-framed lines" \
+            || bad "SSE: $stray stray lines"
+        # last event is [DONE]
+        last=$(echo "$sse" | grep '^data: ' | tail -1)
+        [ "$last" = "data: [DONE]" ] && ok "SSE: [DONE] is final event" \
+            || bad "SSE last event: $last"
+        # every payload before [DONE] is valid JSON with a choices array
+        echo "$sse" | grep '^data: ' | grep -v '\[DONE\]' | sed 's/^data: //' \
+            | python3 -c "
+import json, sys
+ok = True
+for line in sys.stdin:
+    line = line.strip()
+    if not line:
+        continue
+    d = json.loads(line)
+    assert isinstance(d.get('choices'), list), d
+print('ok')" >/dev/null 2>&1 \
+            && ok "SSE: every chunk is valid chat.completion.chunk JSON" \
+            || bad "SSE: invalid chunk JSON"
+        # Content-Type is text/event-stream
+        ct=$(curl -s -D - -o /dev/null -X POST -H "Authorization: Bearer $API_KEY" \
+            -H "Content-Type: application/json" \
+            -d '{"model":"m","messages":[{"role":"user","content":"x"}],"max_tokens":1,"stream":true}' \
+            "$GATEWAY_URL/v1/chat/completions" | grep -i '^Content-Type:')
+        echo "$ct" | grep -qi "text/event-stream" && ok "SSE content-type" \
+            || bad "SSE content-type: $ct"
+    else
+        echo "  SKIP: SSE framing (backend not serving)"
+    fi
+fi
+
+# --- limits + malformed requests -----------------------------------------------
 long_path=$(printf '/%.0sa' $(seq 1 9000))
 c=$(code "$GATEWAY_URL$long_path")
 [ "$c" = "414" ] && ok "long request line -> 414" || bad "long line -> $c"
+
+c=$(code -X POST -H "Content-Length: 99999999999" \
+    -H "Authorization: Bearer ${API_KEY:-x}" \
+    "$GATEWAY_URL/v1/chat/completions")
+[ "$c" = "413" ] && ok "oversized Content-Length -> 413" || bad "413 -> $c"
+
+hdr_args=""
+for i in $(seq 1 120); do hdr_args="$hdr_args -H X-Filler-$i:v"; done
+# shellcheck disable=SC2086
+c=$(code $hdr_args "$GATEWAY_URL/ping")
+[ "$c" = "431" ] && ok "too many headers -> 431" || bad "431 -> $c"
+
+if [ -n "$API_KEY" ]; then
+    c=$(code -X POST -H "Authorization: Bearer $API_KEY" \
+        -H "Content-Type: application/json" -d '{bad json' \
+        "$GATEWAY_URL/v1/chat/completions")
+    [ "$c" = "400" ] && ok "malformed JSON body -> 400" || bad "bad JSON -> $c"
+fi
+
+# CORS preflight (headers only when the stack enables CORS_ORIGINS)
+ohdrs=$(curl -s -D - -o /dev/null -X OPTIONS -H "Origin: http://example.com" \
+    "$GATEWAY_URL/v1/chat/completions")
+echo "$ohdrs" | head -1 | grep -qE " (200|204)" && ok "OPTIONS preflight 2xx" \
+    || bad "OPTIONS: $(echo "$ohdrs" | head -1)"
+if [ -n "${CORS_ENABLED:-}" ]; then
+    echo "$ohdrs" | grep -qi "^Access-Control-Allow-Origin:" && ok "CORS allow-origin" \
+        || bad "CORS headers missing"
+    echo "$ohdrs" | grep -qi "^Access-Control-Allow-Methods:" && ok "CORS allow-methods" \
+        || bad "CORS allow-methods missing"
+fi
 
 echo
 echo "passed=$PASS failed=$FAIL"

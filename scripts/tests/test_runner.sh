@@ -20,12 +20,14 @@ if [ -z "${GATEWAY_URL:-}" ]; then
         > "$TMPDIR_T/key.txt"
     API_KEY=$(cat "$TMPDIR_T/key.txt")
     export API_KEY
-    MOCK_BACKEND=true DATA_DIR="$TMPDIR_T" BACKEND_KEY_DIR="$TMPDIR_T" \
+    export KEYS_FILE="$TMPDIR_T/api_keys.txt"
+    MOCK_BACKEND=true DATA_DIR="$TMPDIR_T" BACKEND_KEY_DIR="$TMPDIR_T" CORS_ORIGINS="*" \
         GATEWAY_PORT=$GATEWAY_PORT PORT_HEALTH=$HEALTH_PORT PORT_BACKEND=$BACKEND_PORT \
         AUTH_KEYS_FILE="$TMPDIR_T/api_keys.txt" JAX_PLATFORMS=cpu \
         python3 -m llama_gguf_inference_tpu.launch.start > "$TMPDIR_T/stack.log" 2>&1 &
     STARTED=$!
     export GATEWAY_URL="http://127.0.0.1:$GATEWAY_PORT"
+    export CORS_ENABLED=1
     export HEALTH_URL="http://127.0.0.1:$HEALTH_PORT"
     for _ in $(seq 1 60); do
         curl -s -o /dev/null "$GATEWAY_URL/ping" && break
@@ -34,7 +36,7 @@ if [ -z "${GATEWAY_URL:-}" ]; then
 fi
 
 rc=0
-for t in test_health.sh test_auth.sh test_integration.sh; do
+for t in test_health.sh test_auth.sh test_integration.sh test_queue.sh; do
     echo; echo "==== $t ===="
     bash "$t" || rc=1
 done

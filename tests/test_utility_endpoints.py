@@ -204,3 +204,54 @@ def test_fim_ids_parsed_from_gguf_metadata():
     tok = from_gguf_metadata(legacy)
     assert (tok.special.fim_pre_id, tok.special.fim_suf_id,
             tok.special.fim_mid_id) == (4, 3, 2)
+
+
+async def test_rerank(engine):
+    srv = await _serve(engine)
+    try:
+        status, _, body = await _post(srv, "/v1/rerank", {
+            "query": "the weather today",
+            "documents": ["the weather today", "completely unrelated topic",
+                          "weather report"],
+            "top_n": 2,
+        })
+        assert status == 200
+        out = json.loads(body)
+        assert out["object"] == "list"
+        assert len(out["results"]) == 2
+        assert all({"index", "relevance_score"} <= set(r)
+                   for r in out["results"])
+        # identical doc must rank first (cosine == 1.0)
+        assert out["results"][0]["index"] == 0
+        scores = [r["relevance_score"] for r in out["results"]]
+        assert scores == sorted(scores, reverse=True)
+        assert out["usage"]["prompt_tokens"] > 0
+    finally:
+        await srv.close()
+
+
+async def test_rerank_validation(engine):
+    srv = await _serve(engine)
+    try:
+        status, _, _ = await _post(srv, "/v1/rerank", {"query": "x"})
+        assert status == 400
+        status, _, _ = await _post(srv, "/v1/rerank",
+                                   {"query": "x", "documents": []})
+        assert status == 400
+    finally:
+        await srv.close()
+
+
+async def test_rerank_501_without_embed(engine):
+    class NoEmbed:
+        model_name = "stub"
+        tokenizer = engine.tokenizer
+        metadata = {}
+    srv = await _serve(NoEmbed())
+    try:
+        status, _, body = await _post(srv, "/v1/rerank", {
+            "query": "x", "documents": ["a"]})
+        assert status == 501
+        assert json.loads(body)["error"]["code"] == "not_supported"
+    finally:
+        await srv.close()
