@@ -33,6 +33,9 @@ SHAPES = {
     # Llama-3.2-1B-ish (round-1 shape, kept for A/B continuity)
     "1b": dict(dim=2048, n_layers=16, n_heads=16, n_kv_heads=8,
                ffn_dim=8192, vocab=32000, rope_base=10000.0),
+    # CPU-smoke shape (tools/spec_bench.py flow validation off-TPU)
+    "160m": dict(dim=512, n_layers=8, n_heads=8, n_kv_heads=4,
+                 ffn_dim=1536, vocab=32000, rope_base=10000.0),
 }
 N_STEPS = 96
 V5E_HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
@@ -42,7 +45,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_model_path(shape: str, quant: str = "q4_k") -> str:
+def bench_model_path(shape: str, quant: str = "q4_k",
+                     echo: bool = False) -> str:
+    """Synthesize (once) a bench-shape GGUF.
+
+    ``echo=True`` zeroes every block tensor while keeping the (identical)
+    random stream for token_embd and output: hidden states ride the
+    residual path untouched, so logits = norm(emb(t)) @ emb.T peak at the
+    input token — the model deterministically repeats its last token.
+    Same shapes/formats/HBM traffic as the normal model, but a perfectly
+    predictable output stream: the acceptance-controlled upper bound for
+    speculative decoding (tools/spec_bench.py)."""
     import numpy as np
 
     from llama_gguf_inference_tpu.gguf.constants import GGMLType, Keys
@@ -50,10 +63,10 @@ def bench_model_path(shape: str, quant: str = "q4_k") -> str:
     from llama_gguf_inference_tpu.utils.testing import make_tiny_vocab
 
     d = SHAPES[shape]
-    path = os.environ.get("BENCH_MODEL",
-                          f"/tmp/bench_llama3_{shape}_{quant}.gguf")
+    tag = f"{shape}_{quant}" + ("_echo" if echo else "")
+    path = os.environ.get("BENCH_MODEL", f"/tmp/bench_llama3_{tag}.gguf")
     legacy = f"/tmp/bench_llama3_{shape}_q4k.gguf"
-    if quant == "q4_k" and "BENCH_MODEL" not in os.environ \
+    if quant == "q4_k" and not echo and "BENCH_MODEL" not in os.environ \
             and os.path.exists(legacy):
         return legacy
     if os.path.exists(path):
@@ -102,13 +115,16 @@ def bench_model_path(shape: str, quant: str = "q4_k") -> str:
     from llama_gguf_inference_tpu.quant.numpy_ref import quantize
 
     pool = (rng.standard_normal(1 << 20) * 0.02).astype(np.float32)
-    qpool: dict[GGMLType, np.ndarray] = {}
+    zpool = np.zeros(1 << 20, np.float32)
+    qpool: dict[tuple, np.ndarray] = {}
 
-    def add_q(name, rows, cols, t):
-        if t not in qpool:
-            qpool[t] = np.frombuffer(quantize(pool.reshape(1, -1), t),
-                                     np.uint8)
-        qp = qpool[t]
+    def add_q(name, rows, cols, t, zero=False):
+        key = (t, zero)
+        if key not in qpool:
+            src = zpool if zero else pool
+            qpool[key] = np.frombuffer(quantize(src.reshape(1, -1), t),
+                                       np.uint8)
+        qp = qpool[key]
         blk, bpb = type_block_info(t)
         nbytes = rows * cols // blk * bpb          # wire bytes for the tensor
         reps = -(-nbytes // qp.size)
@@ -119,14 +135,16 @@ def bench_model_path(shape: str, quant: str = "q4_k") -> str:
     for i in range(d["n_layers"]):
         p = f"blk.{i}."
         w.add_tensor(p + "attn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        add_q(p + "attn_q.weight", d["dim"], d["dim"], wq)
-        add_q(p + "attn_k.weight", d["n_kv_heads"] * head_dim, d["dim"], wq)
-        add_q(p + "attn_v.weight", d["n_kv_heads"] * head_dim, d["dim"], wq)
-        add_q(p + "attn_output.weight", d["dim"], d["dim"], wq)
+        add_q(p + "attn_q.weight", d["dim"], d["dim"], wq, zero=echo)
+        add_q(p + "attn_k.weight", d["n_kv_heads"] * head_dim, d["dim"], wq,
+              zero=echo)
+        add_q(p + "attn_v.weight", d["n_kv_heads"] * head_dim, d["dim"], wq,
+              zero=echo)
+        add_q(p + "attn_output.weight", d["dim"], d["dim"], wq, zero=echo)
         w.add_tensor(p + "ffn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        add_q(p + "ffn_gate.weight", d["ffn_dim"], d["dim"], wq)
-        add_q(p + "ffn_up.weight", d["ffn_dim"], d["dim"], wq)
-        add_q(p + "ffn_down.weight", d["dim"], d["ffn_dim"], wq)
+        add_q(p + "ffn_gate.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
+        add_q(p + "ffn_up.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
+        add_q(p + "ffn_down.weight", d["dim"], d["ffn_dim"], wq, zero=echo)
     w.add_tensor("output_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
     add_q("output.weight", vocab, d["dim"], GGMLType.Q6_K)
     w.write()

@@ -41,14 +41,17 @@ def ngram_propose(hist: jax.Array, prev: jax.Array, pending: jax.Array,
 
     hist (B, H): per-slot token history, valid in [0, off) (stale beyond —
     same overwrite discipline as the KV cache).  Finds the latest j with
-    ``hist[j] == prev and hist[j+1] == pending`` strictly before the
-    sequence head and proposes ``hist[j+2 : j+2+K]``; no match proposes
-    zeros (acceptance then just falls to the verify's 1 token).
+    ``hist[j] == prev and hist[j+1] == pending`` whose FULL continuation
+    window ``hist[j+2 : j+2+K]`` lies inside valid history (a head-of-
+    sequence match would draft from the stale region — on a perfectly
+    repetitive stream that capped acceptance at 1/K) and proposes that
+    window; no match proposes zeros (acceptance then just falls to the
+    verify's 1 token).
     """
     B, H = hist.shape
     idx = jnp.arange(H - 1)
     match = (hist[:, :-1] == prev) & (hist[:, 1:] == pending) \
-        & (idx[None, :] < off[:, None] - 1)
+        & (idx[None, :] <= off[:, None] - 2 - K)
     j = jnp.max(jnp.where(match, idx[None, :], -1), axis=1)    # (B,)
 
     def take(row, jj):
