@@ -171,11 +171,16 @@ def _flash_jit(q, k_cache, v_cache, offsets, *, cfg):
             .transpose(0, 2, 1, 3))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
-    """q8 KV variant: kq/vq (B, KVH, S, D) int8, ks/vs (B, KVH, S) f32
-    per-(token, head) scales, dequantized per S-block in VMEM."""
+@functools.partial(jax.jit, static_argnames=("cfg", "bits"))
+def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg, bits=8):
+    """Quantized-KV variant: ks/vs (B, KVH, S) f32 per-(token, head)
+    scales, codes dequantized per S-block in VMEM.  bits=8: kq/vq
+    (B, KVH, S, D) int8.  bits=4: kq/vq (B, KVH, S, D//2) uint8, two
+    biased codes per byte in planar order (lo nibbles = elements
+    [0, D/2), hi = [D/2, D) — the concat unpack restores element order,
+    same scheme as ops.pallas_matmul's 4-bit weights)."""
     B, T, H, D, S, KVH, HF, blk_s = cfg
+    DC = D if bits == 8 else D // 2          # stored code columns
     group = H // KVH
     R = group * T
     NS = S // blk_s
@@ -203,9 +208,9 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
         in_specs=[
             pl.BlockSpec((1, HF, R, D), lambda b, hg, s, off: (b, hg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, blk_s, D), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HF, blk_s, DC), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HF, 1, blk_s), sc_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, blk_s, D), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HF, blk_s, DC), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HF, 1, blk_s), sc_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, HF, R, D),
@@ -224,13 +229,20 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg):
         s = pl.program_id(2)
         qv = q_ref[0].astype(jnp.float32) * scale
 
-        # int8 -> f32 via int32 (Mosaic has no direct 8-bit -> float cast);
-        # the per-token scales fold into scores/probs AFTER the dots
+        # 8-bit -> f32 via int32 (Mosaic has no direct 8-bit -> float
+        # cast); the per-token scales fold into scores/probs AFTER the
+        # dots.  4-bit codes unpack by shift/mask + concat (planar order).
+        def unpack(ref, h):
+            c = ref[0, h].astype(jnp.int32)
+            if bits == 4:
+                c = jnp.concatenate([c & 0x0F, c >> 4], axis=1) - 8
+            return c.astype(jnp.float32)
+
         def k_of(h):
-            return kq_ref[0, h].astype(jnp.int32).astype(jnp.float32)
+            return unpack(kq_ref, h)
 
         def v_of(h):
-            return vq_ref[0, h].astype(jnp.int32).astype(jnp.float32)
+            return unpack(vq_ref, h)
 
         _flash_step(s, off_ref[b], qv, k_of, v_of,
                     m_sc, l_sc, acc_sc, o_ref,
@@ -516,6 +528,37 @@ def flash_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
             out_specs=P(dp, None, tp, None), check_rep=False)
         return fn(q, k_cache, v_cache, offsets)
     return _flash_local(q, k_cache, v_cache, offsets, blk_s=blk_s)
+
+
+def _flash_q4_local(q, kq, ks, vq, vs, offsets, *, blk_s):
+    B, T, H, D = q.shape
+    KVH, S = kq.shape[1], kq.shape[2]
+    qb, R = q.dtype.itemsize, (H // KVH) * T
+    HF = _pick_fold(KVH, R, D, qb)
+    blk_s = _pick_blk_s(blk_s, S, HF, R, D, 1, qb)
+    cfg = (B, T, H, D, S, KVH, HF, blk_s)
+    return _flash_q8_jit(q, kq, ks, vq, vs, offsets, cfg=cfg, bits=4)
+
+
+def flash_attention_q4(q: jax.Array, kq: jax.Array, ks: jax.Array,
+                       vq: jax.Array, vs: jax.Array, offsets: jax.Array,
+                       blk_s: int = 1024) -> jax.Array:
+    """Flash attention over the packed q4 KV cache (runtime.kv_cache
+    QuantKV4): kq/vq (B, KVH, S, D//2) uint8 planar nibble pairs,
+    ks/vs (B, KVH, S) f32.  Mesh handling matches flash_attention."""
+    ax = _mesh_axes(q.shape[0], kq.shape[1])
+    if ax is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        mesh, dp, tp = ax
+        fn = shard_map(
+            functools.partial(_flash_q4_local, blk_s=blk_s), mesh=mesh,
+            in_specs=(P(dp, None, tp, None), P(dp, tp, None, None),
+                      P(dp, tp, None), P(dp, tp, None, None),
+                      P(dp, tp, None), P(dp)),
+            out_specs=P(dp, None, tp, None), check_rep=False)
+        return fn(q, kq, ks, vq, vs, offsets)
+    return _flash_q4_local(q, kq, ks, vq, vs, offsets, blk_s=blk_s)
 
 
 def flash_attention_q8(q: jax.Array, kq: jax.Array, ks: jax.Array,

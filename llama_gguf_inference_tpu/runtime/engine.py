@@ -57,7 +57,7 @@ class EngineConfig:
     max_slots: int = 4
     ctx: int = 2048                    # per-slot KV capacity (reference CTX env)
     prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
-    kv_dtype: Any = jnp.bfloat16       # jnp dtype, or "q8_0" for quantized KV
+    kv_dtype: Any = jnp.bfloat16       # jnp dtype, or "q8_0"/"q4_0" quantized KV
     mode: str = "quant"                # weight residency: "quant" | "dense"
     multi_step: int = 1                # decode steps fused per dispatch (1 = off)
     tp: int = 1                        # tensor-parallel mesh axis
@@ -184,10 +184,12 @@ class InferenceEngine:
         if self.ecfg.kv_layout not in ("contig", "paged"):
             raise ValueError(f"unknown kv_layout {self.ecfg.kv_layout!r} "
                              "(expected 'contig' or 'paged')")
+        quantized_kv = self.ecfg.kv_dtype in ("q8_0", "q4_0")
         if self.ecfg.kv_layout == "paged":
-            if self.ecfg.kv_dtype == "q8_0":
+            if quantized_kv:
                 raise ValueError("kv_layout='paged' supports bf16 KV only "
-                                 "(q8_0 paging is a contig-layout feature)")
+                                 "(quantized paging is a contig-layout "
+                                 "feature)")
             if sharded and self.ecfg.dp > 1:
                 raise ValueError("kv_layout='paged' shards over tp only: "
                                  "the page pool is shared by every slot, so "
@@ -204,7 +206,7 @@ class InferenceEngine:
             raise ValueError("speculative decoding requires "
                              "kv_layout='contig'")
         if self.ecfg.ctx_shift:
-            if self.ecfg.kv_layout != "contig" or self.ecfg.kv_dtype == "q8_0":
+            if self.ecfg.kv_layout != "contig" or quantized_kv:
                 raise ValueError("ctx_shift requires the contiguous bf16 KV "
                                  "layout (cached K is re-roped in place)")
             if self.ecfg.draft_model or self.ecfg.spec_ngram:
@@ -216,7 +218,7 @@ class InferenceEngine:
                                          lora_scale=self.ecfg.lora_scale)
         self.cfg = cfg
         if cfg.is_mla and (self.ecfg.kv_layout != "contig"
-                           or self.ecfg.kv_dtype == "q8_0"):
+                           or quantized_kv):
             raise ValueError("deepseek2 (MLA) supports the contiguous bf16 "
                              "KV layout only (k/v head dims differ)")
         if self.ecfg.ctx_shift and (cfg.is_mla or cfg.sliding_window > 0
@@ -252,6 +254,9 @@ class InferenceEngine:
         elif self.ecfg.kv_dtype == "q8_0":
             from .kv_cache import QuantKV
             self.cache = QuantKV.zeros(cfg, B, S)
+        elif self.ecfg.kv_dtype == "q4_0":
+            from .kv_cache import QuantKV4
+            self.cache = QuantKV4.zeros(cfg, B, S)
         else:
             self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
         if self.mesh is not None:

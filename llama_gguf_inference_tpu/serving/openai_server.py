@@ -706,7 +706,7 @@ def main() -> None:
         ecfg = EngineConfig(
             max_slots=max_slots,
             ctx=ctx_slot,
-            kv_dtype="q8_0" if kv == "q8_0" else jnp.bfloat16,
+            kv_dtype=kv if kv in ("q8_0", "q4_0") else jnp.bfloat16,
             multi_step=int(os.environ.get("MULTI_STEP", 1)),
             tp=int(os.environ.get("TP", 1)),
             dp=int(os.environ.get("DP", 1)),
