@@ -83,6 +83,20 @@ async def read_request(reader: asyncio.StreamReader, *,
         raw.append((name.strip(), value.strip()))
         headers[name.strip().lower()] = value.strip()
 
+    te = headers.get("transfer-encoding", "").lower().strip()
+    if te and te != "identity":
+        # bodies are Content-Length-framed only; silently treating a
+        # chunked body as empty would desync connection framing (the
+        # request-smuggling shape, RFC 7230 §3.3.3)
+        raise HttpLimitError(400, "Transfer-Encoding not supported",
+                             "bad_request")
+    cls = {v.strip() for n, v in raw if n.strip().lower() == "content-length"}
+    if len(cls) > 1:
+        # conflicting duplicates MUST be rejected (RFC 7230 §3.3.2);
+        # last-one-wins would let a smuggler desync proxy and backend
+        raise HttpLimitError(400, "Conflicting Content-Length headers",
+                             "bad_request")
+
     body = b""
     cl_raw = headers.get("content-length")
     if cl_raw is not None:

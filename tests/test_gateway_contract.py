@@ -529,3 +529,57 @@ class TestResponsePrimitives:
 
     def test_connection_close_always(self):
         assert b"Connection: close" in response_bytes(200, b"{}")
+
+
+class TestHttpSmugglingShapes:
+    """Framing attacks a byte-level proxy must reject (RFC 7230 §3.3;
+    reference TestMalformedContentLength scope, extended)."""
+
+    async def test_conflicting_content_lengths_400(self):
+        raw = (b"POST / HTTP/1.1\r\nContent-Length: 5\r\n"
+               b"Content-Length: 3\r\n\r\nhello")
+        with pytest.raises(HttpLimitError) as ei:
+            await parse(raw)
+        assert ei.value.status == 400
+
+    async def test_identical_duplicate_content_lengths_ok(self):
+        raw = (b"POST / HTTP/1.1\r\nContent-Length: 5\r\n"
+               b"Content-Length: 5\r\n\r\nhello")
+        req = await parse(raw)
+        assert req.body == b"hello"
+
+    async def test_chunked_transfer_encoding_400(self):
+        raw = (b"POST / HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+               b"5\r\nhello\r\n0\r\n\r\n")
+        with pytest.raises(HttpLimitError) as ei:
+            await parse(raw)
+        assert ei.value.status == 400
+
+    async def test_transfer_encoding_identity_ok(self):
+        raw = (b"POST / HTTP/1.1\r\nTransfer-Encoding: identity\r\n"
+               b"Content-Length: 2\r\n\r\nhi")
+        req = await parse(raw)
+        assert req.body == b"hi"
+
+    async def test_obsolete_header_folding_400(self):
+        raw = b"GET / HTTP/1.1\r\nX-A: 1\r\n  continued\r\n\r\n"
+        with pytest.raises(HttpLimitError) as ei:
+            await parse(raw)
+        assert ei.value.status == 400
+
+    async def test_query_string_preserved_verbatim(self):
+        req = await parse(b"GET /a?b=c&d=%20&e HTTP/1.1\r\n\r\n")
+        assert req.path == "/a?b=c&d=%20&e"
+
+    async def test_lf_only_line_endings_accepted(self):
+        req = await parse(b"GET /x HTTP/1.1\nHost: h\n\n")
+        assert req.path == "/x" and req.headers["host"] == "h"
+
+    async def test_http10_version_parsed(self):
+        req = await parse(b"GET /x HTTP/1.0\r\n\r\n")
+        assert req.version == "HTTP/1.0"
+
+    async def test_missing_version_400(self):
+        with pytest.raises(HttpLimitError) as ei:
+            await parse(b"GET /x\r\n\r\n")
+        assert ei.value.status == 400
