@@ -4,8 +4,9 @@ The reference never sees these — it passes the GGUF path to llama-server
 (``start.sh:473-480``) which derives the graph from metadata; llama.cpp
 serves every architecture its converters emit.  We do the same from the
 keys written by llama.cpp converters for the families this engine
-implements: llama/mistral/mixtral, qwen2, qwen3, gemma, gemma2, gemma3,
-phi3, starcoder2, deepseek2.
+implements: llama/mistral/mixtral, qwen2, qwen3, qwen2moe, qwen3moe,
+gemma, gemma2, gemma3, phi3, starcoder2, deepseek2, granite, command-r,
+olmo2.
 """
 
 from __future__ import annotations
@@ -24,9 +25,10 @@ _ROPE_NORM_ARCHES = ("llama", "mixtral", "minicpm", "deci", "deepseek2",
                      "granite", "command-r")
 
 # architectures this engine can build a graph for (loader + models.llama)
-SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "gemma", "gemma2",
-                    "gemma3", "phi3", "starcoder2", "deepseek2", "granite",
-                    "command-r", "olmo2")
+SUPPORTED_ARCHES = ("llama", "mixtral", "qwen2", "qwen3", "qwen2moe",
+                    "qwen3moe", "gemma", "gemma2", "gemma3", "phi3",
+                    "starcoder2", "deepseek2", "granite", "command-r",
+                    "olmo2")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,6 +223,14 @@ class ModelConfig:
         routed_scale = 1.0
         moe_renorm = True
         n_groups = topk_groups = 1
+        if arch in ("qwen2moe", "qwen3moe"):
+            # llama.cpp's llm_build_qwen2moe keeps RAW softmax weights
+            # (norm_topk_prob False in released Qwen1.5/2 MoE checkpoints)
+            # while llm_build_qwen3moe renormalizes the selected top-k;
+            # honor an explicit expert_weights_norm key when our converter
+            # wrote one, else the per-arch llama.cpp hardcoded behavior.
+            moe_renorm = bool(md.get(f"{arch}.expert_weights_norm",
+                                     arch == "qwen3moe"))
         if arch == "deepseek2":
             q_lora = int(md.get("deepseek2.attention.q_lora_rank", 0))
             kv_lora = int(md.get("deepseek2.attention.kv_lora_rank", 512))

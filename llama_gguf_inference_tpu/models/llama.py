@@ -1,5 +1,6 @@
 """Llama-family forward graph in JAX (also covers Mixtral via MoE blocks,
-plus the qwen2 / qwen3 / gemma / gemma2 / gemma3 / phi3 / starcoder2 graph
+plus the qwen2 / qwen3 / qwen2moe / qwen3moe / gemma / gemma2 / gemma3 /
+phi3 / starcoder2 / deepseek2 / granite / command-r / olmo2 graph
 variations).
 
 TPU-native replacement for the transformer graph inside llama.cpp's
@@ -697,9 +698,16 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
         if "experts" in layer or "experts_ep" in layer:
             # per-layer: deepseek2's leading layers are dense, the rest MoE
             ffn_out = ffn_moe(layer, cfg, ffn_in)
-            if "shared_experts" in layer:   # deepseek2 always-on experts
-                ffn_out = ffn_out + ffn_swiglu(layer["shared_experts"],
-                                               ffn_in, cfg.act)
+            if "shared_experts" in layer:
+                # always-on experts: deepseek2 adds them raw; qwen2moe
+                # multiplies by a per-token sigmoid gate first
+                sh = ffn_swiglu(layer["shared_experts"], ffn_in, cfg.act)
+                if "shared_gate" in layer:
+                    g = jax.nn.sigmoid(
+                        matmul(layer["shared_gate"], ffn_in)
+                        .astype(jnp.float32))
+                    sh = sh * g.astype(sh.dtype)
+                ffn_out = ffn_out + sh
         elif not cfg.ffn_gated:
             ffn_out = ffn_mlp(layer, ffn_in, cfg.act)
         else:

@@ -171,6 +171,18 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
             new["attn_v"] = _shard_linear(layer["attn_v"], mesh, AXIS_TP, 0)
         if "experts" in layer:
             new["ffn_gate_inp"] = _device_put_tree(layer["ffn_gate_inp"], rep)
+            if "shared_experts" in layer:
+                # always-on experts (deepseek2/qwen2moe) shard like a dense
+                # FFN: gate/up column-, down row-parallel; the qwen2moe
+                # sigmoid gate (dim -> 1) replicates via the generic pass
+                new["shared_experts"] = {
+                    "ffn_gate": _shard_linear(
+                        layer["shared_experts"]["ffn_gate"], mesh, AXIS_TP, 0),
+                    "ffn_up": _shard_linear(
+                        layer["shared_experts"]["ffn_up"], mesh, AXIS_TP, 0),
+                    "ffn_down": _shard_linear(
+                        layer["shared_experts"]["ffn_down"], mesh, AXIS_TP, 1),
+                }
             tp = mesh.shape[AXIS_TP]
             import os
             if (tp > 1 and cfg.n_experts % tp == 0

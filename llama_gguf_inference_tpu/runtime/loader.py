@@ -205,12 +205,18 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
             layer["ffn_gate_inp"] = _load_linear(reader, p + "ffn_gate_inp.weight",
                                                  mode, cache)
             layer["experts"] = _load_experts(reader, p, cfg, mode, cache)
-            if p + "ffn_gate_shexp.weight" in t:   # deepseek2 shared experts
+            if p + "ffn_gate_shexp.weight" in t:
+                # always-on shared experts (deepseek2, qwen2moe)
                 layer["shared_experts"] = {
                     n: _load_linear(reader, p + f"{n}_shexp.weight",
                                     mode, cache)
                     for n in ("ffn_gate", "ffn_up", "ffn_down")
                 }
+            if p + "ffn_gate_inp_shexp.weight" in t:
+                # qwen2moe: per-token sigmoid gate on the shared expert
+                # (llm_build_qwen2moe's ffn_gate_inp_shexp sigmoid-mul)
+                layer["shared_gate"] = _load_linear(
+                    reader, p + "ffn_gate_inp_shexp.weight", mode, cache)
         elif not cfg.ffn_gated:
             # plain up -> act -> down MLP (starcoder2's c_fc/c_proj)
             layer["ffn_up"] = _load_linear(reader, p + "ffn_up.weight",

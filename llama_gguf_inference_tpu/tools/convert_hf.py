@@ -99,12 +99,20 @@ def tokenizer_metadata(hf_dir: str) -> dict:
 
 
 # HF model_type -> GGUF architecture (llama.cpp convert_hf_to_gguf naming)
-_ARCH_MAP = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
-             "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
+# mixtral maps to arch "llama" + expert keys/tensors, matching llama.cpp's
+# MixtralForCausalLM -> LlamaModel conversion (real mixtral GGUFs carry
+# general.architecture == "llama")
+_ARCH_MAP = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
+             "qwen2": "qwen2", "qwen3": "qwen3", "qwen2_moe": "qwen2moe",
+             "qwen3_moe": "qwen3moe", "gemma": "gemma", "gemma2": "gemma2",
              "gemma3": "gemma3", "gemma3_text": "gemma3",
              "phi3": "phi3", "starcoder2": "starcoder2",
              "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
              "granite": "granite", "cohere": "command-r", "olmo2": "olmo2"}
+
+# routed-MoE model types exported through the generic layer loop (deepseek2
+# has its own branch); llama.cpp names: blk.N.ffn_{gate,up,down}_exps stacked
+_MOE_TYPES = ("mixtral", "qwen2_moe", "qwen3_moe")
 
 
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
@@ -131,7 +139,8 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     n_head = cfg["num_attention_heads"]
     n_kv = cfg.get("num_key_value_heads", n_head)
     dim = cfg["hidden_size"]
-    head_dim = cfg.get("head_dim", dim // n_head)
+    # some configs (mixtral) serialize an explicit "head_dim": null
+    head_dim = cfg.get("head_dim") or dim // n_head
     rope_dim_count = head_dim
     if arch == "deepseek2":   # MLA: decoupled rope dims; kv cache per head
         head_dim = int(cfg["qk_nope_head_dim"]) + int(cfg["qk_rope_head_dim"])
@@ -173,6 +182,23 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
     if head_dim != dim // n_head and arch != "deepseek2":
         w.add(f"{arch}.attention.key_length", head_dim)
         w.add(f"{arch}.attention.value_length", head_dim)
+    if model_type in _MOE_TYPES:
+        # llama.cpp MoE keys (llm_load_hparams): expert counts + per-expert
+        # ffn width; qwen2moe adds the shared expert's width.  Router
+        # renormalization: mixtral always renorms (HF MixtralSparseMoeBlock);
+        # qwen carries norm_topk_prob explicitly.
+        n_exp = int(cfg.get("num_local_experts", cfg.get("num_experts", 0)))
+        w.add(f"{arch}.expert_count", n_exp)
+        w.add(f"{arch}.expert_used_count",
+              int(cfg.get("num_experts_per_tok", 2)))
+        if model_type != "mixtral":
+            w.add(f"{arch}.expert_feed_forward_length",
+                  int(cfg["moe_intermediate_size"]))
+            w.add(f"{arch}.expert_weights_norm",
+                  bool(cfg.get("norm_topk_prob", arch == "qwen3moe")))
+        if arch == "qwen2moe":
+            w.add("qwen2moe.expert_shared_feed_forward_length",
+                  int(cfg.get("shared_expert_intermediate_size", 0)))
     if arch == "gemma2":
         w.add("gemma2.attn_logit_softcapping",
               float(cfg.get("attn_logit_softcapping", 50.0)))
@@ -441,9 +467,43 @@ def convert(hf_dir: str, dst: str, dtype: str = "f16",
         else:
             put(g + "ffn_norm.weight",
                 get_norm(p + "post_attention_layernorm.weight"))
-        put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
-        put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
-        put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
+        sparse = False
+        if model_type in _MOE_TYPES:
+            # qwen2moe/qwen3moe interleave dense MLP layers (HF condition in
+            # Qwen2MoeDecoderLayer): mlp_only_layers are dense, and only
+            # every decoder_sparse_step-th layer is sparse.  mixtral is
+            # sparse everywhere.
+            n_exp = int(cfg.get("num_local_experts",
+                                cfg.get("num_experts", 0)))
+            step = int(cfg.get("decoder_sparse_step", 1))
+            sparse = (n_exp > 0 and i not in cfg.get("mlp_only_layers", [])
+                      and step > 0 and (i + 1) % step == 0)
+        if sparse:
+            mixtral = model_type == "mixtral"
+            moe_p = p + ("block_sparse_moe." if mixtral else "mlp.")
+            put(g + "ffn_gate_inp.weight", get(moe_p + "gate.weight"))
+            names = (("gate", "w1"), ("up", "w3"), ("down", "w2")) \
+                if mixtral else \
+                (("gate", "gate_proj"), ("up", "up_proj"),
+                 ("down", "down_proj"))
+            for kind, hf in names:
+                stacked = np.stack([
+                    get(moe_p + f"experts.{e}.{hf}.weight")
+                    for e in range(n_exp)])
+                put(g + f"ffn_{kind}_exps.weight", stacked)
+            if arch == "qwen2moe":
+                put(g + "ffn_gate_shexp.weight",
+                    get(moe_p + "shared_expert.gate_proj.weight"))
+                put(g + "ffn_up_shexp.weight",
+                    get(moe_p + "shared_expert.up_proj.weight"))
+                put(g + "ffn_down_shexp.weight",
+                    get(moe_p + "shared_expert.down_proj.weight"))
+                put(g + "ffn_gate_inp_shexp.weight",
+                    get(moe_p + "shared_expert_gate.weight"))
+        else:
+            put(g + "ffn_gate.weight", get(p + "mlp.gate_proj.weight"))
+            put(g + "ffn_up.weight", get(p + "mlp.up_proj.weight"))
+            put(g + "ffn_down.weight", get(p + "mlp.down_proj.weight"))
     put("output_norm.weight", get_norm("norm.weight"))
     if "lm_head.weight" in sd:
         put("output.weight", sd["lm_head.weight"].astype(np.float32))

@@ -163,11 +163,11 @@ def write_tiny_llama(
                          np.ones(dim, np.float32), GGMLType.F32)
             w.add_tensor(p + "ffn_post_norm.weight",
                          np.ones(dim, np.float32), GGMLType.F32)
-        if arch == "qwen2":
+        if arch in ("qwen2", "qwen2moe"):
             w.add_tensor(p + "attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)
             w.add_tensor(p + "attn_k.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
             w.add_tensor(p + "attn_v.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
-        elif arch == "qwen3":
+        elif arch in ("qwen3", "qwen3moe"):
             w.add_tensor(p + "attn_q_norm.weight", np.ones(head_dim, np.float32), GGMLType.F32)
             w.add_tensor(p + "attn_k_norm.weight", np.ones(head_dim, np.float32), GGMLType.F32)
         elif arch == "gemma2":
@@ -192,6 +192,11 @@ def write_tiny_llama(
             w.add_tensor(p + "ffn_gate_exps.weight", rand(n_experts, ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_up_exps.weight", rand(n_experts, ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_down_exps.weight", rand(n_experts, dim, ffn_dim), quant)
+            if arch == "qwen2moe":   # sigmoid-gated always-on shared expert
+                w.add_tensor(p + "ffn_gate_shexp.weight", rand(ffn_dim, dim), quant)
+                w.add_tensor(p + "ffn_up_shexp.weight", rand(ffn_dim, dim), quant)
+                w.add_tensor(p + "ffn_down_shexp.weight", rand(dim, ffn_dim), quant)
+                w.add_tensor(p + "ffn_gate_inp_shexp.weight", rand(1, dim), GGMLType.F32)
         elif arch == "starcoder2":   # plain MLP: no gate tensor
             w.add_tensor(p + "ffn_up.weight", rand(ffn_dim, dim), quant)
             w.add_tensor(p + "ffn_down.weight", rand(dim, ffn_dim), quant)

@@ -28,7 +28,8 @@ from llama_gguf_inference_tpu.tools.convert_hf import convert
 from llama_gguf_inference_tpu.utils.testing import write_tiny_llama
 
 
-def _parity(model, hf_dir, tmp_path, n_tokens=12, atol=0.35):
+def _parity(model, hf_dir, tmp_path, n_tokens=12, atol=0.35,
+            tie_margin=0.0):
     dst = tmp_path / "converted.gguf"
     convert(str(hf_dir), str(dst), dtype="f32", verbose=False)
     cfg, params, reader = load_model(dst, mode="dense")
@@ -44,7 +45,17 @@ def _parity(model, hf_dir, tmp_path, n_tokens=12, atol=0.35):
                         jnp.zeros(1, jnp.int32), cache,
                         jnp.full(1, ids.shape[1], jnp.int32))
     got = np.asarray(logits)[0]
-    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    if tie_margin:
+        # tiny random checkpoints can leave the top-2 tokens closer than
+        # fp noise; only demand argmax equality when HF's own margin over
+        # our pick exceeds the tie threshold
+        am_g = got.argmax(-1)
+        margin = want.max(-1) - np.take_along_axis(
+            want, am_g[:, None], -1)[:, 0]
+        assert ((am_g == want.argmax(-1)) | (margin < tie_margin)).all(), \
+            (am_g, want.argmax(-1), margin)
+    else:
+        np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
     np.testing.assert_allclose(got, want, atol=atol)
     return cfg
 
@@ -78,6 +89,62 @@ def test_qwen3_hf_parity(tmp_path):
     model = transformers.Qwen3ForCausalLM(cfg)
     got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
     assert got_cfg.arch == "qwen3" and got_cfg.head_dim == 16
+
+
+def test_mixtral_hf_parity(tmp_path):
+    """mixtral: llama attention + top-k routed experts, renormalized router
+    (HF MixtralSparseMoeBlock).  Converts to arch "llama" + expert keys,
+    matching llama.cpp's MixtralForCausalLM export."""
+    cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False)
+    torch.manual_seed(21)
+    model = transformers.MixtralForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "llama" and got_cfg.n_experts == 4
+    assert got_cfg.n_experts_used == 2 and got_cfg.moe_renorm
+
+
+def test_qwen2moe_hf_parity(tmp_path):
+    """qwen2moe: qwen2 attention (qkv biases) + routed experts with RAW
+    softmax weights (norm_topk_prob False) + a sigmoid-gated always-on
+    shared expert (llm_build_qwen2moe's ffn_*_shexp / ffn_gate_inp_shexp).
+    mlp_only_layers makes layer 0 a plain dense MLP — both layer kinds in
+    one checkpoint."""
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[0],
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False)
+    torch.manual_seed(22)
+    model = transformers.Qwen2MoeForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path)
+    assert got_cfg.arch == "qwen2moe" and got_cfg.n_experts == 4
+    assert not got_cfg.moe_renorm
+
+
+def test_qwen3moe_hf_parity(tmp_path):
+    """qwen3moe: qwen3 attention (per-head q/k norms) + routed experts with
+    renormalized top-k router weights; no shared expert."""
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=112,
+        moe_intermediate_size=48, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False)
+    torch.manual_seed(23)
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    got_cfg = _parity(model, _save(model, tmp_path, "hf"), tmp_path,
+                      tie_margin=0.02)
+    assert got_cfg.arch == "qwen3moe" and got_cfg.n_experts == 4
+    assert got_cfg.moe_renorm and got_cfg.head_dim == 16
 
 
 def test_gemma2_hf_parity(tmp_path):
@@ -343,7 +410,8 @@ def test_phi3_longrope_parity(tmp_path):
     np.testing.assert_allclose(got, want, atol=0.35)
 
 
-@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "gemma2", "gemma3",
+@pytest.mark.parametrize("arch", ["qwen2", "qwen3", "qwen2moe", "qwen3moe",
+                                  "gemma2", "gemma3",
                                   "phi3", "starcoder2", "deepseek2",
                                   "granite", "command-r", "olmo2"])
 def test_arch_engine_end_to_end(arch, tmp_path):
@@ -354,9 +422,10 @@ def test_arch_engine_end_to_end(arch, tmp_path):
     from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
 
     p = tmp_path / f"{arch}.gguf"
+    moe = dict(n_experts=4, n_experts_used=2) if arch.endswith("moe") else {}
     write_tiny_llama(p, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
                      ffn_dim=96, quant=GGMLType.Q8_0, arch=arch,
-                     sliding_window=16)
+                     sliding_window=16, **moe)
     eng = InferenceEngine(str(p), EngineConfig(
         max_slots=1, ctx=64, prefill_buckets=(16,), mode="quant",
         multi_step=2))
@@ -420,10 +489,11 @@ def test_qwen2_sharded_forward_matches(tmp_path):
                                atol=2e-2, rtol=2e-2)
 
 
-@pytest.mark.parametrize("arch", ["starcoder2", "deepseek2"])
+@pytest.mark.parametrize("arch", ["starcoder2", "deepseek2", "qwen2moe"])
 def test_new_arch_sharded_forward_matches(arch, tmp_path):
-    """TP rules for the round-2 archs: starcoder2 (plain MLP, biases) and
-    deepseek2 (MLA projections) must shard without KeyError and match the
+    """TP rules for newer archs: starcoder2 (plain MLP, biases), deepseek2
+    (MLA projections), and qwen2moe (TP-sharded gated shared expert beside
+    EP-sharded routed experts) must shard without KeyError and match the
     single-device logits."""
     import jax
     from llama_gguf_inference_tpu.parallel.mesh import make_mesh
@@ -432,8 +502,9 @@ def test_new_arch_sharded_forward_matches(arch, tmp_path):
     )
 
     p = tmp_path / f"{arch}.gguf"
+    moe = dict(n_experts=4, n_experts_used=2) if arch.endswith("moe") else {}
     write_tiny_llama(p, dim=128, n_layers=2, n_heads=8, n_kv_heads=8,
-                     ffn_dim=256, quant=GGMLType.Q8_0, arch=arch)
+                     ffn_dim=256, quant=GGMLType.Q8_0, arch=arch, **moe)
     cfg, params, reader = load_model(p, mode="quant")
     reader.close()
     ids = np.full((8, 4), 7, np.int32)
