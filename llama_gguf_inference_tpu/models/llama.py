@@ -270,11 +270,11 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
         q = (q.astype(jnp.float32)
              * (cfg.attn_scale * jnp.sqrt(float(hd)))).astype(q.dtype)
 
-    from ..runtime.kv_cache import QuantKV, QuantKV4
+    from ..runtime.kv_cache import QuantKV, QuantKV4, QuantKV41
     from ..runtime.paged_kv import PagedKV
     group = H // KVH
     flash_ok = cfg.attn_softcap == 0.0 and not sliding
-    quant_kv = isinstance(cache, (QuantKV, QuantKV4))
+    quant_kv = isinstance(cache, (QuantKV, QuantKV4, QuantKV41))
     if isinstance(cache, PagedKV):
         cache = cache.write(layer_idx, k, v, offsets)
         S = cache.max_seq
@@ -307,12 +307,19 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
             # scales stream into the kernel, dequantized per S-block in
             # VMEM — cache HBM traffic actually halves (VERDICT r1 weak #2)
             from ..ops.flash_attention import (flash_attention_q4,
-                                               flash_attention_q8)
-            fa = flash_attention_q4 if isinstance(cache, QuantKV4) \
-                else flash_attention_q8
-            ctx = fa(
-                q, cache.k_q[layer_idx], cache.k_s[layer_idx],
-                cache.v_q[layer_idx], cache.v_s[layer_idx], offsets)
+                                               flash_attention_q8,
+                                               flash_attention_q41)
+            if isinstance(cache, QuantKV41):
+                ctx = flash_attention_q41(
+                    q, cache.k_q[layer_idx], cache.k_s[layer_idx],
+                    cache.k_m[layer_idx], cache.v_q[layer_idx],
+                    cache.v_s[layer_idx], cache.v_m[layer_idx], offsets)
+            else:
+                fa = flash_attention_q4 if isinstance(cache, QuantKV4) \
+                    else flash_attention_q8
+                ctx = fa(
+                    q, cache.k_q[layer_idx], cache.k_s[layer_idx],
+                    cache.v_q[layer_idx], cache.v_s[layer_idx], offsets)
             ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
             return _out_proj(layer, ctx), cache
         k_cache = cache.k_full(layer_idx)

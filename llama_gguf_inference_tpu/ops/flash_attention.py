@@ -51,7 +51,8 @@ _NEG_INF = -1e30
 
 def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
                 *, T: int, blk_s: int, n_blocks: int, HF: int, R: int,
-                last_needed, k_scale=None, v_scale=None):
+                last_needed, k_scale=None, v_scale=None,
+                k_min=None, v_min=None):
     """One S-block flash update over the HF kv heads folded into this step.
 
     qv: (HF, R, D) f32 pre-scaled; k_of/v_of: head -> (blk_s, D) f32.
@@ -63,6 +64,12 @@ def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
     score column and ``p.(vs*v) == (p*vs).v`` per probability column — so
     the (blk_s, D) code planes never see a per-element multiply and the
     scales ride the lane axis instead of a 1-lane (blk_s, 1) block.
+
+    k_min/v_min (q4_1 asymmetric variant): head -> (1, blk_s) f32
+    per-token minimums, folded in the same way — ``q.(c*s+m) ==
+    (q.c)*s + (q.1)*m`` adds a rank-1 ``qsum x m`` term to the scores,
+    and ``p.(c*s+m) == (p*s).c + (p.m)*1`` adds the scalar ``p.m`` per
+    query row, broadcast over head_dim, to the accumulator.
     """
     @pl.when(s == 0)
     def _():
@@ -84,6 +91,9 @@ def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
                 preferred_element_type=jnp.float32)      # (R, blk_s)
             if k_scale is not None:
                 scores = scores * k_scale(h)             # row broadcast
+            if k_min is not None:                        # q4_1 affine term
+                qsum = jnp.sum(qv[h], axis=1, keepdims=True)     # (R, 1)
+                scores = scores + qsum * k_min(h)        # rank-1 outer add
             scores = jnp.where(mask, scores, _NEG_INF)
             r0, r1 = h * R, (h + 1) * R
             m_prev = m_ref[r0:r1]
@@ -92,9 +102,13 @@ def _flash_step(s, offset, qv, k_of, v_of, m_ref, l_ref, acc_ref, o_ref,
             p = jnp.exp(scores - m_new)
             l_ref[r0:r1] = l_ref[r0:r1] * alpha + p.sum(axis=1, keepdims=True)
             pv = p * v_scale(h) if v_scale is not None else p
-            acc_ref[r0:r1] = acc_ref[r0:r1] * alpha + jax.lax.dot_general(
+            new_acc = jax.lax.dot_general(
                 pv, v_blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if v_min is not None:                        # q4_1 affine term
+                new_acc = new_acc + jnp.sum(p * v_min(h), axis=1,
+                                            keepdims=True)
+            acc_ref[r0:r1] = acc_ref[r0:r1] * alpha + new_acc
             m_ref[r0:r1] = m_new
 
     @pl.when(s == n_blocks - 1)
@@ -171,14 +185,18 @@ def _flash_jit(q, k_cache, v_cache, offsets, *, cfg):
             .transpose(0, 2, 1, 3))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "bits"))
-def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg, bits=8):
+@functools.partial(jax.jit, static_argnames=("cfg", "bits", "asym"))
+def _flash_q8_jit(q, kq, ks, vq, vs, offsets, km=None, vm=None, *, cfg,
+                  bits=8, asym=False):
     """Quantized-KV variant: ks/vs (B, KVH, S) f32 per-(token, head)
     scales, codes dequantized per S-block in VMEM.  bits=8: kq/vq
     (B, KVH, S, D) int8.  bits=4: kq/vq (B, KVH, S, D//2) uint8, two
     biased codes per byte in planar order (lo nibbles = elements
     [0, D/2), hi = [D/2, D) — the concat unpack restores element order,
-    same scheme as ops.pallas_matmul's 4-bit weights)."""
+    same scheme as ops.pallas_matmul's 4-bit weights).  asym (q4_1):
+    codes stay unsigned [0, 15] and km/vm (B, KVH, S) f32 per-(token,
+    head) minimums ride two extra scale-style row blocks; the kernel
+    folds them in after the dots (see _flash_step)."""
     B, T, H, D, S, KVH, HF, blk_s = cfg
     DC = D if bits == 8 else D // 2          # stored code columns
     group = H // KVH
@@ -202,17 +220,24 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg, bits=8):
     def sc_index(b, hg, s, off):
         return (b, hg, 0, jnp.minimum(s, _needed(off, b, T, blk_s, NS)))
 
+    kv_spec = pl.BlockSpec((1, HF, blk_s, DC), kv_index,
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, HF, 1, blk_s), sc_index,
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, HF, R, D), lambda b, hg, s, off: (b, hg, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec, sc_spec, kv_spec, sc_spec,
+    ]
+    inputs = [qr, kq, ksr, vq, vsr]
+    if asym:
+        in_specs += [sc_spec, sc_spec]
+        inputs += [km[:, :, None, :], vm[:, :, None, :]]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NH, NS),           # s innermost: scratch carries over s
-        in_specs=[
-            pl.BlockSpec((1, HF, R, D), lambda b, hg, s, off: (b, hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, blk_s, DC), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, 1, blk_s), sc_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, blk_s, DC), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HF, 1, blk_s), sc_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, HF, R, D),
                                lambda b, hg, s, off: (b, hg, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -223,19 +248,27 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg, bits=8):
         ],
     )
 
-    def kernel(off_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
-               m_sc, l_sc, acc_sc):
+    def kernel(off_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, *rest):
+        if asym:
+            km_ref, vm_ref, o_ref, m_sc, l_sc, acc_sc = rest
+        else:
+            o_ref, m_sc, l_sc, acc_sc = rest
+            km_ref = vm_ref = None
         b = pl.program_id(0)
         s = pl.program_id(2)
         qv = q_ref[0].astype(jnp.float32) * scale
 
         # 8-bit -> f32 via int32 (Mosaic has no direct 8-bit -> float
         # cast); the per-token scales fold into scores/probs AFTER the
-        # dots.  4-bit codes unpack by shift/mask + concat (planar order).
+        # dots.  4-bit codes unpack by shift/mask + concat (planar
+        # order); asym (q4_1) keeps the unsigned [0, 15] grid and folds
+        # the minimums in via _flash_step's affine hooks.
         def unpack(ref, h):
             c = ref[0, h].astype(jnp.int32)
             if bits == 4:
-                c = jnp.concatenate([c & 0x0F, c >> 4], axis=1) - 8
+                c = jnp.concatenate([c & 0x0F, c >> 4], axis=1)
+                if not asym:
+                    c = c - 8
             return c.astype(jnp.float32)
 
         def k_of(h):
@@ -249,14 +282,16 @@ def _flash_q8_jit(q, kq, ks, vq, vs, offsets, *, cfg, bits=8):
                     T=T, blk_s=blk_s, n_blocks=NS, HF=HF, R=R,
                     last_needed=_needed(off_ref, b, T, blk_s, NS),
                     k_scale=lambda h: ks_ref[0, h],
-                    v_scale=lambda h: vs_ref[0, h])
+                    v_scale=lambda h: vs_ref[0, h],
+                    k_min=(lambda h: km_ref[0, h]) if asym else None,
+                    v_min=(lambda h: vm_ref[0, h]) if asym else None)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), q.dtype),
         interpret=jax.devices()[0].platform != "tpu",
-    )(offsets.astype(jnp.int32), qr, kq, ksr, vq, vsr)
+    )(offsets.astype(jnp.int32), *inputs)
 
     return (out.reshape(B, KVH, group, T, D)
             .reshape(B, H, T, D)
@@ -559,6 +594,41 @@ def flash_attention_q4(q: jax.Array, kq: jax.Array, ks: jax.Array,
             out_specs=P(dp, None, tp, None), check_rep=False)
         return fn(q, kq, ks, vq, vs, offsets)
     return _flash_q4_local(q, kq, ks, vq, vs, offsets, blk_s=blk_s)
+
+
+def _flash_q41_local(q, kq, ks, km, vq, vs, vm, offsets, *, blk_s):
+    B, T, H, D = q.shape
+    KVH, S = kq.shape[1], kq.shape[2]
+    qb, R = q.dtype.itemsize, (H // KVH) * T
+    HF = _pick_fold(KVH, R, D, qb)
+    blk_s = _pick_blk_s(blk_s, S, HF, R, D, 1, qb)
+    cfg = (B, T, H, D, S, KVH, HF, blk_s)
+    return _flash_q8_jit(q, kq, ks, vq, vs, offsets, km, vm, cfg=cfg,
+                         bits=4, asym=True)
+
+
+def flash_attention_q41(q: jax.Array, kq: jax.Array, ks: jax.Array,
+                        km: jax.Array, vq: jax.Array, vs: jax.Array,
+                        vm: jax.Array, offsets: jax.Array,
+                        blk_s: int = 1024) -> jax.Array:
+    """Flash attention over the asymmetric q4_1 KV cache (runtime.kv_cache
+    QuantKV41): kq/vq (B, KVH, S, D//2) uint8 planar nibble pairs of
+    UNSIGNED codes, ks/vs and km/vm (B, KVH, S) f32 per-(token, head)
+    scales and minimums.  Mesh handling matches flash_attention."""
+    ax = _mesh_axes(q.shape[0], kq.shape[1])
+    if ax is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        mesh, dp, tp = ax
+        fn = shard_map(
+            functools.partial(_flash_q41_local, blk_s=blk_s), mesh=mesh,
+            in_specs=(P(dp, None, tp, None), P(dp, tp, None, None),
+                      P(dp, tp, None), P(dp, tp, None),
+                      P(dp, tp, None, None), P(dp, tp, None),
+                      P(dp, tp, None), P(dp)),
+            out_specs=P(dp, None, tp, None), check_rep=False)
+        return fn(q, kq, ks, km, vq, vs, vm, offsets)
+    return _flash_q41_local(q, kq, ks, km, vq, vs, vm, offsets, blk_s=blk_s)
 
 
 def flash_attention_q8(q: jax.Array, kq: jax.Array, ks: jax.Array,

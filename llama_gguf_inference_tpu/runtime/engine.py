@@ -57,7 +57,7 @@ class EngineConfig:
     max_slots: int = 4
     ctx: int = 2048                    # per-slot KV capacity (reference CTX env)
     prefill_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
-    kv_dtype: Any = jnp.bfloat16       # jnp dtype, or "q8_0"/"q4_0" quantized KV
+    kv_dtype: Any = jnp.bfloat16       # jnp dtype, or "q8_0"/"q4_0"/"q4_1" quant KV
     mode: str = "quant"                # weight residency: "quant" | "dense"
     multi_step: int = 1                # decode steps fused per dispatch (1 = off)
     tp: int = 1                        # tensor-parallel mesh axis
@@ -184,7 +184,7 @@ class InferenceEngine:
         if self.ecfg.kv_layout not in ("contig", "paged"):
             raise ValueError(f"unknown kv_layout {self.ecfg.kv_layout!r} "
                              "(expected 'contig' or 'paged')")
-        quantized_kv = self.ecfg.kv_dtype in ("q8_0", "q4_0")
+        quantized_kv = self.ecfg.kv_dtype in ("q8_0", "q4_0", "q4_1")
         if self.ecfg.kv_layout == "paged":
             if quantized_kv:
                 raise ValueError("kv_layout='paged' supports bf16 KV only "
@@ -257,6 +257,9 @@ class InferenceEngine:
         elif self.ecfg.kv_dtype == "q4_0":
             from .kv_cache import QuantKV4
             self.cache = QuantKV4.zeros(cfg, B, S)
+        elif self.ecfg.kv_dtype == "q4_1":
+            from .kv_cache import QuantKV41
+            self.cache = QuantKV41.zeros(cfg, B, S)
         else:
             self.cache = KVCache.zeros(cfg, B, S, dtype=self.ecfg.kv_dtype)
         if self.mesh is not None:

@@ -180,3 +180,86 @@ class QuantKV4(NamedTuple):
     @property
     def max_seq(self) -> int:
         return self.k_q[0].shape[2]
+
+
+class QuantKV41(NamedTuple):
+    """q4_1 KV per layer (llama.cpp ``--cache-type-k q4_1`` equivalent):
+    ASYMMETRIC 4-bit — packed unsigned codes (B, H, S, D//2) uint8 (planar
+    nibble order like QuantKV4) plus TWO f32 vectors per (token, head):
+    ``s`` = (max-min)/15 and ``m`` = min, so dequant is ``c*s + m``.  Same
+    HBM traffic as q4_0 (+4 bytes/token-head) but the affine grid spends
+    all 16 codes inside the value range instead of wasting the sign code
+    on one-sided vectors — roughly a bit of extra effective precision,
+    matching ggml's q4_0 -> q4_1 relationship.  The flash kernel folds the
+    mins in after the dots: ``q.(c*s+m) == (q.c)*s + (q.1)*m`` per score
+    column and ``p.(c*s+m) == (p*s).c + (p.m)*1`` per output row, so the
+    code planes still never see a per-element multiply."""
+
+    k_q: tuple
+    k_s: tuple
+    k_m: tuple
+    v_q: tuple
+    v_s: tuple
+    v_m: tuple
+
+    @staticmethod
+    def zeros(cfg: ModelConfig, batch: int, max_seq: int) -> "QuantKV41":
+        L, H, D = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+        qshape = (batch, H, max_seq, D // 2)
+        sshape = (batch, H, max_seq)
+        z = lambda: tuple(jnp.zeros(qshape, jnp.uint8) for _ in range(L))
+        zs = lambda: tuple(jnp.zeros(sshape, jnp.float32) for _ in range(L))
+        return QuantKV41(k_q=z(), k_s=zs(), k_m=zs(),
+                         v_q=z(), v_s=zs(), v_m=zs())
+
+    # -- codec ---------------------------------------------------------------
+    @staticmethod
+    def quantize(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """x (..., D) -> (packed codes (..., D//2) uint8, scale, min)."""
+        xf = x.astype(jnp.float32)
+        D = xf.shape[-1]
+        mn = jnp.min(xf, axis=-1)
+        mx = jnp.max(xf, axis=-1)
+        s = (mx - mn) / 15.0
+        inv = jnp.where(s > 0, 1.0 / jnp.where(s == 0, 1.0, s), 0.0)
+        c = jnp.clip(jnp.round((xf - mn[..., None]) * inv[..., None]),
+                     0, 15).astype(jnp.uint8)
+        lo, hi = c[..., : D // 2], c[..., D // 2:]
+        return lo | (hi << 4), s, mn
+
+    @staticmethod
+    def dequantize(q: jax.Array, s: jax.Array, m: jax.Array,
+                   dtype=jnp.bfloat16) -> jax.Array:
+        c = q.astype(jnp.int32)
+        full = jnp.concatenate([c & 0x0F, c >> 4], axis=-1)
+        return (full.astype(jnp.float32) * s[..., None]
+                + m[..., None]).astype(dtype)
+
+    # -- model-facing API ----------------------------------------------------
+    def write(self, layer: int, k: jax.Array, v: jax.Array,
+              offsets: jax.Array) -> "QuantKV41":
+        def ts(t, v_):
+            return t[:layer] + (v_,) + t[layer + 1:]
+
+        kq, ks, km = self.quantize(k.transpose(0, 2, 1, 3))
+        vq, vs, vm = self.quantize(v.transpose(0, 2, 1, 3))
+        return QuantKV41(
+            k_q=ts(self.k_q, _write_at_offsets(self.k_q[layer], kq, offsets)),
+            k_s=ts(self.k_s, _write_at_offsets(self.k_s[layer], ks, offsets)),
+            k_m=ts(self.k_m, _write_at_offsets(self.k_m[layer], km, offsets)),
+            v_q=ts(self.v_q, _write_at_offsets(self.v_q[layer], vq, offsets)),
+            v_s=ts(self.v_s, _write_at_offsets(self.v_s[layer], vs, offsets)),
+            v_m=ts(self.v_m, _write_at_offsets(self.v_m[layer], vm, offsets)),
+        )
+
+    def k_full(self, layer: int, dtype=jnp.bfloat16) -> jax.Array:
+        return self.dequantize(self.k_q[layer], self.k_s[layer],
+                               self.k_m[layer], dtype)
+
+    def v_full(self, layer: int, dtype=jnp.bfloat16) -> jax.Array:
+        return self.dequantize(self.v_q[layer], self.v_s[layer],
+                               self.v_m[layer], dtype)
+
+    @property
+    def max_seq(self) -> int:
+        return self.k_q[0].shape[2]

@@ -700,13 +700,20 @@ def main() -> None:
         from ..runtime.engine import EngineConfig, InferenceEngine
         distributed = multihost.initialize_from_env()
         kv = os.environ.get("KV_CACHE_TYPE", "bf16").lower()
+        if kv in ("q5_0", "q5_1"):
+            # llama-server accepts 5-bit cache types; TPUs have no
+            # efficient sub-byte layout between 4 and 8 bits, so honor the
+            # config at the next precision up rather than failing the boot
+            print(f"[backend] KV_CACHE_TYPE={kv} has no TPU layout; "
+                  "using q8_0 (use q4_1 for a smaller cache)", flush=True)
+            kv = "q8_0"
         max_slots = int(os.environ.get("MAX_SLOTS", 4))
         ctx_slot = ctx_per_slot(int(os.environ.get("CTX", 16384)), max_slots,
                                 int(os.environ.get("CTX_PER_SLOT", 0)))
         ecfg = EngineConfig(
             max_slots=max_slots,
             ctx=ctx_slot,
-            kv_dtype=kv if kv in ("q8_0", "q4_0") else jnp.bfloat16,
+            kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
             multi_step=int(os.environ.get("MULTI_STEP", 1)),
             tp=int(os.environ.get("TP", 1)),
             dp=int(os.environ.get("DP", 1)),
