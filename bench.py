@@ -179,7 +179,12 @@ def main() -> None:
 
     t0 = time.time()
     eng = InferenceEngine(path, EngineConfig(
-        max_slots=n_slots, ctx=1024, prefill_buckets=(128, 512), mode="quant",
+        # ONE prefill bucket: each bucket is its own multi-minute Mosaic
+        # compile on the axon relay and the persistent cache does not
+        # absorb them across runs; the 512 bucket covers both the timed
+        # prompt and the TTFT prompts (decode cost is S-bound, not
+        # prompt-length-bound, so nothing in the metrics changes)
+        max_slots=n_slots, ctx=1024, prefill_buckets=(512,), mode="quant",
         multi_step=int(os.environ.get("BENCH_MULTI_STEP", 32))))
     eng.start()
     load_s = time.time() - t0
@@ -194,7 +199,7 @@ def main() -> None:
     stream_bytes = weight_bytes - embd_bytes
     log(f"[bench] resident weight bytes: {weight_bytes / 1e9:.3f} GB")
 
-    prompt = list(range(3, 3 + 100))
+    prompt = list(range(3, 3 + 500))
     p = SamplingParams(temperature=0.0, max_tokens=N_STEPS + 1)
 
     # warmup: compiles prefill + multi-step decode graphs.  Long enough
@@ -205,11 +210,14 @@ def main() -> None:
     for _ in eng.generate(prompt, SamplingParams(temperature=0.0,
                                                  max_tokens=3 * ms + 2)):
         pass
+    t1 = time.time()
+    log(f"[bench] warmup decode graphs: {t1 - t0:.1f}s")
     # …and the 512-token prefill bucket, so TTFT samples are all warm
     for _ in eng.generate(list(range(3, 3 + 500)),
                           SamplingParams(temperature=0.0, max_tokens=2)):
         pass
-    log(f"[bench] warmup (compiles): {time.time() - t0:.1f}s")
+    log(f"[bench] warmup 512-prefill: {time.time() - t1:.1f}s "
+        f"(total {time.time() - t0:.1f}s)")
 
     # TTFT: 512-token prompts, submit -> first streamed event (warm graphs),
     # nearest-rank p50/p95 over >=20 samples (reference benchmark.py:43-79
@@ -267,6 +275,14 @@ def main() -> None:
         tok_s = (hi - lo) / decode_s if decode_s > 0 else 0.0
     step_ms = eng._last_decode_s * 1000
     eng.stop()
+
+    if n_tok < N_STEPS // 2 or tok_s <= 0.0:
+        # generation died mid-run (e.g. a leaked-HBM ResourceExhausted on
+        # the relay): exit non-zero so the driver records a FAILURE with
+        # this tail instead of a parseable-but-bogus 0.0 result line
+        log(f"[bench] FAILED: only {n_tok} tokens streamed "
+            f"(wanted {N_STEPS}); not emitting a result line")
+        sys.exit(1)
 
     roofline = V5E_HBM_GBS * 1e9 / weight_bytes if dev.platform == "tpu" else None
     result = {
