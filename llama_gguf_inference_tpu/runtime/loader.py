@@ -366,3 +366,43 @@ def _load_experts(reader: GGUFReader, prefix: str, cfg: ModelConfig,
             for n in ("ffn_gate", "ffn_up", "ffn_down")
         })
     return experts
+
+
+def load_encoder(path: str | Path, mode: str = "quant"):
+    """BERT-family encoder GGUF -> (EncoderConfig, params, reader).
+
+    Tensor names follow llama.cpp's ``convert_hf_to_gguf.py::BertModel``:
+    token_embd / token_types / position_embd + token_embd_norm, and per
+    block attn_q/k/v(+bias), attn_output(+bias), attn_output_norm,
+    ffn_up/ffn_down(+bias), layer_output_norm.  Projections load through
+    the same dense/quant-resident ``LinearWeight`` machinery as the causal
+    models; norms, biases, and the three embedding tables stay float.
+    """
+    from ..models.encoder import EncoderConfig
+
+    reader = GGUFReader(path)
+    cfg = EncoderConfig.from_gguf_metadata(reader.metadata)
+    t = reader.tensors
+
+    params: dict = {
+        "tok_embd": _load_array(reader, "token_embd.weight", jnp.bfloat16),
+        "type_embd": _load_array(reader, "token_types.weight", jnp.bfloat16),
+        "pos_embd": _load_array(reader, "position_embd.weight", jnp.bfloat16),
+        "embd_norm": _load_array(reader, "token_embd_norm.weight"),
+        "embd_norm_bias": _load_array(reader, "token_embd_norm.bias"),
+    }
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        layer: dict = {}
+        for n in ("attn_q", "attn_k", "attn_v", "attn_output",
+                  "ffn_up", "ffn_down"):
+            layer[n] = _load_linear(reader, p + n + ".weight", mode)
+            if p + n + ".bias" in t:
+                layer[n + "_bias"] = _load_array(reader, p + n + ".bias")
+        for n in ("attn_output_norm", "layer_output_norm"):
+            layer[n] = _load_array(reader, p + n + ".weight")
+            layer[n + "_bias"] = _load_array(reader, p + n + ".bias")
+        layers.append(layer)
+    params["layers"] = layers
+    return cfg, params, reader

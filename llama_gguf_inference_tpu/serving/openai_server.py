@@ -682,64 +682,99 @@ class OpenAIServer:
         return self.cfg.port
 
 
+# GGUF architectures served by the encoder (embedding-only) engine —
+# llama-server's --embedding mode (reference start.sh:490-494 EXTRA_ARGS)
+ENCODER_ARCHES = ("bert",)
+
+
+def _gguf_arch(model_path: str) -> str:
+    from ..gguf.reader import GGUFReader
+    reader = GGUFReader(model_path)
+    try:
+        return str(reader.metadata.get("general.architecture", "llama"))
+    finally:
+        reader.close()
+
+
+def build_engine_from_env():
+    """Engine selection from the environment: mock (no model), encoder
+    (bert-family embedding GGUF), or the decoder InferenceEngine.
+    Multi-host wrapping stays in main() (followers never serve)."""
+    model_path = os.environ.get("MODEL_PATH", "")
+    mock = os.environ.get("MOCK_BACKEND", "").lower() in ("1", "true", "yes")
+    if mock or not model_path:
+        from ..runtime.mock import MockEngine
+        return MockEngine(
+            model_name=os.environ.get("MODEL_NAME", "mock-model"),
+            # per-token delay: lets black-box queue tests hold a slot open
+            delay_s=float(os.environ.get("MOCK_DELAY_S", "0") or 0))
+    if _gguf_arch(model_path) in ENCODER_ARCHES:
+        from ..runtime.encoder_engine import EncoderEngine
+        print(f"[backend] encoder architecture: embedding-only mode "
+              f"(llama-server --embedding equivalent)", flush=True)
+        return EncoderEngine(model_path,
+                             mode=os.environ.get("ENGINE_MODE", "quant"))
+    return _build_decoder_engine(model_path)
+
+
+def _build_decoder_engine(model_path: str):
+    import jax.numpy as jnp
+
+    from ..runtime.engine import EngineConfig, InferenceEngine
+    kv = os.environ.get("KV_CACHE_TYPE", "bf16").lower()
+    if kv in ("q5_0", "q5_1"):
+        # llama-server accepts 5-bit cache types; TPUs have no
+        # efficient sub-byte layout between 4 and 8 bits, so honor the
+        # config at the next precision up rather than failing the boot
+        print(f"[backend] KV_CACHE_TYPE={kv} has no TPU layout; "
+              "using q8_0 (use q4_1 for a smaller cache)", flush=True)
+        kv = "q8_0"
+    max_slots = int(os.environ.get("MAX_SLOTS", 4))
+    ctx_slot = ctx_per_slot(int(os.environ.get("CTX", 16384)), max_slots,
+                            int(os.environ.get("CTX_PER_SLOT", 0)))
+    ecfg = EngineConfig(
+        max_slots=max_slots,
+        ctx=ctx_slot,
+        kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
+        multi_step=int(os.environ.get("MULTI_STEP", 1)),
+        tp=int(os.environ.get("TP", 1)),
+        dp=int(os.environ.get("DP", 1)),
+        # KV_LAYOUT=paged: slots share one page pool (llama.cpp
+        # unified-KV semantics) — a single request may use the whole
+        # CTX budget when other slots are idle
+        kv_layout=os.environ.get("KV_LAYOUT", "contig").lower(),
+        kv_page_size=int(os.environ.get("KV_PAGE_SIZE", 1024)),
+        prefix_cache=os.environ.get("PREFIX_CACHE", "true").lower()
+        not in ("0", "false", "no"),
+        # speculative decoding (llama-server --model-draft equivalent;
+        # SPEC_NGRAM enables the draft-free lookup variant)
+        draft_model=os.environ.get("DRAFT_MODEL", ""),
+        spec_tokens=int(os.environ.get("SPEC_TOKENS", 5)),
+        spec_ngram=os.environ.get("SPEC_NGRAM", "").lower()
+        in ("1", "true", "yes"),
+        spec_min_accept=float(os.environ.get("SPEC_MIN_ACCEPT", 0.2)),
+        # CTX_SHIFT=1: llama-server --ctx-shift (continue generating
+        # past the KV capacity by discarding the oldest window)
+        ctx_shift=os.environ.get("CTX_SHIFT", "").lower()
+        in ("1", "true", "yes"),
+        # GGUF LoRA adapter (llama-server --lora / --lora-scaled)
+        lora_path=os.environ.get("LORA_PATH", ""),
+        lora_scale=float(os.environ.get("LORA_SCALE", 1.0)),
+    )
+    return InferenceEngine(model_path, ecfg)
+
+
 def main() -> None:
     from ..utils.platform import apply_platform_env
     apply_platform_env()
     model_path = os.environ.get("MODEL_PATH", "")
     mock = os.environ.get("MOCK_BACKEND", "").lower() in ("1", "true", "yes")
-    if mock or not model_path:
-        from ..runtime.mock import MockEngine
-        engine = MockEngine(
-            model_name=os.environ.get("MODEL_NAME", "mock-model"),
-            # per-token delay: lets black-box queue tests hold a slot open
-            delay_s=float(os.environ.get("MOCK_DELAY_S", "0") or 0))
+    if mock or not model_path or _gguf_arch(model_path) in ENCODER_ARCHES:
+        engine = build_engine_from_env()
     else:
-        import jax.numpy as jnp
-
         from ..parallel import multihost
-        from ..runtime.engine import EngineConfig, InferenceEngine
         distributed = multihost.initialize_from_env()
-        kv = os.environ.get("KV_CACHE_TYPE", "bf16").lower()
-        if kv in ("q5_0", "q5_1"):
-            # llama-server accepts 5-bit cache types; TPUs have no
-            # efficient sub-byte layout between 4 and 8 bits, so honor the
-            # config at the next precision up rather than failing the boot
-            print(f"[backend] KV_CACHE_TYPE={kv} has no TPU layout; "
-                  "using q8_0 (use q4_1 for a smaller cache)", flush=True)
-            kv = "q8_0"
-        max_slots = int(os.environ.get("MAX_SLOTS", 4))
-        ctx_slot = ctx_per_slot(int(os.environ.get("CTX", 16384)), max_slots,
-                                int(os.environ.get("CTX_PER_SLOT", 0)))
-        ecfg = EngineConfig(
-            max_slots=max_slots,
-            ctx=ctx_slot,
-            kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
-            multi_step=int(os.environ.get("MULTI_STEP", 1)),
-            tp=int(os.environ.get("TP", 1)),
-            dp=int(os.environ.get("DP", 1)),
-            # KV_LAYOUT=paged: slots share one page pool (llama.cpp
-            # unified-KV semantics) — a single request may use the whole
-            # CTX budget when other slots are idle
-            kv_layout=os.environ.get("KV_LAYOUT", "contig").lower(),
-            kv_page_size=int(os.environ.get("KV_PAGE_SIZE", 1024)),
-            prefix_cache=os.environ.get("PREFIX_CACHE", "true").lower()
-            not in ("0", "false", "no"),
-            # speculative decoding (llama-server --model-draft equivalent;
-            # SPEC_NGRAM enables the draft-free lookup variant)
-            draft_model=os.environ.get("DRAFT_MODEL", ""),
-            spec_tokens=int(os.environ.get("SPEC_TOKENS", 5)),
-            spec_ngram=os.environ.get("SPEC_NGRAM", "").lower()
-            in ("1", "true", "yes"),
-            spec_min_accept=float(os.environ.get("SPEC_MIN_ACCEPT", 0.2)),
-            # CTX_SHIFT=1: llama-server --ctx-shift (continue generating
-            # past the KV capacity by discarding the oldest window)
-            ctx_shift=os.environ.get("CTX_SHIFT", "").lower()
-            in ("1", "true", "yes"),
-            # GGUF LoRA adapter (llama-server --lora / --lora-scaled)
-            lora_path=os.environ.get("LORA_PATH", ""),
-            lora_scale=float(os.environ.get("LORA_SCALE", 1.0)),
-        )
-        engine = InferenceEngine(model_path, ecfg)
+        engine = _build_decoder_engine(model_path)
         if distributed:
             engine = multihost.MultiHostEngine(engine)
             if not multihost.serving_host():
@@ -754,7 +789,7 @@ def main() -> None:
     # compile all serving graphs in the background (ENGINE_WARMUP=0 to
     # skip): first real requests then never pay a Mosaic compile
     if not mock and os.environ.get("ENGINE_WARMUP", "1").lower() \
-            not in ("0", "false", "no"):
+            not in ("0", "false", "no") and hasattr(engine, "warmup_async"):
         engine.warmup_async()
     srv = OpenAIServer(engine)
     print(f"[backend] {engine.model_name} on {srv.cfg.host}:{srv.cfg.port} "

@@ -115,10 +115,91 @@ _ARCH_MAP = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
 _MOE_TYPES = ("mixtral", "qwen2_moe", "qwen3_moe")
 
 
+def _convert_bert(hf_dir: str, dst: str, cfg: dict, dtype: str,
+                  verbose: bool) -> None:
+    """BERT-family encoder export (llama.cpp convert_hf_to_gguf BertModel):
+    embedding tables + per-block biased projections and LayerNorms, plus a
+    WordPiece tokenizer from vocab.txt."""
+    sd = load_state_dict(hf_dir)
+
+    def get(name):
+        for cand in (name, "bert." + name):
+            if cand in sd:
+                return sd[cand].astype(np.float32)
+        raise SystemExit(f"missing tensor {name}")
+
+    dim = cfg["hidden_size"]
+    n_layers = cfg["num_hidden_layers"]
+    w = GGUFWriter(dst)
+    w.add(Keys.ARCHITECTURE, "bert")
+    w.add(Keys.NAME, os.path.basename(os.path.normpath(hf_dir)))
+    w.add("bert.context_length", int(cfg.get("max_position_embeddings", 512)))
+    w.add("bert.embedding_length", dim)
+    w.add("bert.block_count", n_layers)
+    w.add("bert.feed_forward_length", int(cfg["intermediate_size"]))
+    w.add("bert.attention.head_count", int(cfg["num_attention_heads"]))
+    w.add("bert.attention.layer_norm_epsilon",
+          float(cfg.get("layer_norm_eps", 1e-12)))
+    w.add("bert.vocab_size", int(cfg["vocab_size"]))
+    w.add("bert.attention.causal", False)
+    w.add("bert.pooling_type", 1)   # mean (llama.cpp LLAMA_POOLING_TYPE_MEAN)
+
+    vocab_path = os.path.join(hf_dir, "vocab.txt")
+    if not os.path.exists(vocab_path):
+        raise SystemExit(f"bert conversion needs {vocab_path} (WordPiece)")
+    tokens = [line.rstrip("\n") for line in
+              open(vocab_path, encoding="utf-8")]
+    types = [3 if t.startswith("[") and t.endswith("]") else 1
+             for t in tokens]
+    idx = {t: i for i, t in enumerate(tokens)}
+    w.add(Keys.TOKENIZER_MODEL, "bert")
+    w.add(Keys.TOKENIZER_TOKENS, tokens)
+    w.add(Keys.TOKENIZER_TOKEN_TYPE, np.asarray(types, np.int32))
+    w.add("tokenizer.ggml.cls_token_id", idx.get("[CLS]", 0))
+    w.add("tokenizer.ggml.seperator_token_id", idx.get("[SEP]", 0))
+    w.add(Keys.TOKENIZER_UNK, idx.get("[UNK]", 0))
+    w.add(Keys.TOKENIZER_PAD, idx.get("[PAD]", 0))
+    w.add(Keys.TOKENIZER_ADD_BOS, True)
+    w.add(Keys.TOKENIZER_ADD_EOS, True)
+
+    def put(name, data):
+        t = GGMLType.F32 if (name.endswith(".bias") or "norm" in name
+                             or data.ndim == 1) else _dtype_for(name, dtype)
+        w.add_tensor(name, data, t)
+        if verbose:
+            print(f"  {name} {tuple(data.shape)} -> {t.name}",
+                  file=sys.stderr)
+
+    put("token_embd.weight", get("embeddings.word_embeddings.weight"))
+    put("position_embd.weight", get("embeddings.position_embeddings.weight"))
+    put("token_types.weight", get("embeddings.token_type_embeddings.weight"))
+    put("token_embd_norm.weight", get("embeddings.LayerNorm.weight"))
+    put("token_embd_norm.bias", get("embeddings.LayerNorm.bias"))
+    for i in range(n_layers):
+        p, g = f"encoder.layer.{i}.", f"blk.{i}."
+        for gg, hf in (("attn_q", "attention.self.query"),
+                       ("attn_k", "attention.self.key"),
+                       ("attn_v", "attention.self.value"),
+                       ("attn_output", "attention.output.dense"),
+                       ("ffn_up", "intermediate.dense"),
+                       ("ffn_down", "output.dense")):
+            put(g + gg + ".weight", get(p + hf + ".weight"))
+            put(g + gg + ".bias", get(p + hf + ".bias"))
+        put(g + "attn_output_norm.weight",
+            get(p + "attention.output.LayerNorm.weight"))
+        put(g + "attn_output_norm.bias",
+            get(p + "attention.output.LayerNorm.bias"))
+        put(g + "layer_output_norm.weight", get(p + "output.LayerNorm.weight"))
+        put(g + "layer_output_norm.bias", get(p + "output.LayerNorm.bias"))
+    w.write()
+
+
 def convert(hf_dir: str, dst: str, dtype: str = "f16",
             verbose: bool = True) -> None:
     cfg = json.load(open(os.path.join(hf_dir, "config.json")))
     model_type = cfg.get("model_type", "llama")
+    if model_type == "bert":
+        return _convert_bert(hf_dir, dst, cfg, dtype, verbose)
     arch = _ARCH_MAP.get(model_type)
     if arch is None:
         raise SystemExit(f"unsupported model_type {model_type!r}")
