@@ -116,6 +116,13 @@ def main() -> None:
         r.update(mode=mode, wall_s=round(time.time() - t0, 1))
         results[mode] = r
         print(json.dumps(r), flush=True)
+        # the relay frees a stopped engine's HBM with a lag; without this
+        # the next mode's model load ResourceExhausts (8b plain + 8b high
+        # would briefly double-book ~14 GB of a 16 GB chip)
+        import gc
+        gc.collect()
+        if len(modes) > 1:
+            time.sleep(float(os.environ.get("SPEC_BENCH_MODE_PAUSE", 60)))
 
     if "plain" in results:
         base = results["plain"]["tok_s"]
