@@ -33,6 +33,10 @@ SHAPES = {
     # Llama-3.2-1B-ish (round-1 shape, kept for A/B continuity)
     "1b": dict(dim=2048, n_layers=16, n_heads=16, n_kv_heads=8,
                ffn_dim=8192, vocab=32000, rope_base=10000.0),
+    # Llama-3.2-1B true shape — shares the 8b vocab, so it can draft for
+    # the 8b target (spec_bench --draft-shape 1b3)
+    "1b3": dict(dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
+                ffn_dim=8192, vocab=128256, rope_base=500000.0),
     # CPU-smoke shape (tools/spec_bench.py flow validation off-TPU)
     "160m": dict(dim=512, n_layers=8, n_heads=8, n_kv_heads=4,
                  ffn_dim=1536, vocab=32000, rope_base=10000.0),

@@ -712,8 +712,7 @@ def build_engine_from_env():
         from ..runtime.encoder_engine import EncoderEngine
         print(f"[backend] encoder architecture: embedding-only mode "
               f"(llama-server --embedding equivalent)", flush=True)
-        return EncoderEngine(model_path,
-                             mode=os.environ.get("ENGINE_MODE", "quant"))
+        return EncoderEngine(model_path)
     return _build_decoder_engine(model_path)
 
 
