@@ -40,6 +40,9 @@ SHAPES = {
     # CPU-smoke shape (tools/spec_bench.py flow validation off-TPU)
     "160m": dict(dim=512, n_layers=8, n_heads=8, n_kv_heads=4,
                  ffn_dim=1536, vocab=32000, rope_base=10000.0),
+    # 160m with the llama-3 vocab: draft for the 8b target (shared vocab)
+    "160m3": dict(dim=512, n_layers=8, n_heads=8, n_kv_heads=4,
+                  ffn_dim=1536, vocab=128256, rope_base=500000.0),
 }
 N_STEPS = 96
 V5E_HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
