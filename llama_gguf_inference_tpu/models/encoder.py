@@ -51,9 +51,17 @@ class EncoderConfig:
 
         dim = int(k("embedding_length"))
         n_heads = int(k("attention.head_count"))
-        # llama.cpp pooling_type: 0 none, 1 mean, 2 cls
-        pooling = {0: "mean", 1: "mean", 2: "cls"}[
-            int(k("pooling_type", 1))]
+        # llama.cpp pooling_type: 0 none, 1 mean, 2 cls.  Type 0 returns
+        # per-token embeddings in llama-server — a different response shape
+        # than the pooled vector this engine serves; reject rather than
+        # silently alias it to mean (which would diverge numerically).
+        ptype = int(k("pooling_type", 1))
+        if ptype == 0:
+            raise ValueError(
+                "pooling_type 0 (none) requests per-token embeddings, "
+                "which this engine does not serve; re-export the GGUF "
+                "with mean (1) or cls (2) pooling")
+        pooling = {1: "mean", 2: "cls"}[ptype]
         vocab = int(k("vocab_size", 0))
         if not vocab:
             vocab = len(md.get("tokenizer.ggml.tokens", ())) or 30522

@@ -76,7 +76,14 @@ class EncoderEngine:
     def embed(self, prompt: str | list[int]) -> tuple[list[float], int]:
         ids = (self.tokenizer.encode(prompt) if isinstance(prompt, str)
                else list(prompt))
-        ids = ids[: self.buckets[-1]]
+        if len(ids) > self.buckets[-1]:
+            # truncate CONTENT and keep the [CLS] ... [SEP] frame —
+            # HF/llama.cpp clip the same way; chopping the trailing [SEP]
+            # off instead drifts the embedding slightly
+            sep = self.tokenizer.special.eos_id
+            ids = ids[: self.buckets[-1]]
+            if sep >= 0:
+                ids[-1] = sep
         T = self._bucket(len(ids))
         tok = np.zeros((1, T), np.int32)
         tok[0, : len(ids)] = ids

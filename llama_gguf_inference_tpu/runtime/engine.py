@@ -76,8 +76,9 @@ class EngineConfig:
     # speculative decoding (llama-server --model-draft; runtime.speculative):
     # a small same-vocab draft GGUF proposes spec_tokens greedy tokens per
     # round, the target verifies them in one K+1-token chunk.  Engaged
-    # per-dispatch when every active slot samples pure greedy; contig KV +
-    # single-device only.
+    # per-dispatch when every active slot samples pure greedy.  Contig KV
+    # only; the draft shards over the engine mesh like the target
+    # (tests/test_speculative.py pins tp/dp token parity).
     draft_model: str = ""
     spec_tokens: int = 5
     # draft-free speculation (llama.cpp "lookup decoding"): propose the

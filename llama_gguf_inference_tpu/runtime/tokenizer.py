@@ -254,9 +254,11 @@ class WordPieceTokenizer(Tokenizer):
     def encode(self, text: str, add_bos: bool | None = None,
                add_eos: bool | None = None) -> list[int]:
         ids: list[int] = []
+        unk = self.special.unk_id
         for word in self._basic_tokens(text):
             if len(word) > self.MAX_WORD_CHARS:
-                ids.append(self.special.unk_id)
+                if unk >= 0:
+                    ids.append(unk)
                 continue
             start, pieces = 0, []
             while start < len(word):
@@ -275,8 +277,12 @@ class WordPieceTokenizer(Tokenizer):
                     break
                 pieces.append(cur)
                 start = end
-            ids.extend(pieces if pieces is not None
-                       else [self.special.unk_id])
+            if pieces is not None:
+                ids.extend(pieces)
+            elif unk >= 0:
+                # guard like _wrap: a bert GGUF missing unknown_token_id
+                # must not emit id -1 (would wrap in the embedding gather)
+                ids.append(unk)
         return self._wrap(ids, add_bos, add_eos)
 
     def decode(self, ids, _strip_prefix: bool = True) -> str:

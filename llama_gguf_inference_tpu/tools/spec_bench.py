@@ -121,7 +121,7 @@ def main() -> None:
         # would briefly double-book ~14 GB of a 16 GB chip)
         import gc
         gc.collect()
-        if len(modes) > 1:
+        if mode != modes[-1]:        # no pause needed after the final mode
             time.sleep(float(os.environ.get("SPEC_BENCH_MODE_PAUSE", 60)))
 
     if "plain" in results:

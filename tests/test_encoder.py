@@ -192,3 +192,44 @@ def test_encoder_serving_stack(bert_dir, tmp_path, monkeypatch):
         await srv.close()
 
     asyncio.run(drive())
+
+
+def test_pooling_type_none_rejected():
+    """pooling_type 0 (per-token embeddings) must be rejected, not silently
+    aliased to mean — llama-server returns a different response shape for
+    it (advisor finding r3)."""
+    from llama_gguf_inference_tpu.models.encoder import EncoderConfig
+
+    md = {"general.architecture": "bert", "bert.embedding_length": 64,
+          "bert.attention.head_count": 4, "bert.block_count": 2,
+          "bert.feed_forward_length": 128, "bert.context_length": 64,
+          "bert.vocab_size": 200, "bert.pooling_type": 0}
+    with pytest.raises(ValueError, match="pooling_type 0"):
+        EncoderConfig.from_gguf_metadata(md)
+    assert EncoderConfig.from_gguf_metadata(
+        {**md, "bert.pooling_type": 2}).pooling == "cls"
+
+
+def test_overlong_input_keeps_sep_frame(bert_dir, tmp_path):
+    """Clipping an overlong input truncates CONTENT and keeps the trailing
+    [SEP], matching HF/llama.cpp truncation (advisor finding r3)."""
+    from llama_gguf_inference_tpu.runtime.encoder_engine import EncoderEngine
+
+    d, _ = bert_dir
+    dst = tmp_path / "bert.gguf"
+    convert(str(d), str(dst), dtype="f32", verbose=False)
+    eng = EncoderEngine(str(dst), buckets=(16,), mode="dense")
+    seen = {}
+    real_fwd = eng._fwd
+
+    def spy(params, cfg, tok, lengths):
+        seen["ids"] = np.asarray(tok)[0][: int(np.asarray(lengths)[0])]
+        return real_fwd(params, cfg, tok, lengths)
+
+    eng._fwd = spy
+    _, n = eng.embed("hello world " * 40)
+    sep = eng.tokenizer.special.eos_id
+    cls = eng.tokenizer.special.bos_id
+    assert n == 16
+    ids = seen["ids"]
+    assert len(ids) == 16 and ids[0] == cls and ids[-1] == sep
