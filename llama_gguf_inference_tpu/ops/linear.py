@@ -25,6 +25,35 @@ import numpy as np
 
 
 
+# Formats whose stored codes are INDICES into a fixed dequant alphabet
+# rather than (biased) element values.  The alphabets are tiny and fixed
+# ABI (quant.iq_grids.GRID_SPECS), so the lookup is pure arithmetic — it
+# runs identically under numpy, XLA, and inside Pallas kernel bodies.
+MAPPED_FMTS = frozenset(
+    ("iq2_xxs", "iq2_xs", "iq2_s", "iq3_xxs", "iq3_s"))
+
+
+def code_values(fmt: str, q):
+    """Unpacked integer codes -> integer element values (identity for most).
+
+    IQ2/IQ3 codes are sign|magnitude: bit 3 = sign, low bits index the
+    magnitude alphabet {8, 25, 43, 59} (iq2: 17c + 8 + (c==2)) or
+    {4, 12, ..., 52, 62} (iq3: 8c + 4 + 2*(c==7)).  Negation is the
+    two's-complement identity -x == (x ^ -1) + 1, vectorized as
+    (m ^ neg) - neg with neg = -sign in {0, -1}.
+    """
+    if fmt in ("iq2_xxs", "iq2_xs", "iq2_s"):
+        c = q & 3
+        m = 17 * c + 8 + ((c >> 1) & (c ^ 1) & 1)
+    elif fmt in ("iq3_xxs", "iq3_s"):
+        c = q & 7
+        m = 8 * c + 4 + ((((c + 1) >> 3) & 1) << 1)
+    else:
+        return q
+    neg = -(q >> 3)
+    return (m ^ neg) - neg
+
+
 def _register(cls):
     fields = [f.name for f in dataclasses.fields(cls) if f.metadata.get("pytree", True)]
     static = [f.name for f in dataclasses.fields(cls) if not f.metadata.get("pytree", True)]
@@ -88,8 +117,12 @@ class QuantLinear:
     q5_k        8     32         same hierarchy, int8 codes
     q6_k        8     16         d f32 / 256; sc i8 / 16, bias 32
     q3_k        4     16         d f32 / 256; sc i8 / 16, bias 4
-    q2_k        4     16         d,dmin f32 / 256; sc,mn u8 / 16
+    q2_k        2     16         d,dmin f32 / 256; sc,mn u8 / 16
     iq4_nl/xs   8     32/256     codebook applied at repack -> int8
+    iq2_*/iq3_* 4     16/32      sign|mag codes (code_values map);
+                                 d f32 / 256, sc u8 odd per sub
+    iq1_s/m     2     32/8       trit codes, bias 1; d,dmin f32 / 256;
+                                 sc u8, mn i8 per sub (delta term)
     ==========  ====  =========  ====================================
     """
 
@@ -145,7 +178,7 @@ class QuantLinear:
                                  (b >> 6) & 3], axis=1)
         else:
             raise NotImplementedError(f"bits={self.bits}")
-        return q - self.code_bias
+        return code_values(self.fmt, q) - self.code_bias
 
     def _scale_full_bm(self, arr_d, arr_sc) -> jax.Array:
         """(out, in) per-element scale in block-minor order via tiles."""

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .linear import QuantLinear
+from .linear import MAPPED_FMTS, QuantLinear, code_values
 
 _LANE = 128
 
@@ -154,7 +154,7 @@ def _make_kernel(meta: tuple, B: int, TO: int, in_features: int):
                                    mn_ref[:] if mn_ref is not None else None,
                                    sub_size, d_size, in_features)
 
-        if bits == 4:
+        if bits == 4 and fmt not in MAPPED_FMTS:
             # bf16 magic-number unpack: for a 4-bit code q, the u16 pattern
             # 0x4300 | q bitcasts to bf16 value (128 + q) exactly.  The 128
             # offset is removed BEFORE scaling (exact bf16 integer subtract);
@@ -172,8 +172,9 @@ def _make_kernel(meta: tuple, B: int, TO: int, in_features: int):
         else:
             # 8-bit codes can't ride the bf16 magic (9-bit int range exceeds
             # bf16's 7 mantissa bits) — and the i32/f32 path already streams
-            # int8 formats at HBM roofline.  2-bit formats also go here.
-            q = _unpack_planar(codes_ref[:], bits)
+            # int8 formats at HBM roofline.  2-bit and value-mapped (IQ
+            # codebook) formats also go here: their maps are i32 arithmetic.
+            q = code_values(fmt, _unpack_planar(codes_ref[:], bits))
             v = (q - bias).astype(jnp.float32)
             # bias handled directly; no fold
             s_full = pltpu.repeat(s_sub, sub_size, axis=1)
@@ -436,8 +437,12 @@ def _make_kernel_fsplit(meta: tuple, B: int, TO: int, in_features: int):
 
         c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/2)
         sh = pltpu.repeat(s_sub, sub_size // 2, axis=1)    # (TO, in/2) f32
-        wlo = ((c32 & 0xF).astype(jnp.float32) * sh).astype(jnp.bfloat16)
-        whi = ((c32 >> 4).astype(jnp.float32) * sh).astype(jnp.bfloat16)
+        # mapped (IQ codebook) formats decode codes -> values here in the
+        # same i32 register domain; identity for plain 4-bit formats
+        wlo = (code_values(fmt, c32 & 0xF).astype(jnp.float32)
+               * sh).astype(jnp.bfloat16)
+        whi = (code_values(fmt, c32 >> 4).astype(jnp.float32)
+               * sh).astype(jnp.bfloat16)
         y = jax.lax.dot_general(
             x_ref[:, :h], wlo,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -448,6 +453,61 @@ def _make_kernel_fsplit(meta: tuple, B: int, TO: int, in_features: int):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        y_min = jax.lax.dot_general(
+            xsum_ref[:], m_sub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = y - y_min
+
+    return kernel
+
+
+def _make_kernel_qsplit(meta: tuple, B: int, TO: int, in_features: int):
+    """bits==2 kernel: planar QUARTER split in the i32/f32 domain.
+
+    The fsplit recipe (two half-width dots, no concat/relayout) extended to
+    2-bit codes: the planar-quarters pack (quant.repack._pack2) stores
+    elements [i*in/4, (i+1)*in/4) in bit-pair i, and block-minor order makes
+    each quarter's scale expansion a clean ``pltpu.repeat(s, sub/4)`` tile
+    (needs sub_size % 4 == 0 — q2_k 16, iq1_s 32, iq1_m 8 all qualify).
+    Four quarter-width MXU dots; min/bias via the exact xsum dot.  This is
+    what lets 2-bit formats stream at ~2 bpw instead of the widened-int8
+    8 bpw of rounds 1-3 (VERDICT r3 #1).
+    """
+    (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
+     sc_signed) = meta
+    qt = in_features // 4
+
+    def kernel(*refs):
+        idx = 0
+        x_ref = refs[idx]; idx += 1
+        xsum_ref = refs[idx]; idx += 1
+        codes_ref = refs[idx]; idx += 1
+        d_ref = refs[idx]; idx += 1
+        sc_ref = dmin_ref = mn_ref = None
+        if has_sc:
+            sc_ref = refs[idx]; idx += 1
+        if has_dmin:
+            dmin_ref = refs[idx]; idx += 1
+        if has_mn:
+            mn_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]
+
+        s_sub, m_sub = _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref)
+
+        c32 = codes_ref[:].astype(jnp.int32)               # (TO, in/4)
+        sq = pltpu.repeat(s_sub, sub_size // 4, axis=1)    # (TO, in/4) f32
+        y = None
+        for i in range(4):
+            plane = code_values(fmt, (c32 >> (2 * i)) & 3)
+            w = (plane.astype(jnp.float32) * sq).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                x_ref[:, i * qt:(i + 1) * qt], w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = part if y is None else y + part
         y_min = jax.lax.dot_general(
             xsum_ref[:], m_sub,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -553,7 +613,8 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, sc, dmin, mn, *, meta, shapes,
         args.append(mn)
 
     maker = {"split": _make_kernel_split,
-             "fsplit": _make_kernel_fsplit}.get(kern, _make_kernel_xsum)
+             "fsplit": _make_kernel_fsplit,
+             "qsplit": _make_kernel_qsplit}.get(kern, _make_kernel_xsum)
     kernel = maker(meta, B, TO, in_features)
     flops = 2 * B * in_features * out_features
     bytes_accessed = (codes.size + d.size * 4
@@ -689,26 +750,33 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array, out_dtype=None) -> jax.Arr
     shapes = (Bp, in_f, out_f, TO)
     interpret = jax.devices()[0].platform != "tpu"
 
-    # variant kernels: 4-bit formats in either scale layout — flat
-    # (sub_size == d_size, sc/mn None) or compact hierarchical (d per
+    # variant kernels: 4-bit formats (fsplit family; value-mapped IQ formats
+    # force fsplit — the bf16-magic and int8-dot unpacks can't apply the
+    # code->value map) and 2-bit formats (qsplit), in either scale layout —
+    # flat (sub_size == d_size, sc/mn None) or compact hierarchical (d per
     # super-block + sc/mn per sub-block, expanded in-kernel)
     var = _variant()
-    if (w.bits == 4 and in_f % w.sub_size == 0
-            and w.d_size % w.sub_size == 0
-            and (in_f // w.sub_size) % 8 == 0
-            and var in ("xsum", "split", "fsplit", "int8")):
-        if var in ("xsum", "split", "fsplit"):
-            xsum = _block_sums(x2, w.sub_size)
-            out = _quant_matmul_2d_xsum(
-                x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.sc, w.dmin,
-                w.mn, meta=meta, shapes=shapes, interpret=interpret,
-                kern=var)
-        else:
+    kern = None
+    if (in_f % w.sub_size == 0 and w.d_size % w.sub_size == 0
+            and (in_f // w.sub_size) % 8 == 0):
+        if w.bits == 4 and var in ("xsum", "split", "fsplit", "int8"):
+            kern = "fsplit" if w.fmt in MAPPED_FMTS else var
+        elif (w.bits == 2 and w.sub_size % 4 == 0 and in_f % 512 == 0
+              and var != "base"):
+            kern = "qsplit"   # quarter planes must stay lane-aligned (in/4)
+    if kern is not None:
+        if kern == "int8":
             xq, xs = _quantize_acts(x2, w.sub_size)
             xsum = _block_sums(x2, w.sub_size)
             out = _quant_matmul_2d_int8(
                 xq, xs, xsum, w.codes, w.d, w.sc, w.dmin, w.mn,
                 meta=meta, shapes=shapes, interpret=interpret)
+        else:
+            xsum = _block_sums(x2, w.sub_size)
+            out = _quant_matmul_2d_xsum(
+                x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.sc, w.dmin,
+                w.mn, meta=meta, shapes=shapes, interpret=interpret,
+                kern=kern)
         if Bp != B:
             out = out[:B]
         return out.reshape(*lead, out_f).astype(out_dtype or x.dtype)

@@ -199,6 +199,144 @@ IQ_PLANES = {
 }
 
 
+# ------------------------------------------------------- native-width packing
+#
+# The int8 element planes above stream at ~8 bpw on device — 3x the nominal
+# width of a 2.5-bpw format (VERDICT r3 #1).  The packed forms below store
+# each element as a small CODE instead:
+#
+# - IQ2/IQ3: 4-bit code = sign bit (bit 3) | magnitude index.  The dequant
+#   alphabets are fixed ABI ({8, 25, 43, 59} and {4, 12, .., 52, 62} — see
+#   GRID_SPECS), so the value map is pure arithmetic (ops.linear.code_values):
+#       iq2: |v| = 17c + 8 + (c == 2)        c in [0, 4)
+#       iq3: |v| = 8c + 4 + 2*(c == 7)       c in [0, 8)
+# - IQ1: 2-bit trit code c in {0, 1, 2}, value c - 1 (plain code_bias=1).
+#
+# Scales keep the wire hierarchy at wire density: per-super-block f32 d' and
+# per-sub-block u8/i8 multipliers chosen so the kernels' single f32 product
+# d' * sc reproduces the reference scale BIT-EXACTLY — every d' differs from
+# the wire d by a power of two only, so fl(d'*(2s+1)) == fl(d*(0.5+s)*2^k):
+#       iq2_*:   s = d*(0.5+s4)*0.25  ==  (d/8)  * (2*s4+1)
+#       iq3_xxs: s = d*(0.5+s4)*0.5   ==  (d/4)  * (2*s4+1)
+#       iq3_s:   s = d*(1+2*s4)       ==   d     * (2*s4+1)
+#       iq1_*:   s = d*(2*s3+1); m = -(s*delta)  ==  (d*delta) * (-sign*(2*s3+1))
+#
+# Each function returns (codes (nb, 256) uint8 logical order, d (nb, nd'),
+# sc (nb, nsub'), dmin | None, mn | None, sub) for quant.repack.rw.
+
+def _codes4_from_values(vals: np.ndarray, fmt: str) -> np.ndarray:
+    """int8 element values -> 4-bit sign|mag codes, verified exact."""
+    v = vals.astype(np.int32)
+    a = np.abs(v)
+    if fmt == "iq2":
+        c = (a - 8) // 17
+        back = 17 * c + 8 + ((c >> 1) & (c ^ 1) & 1)
+    else:  # iq3
+        c = (a - 4) // 8
+        back = 8 * c + 4 + ((((c + 1) >> 3) & 1) << 1)
+    if not np.array_equal(back, a):
+        raise ValueError(f"{fmt} grid magnitude outside the fixed alphabet")
+    return (c | ((v < 0) << 3)).astype(np.uint8)
+
+
+def _packed_iq2_xxs(blocks: np.ndarray):
+    nb = blocks.shape[0]
+    codes, _s, _m, sub = _planes_iq2_xxs(blocks)
+    d = _f16(blocks[:, 0:2])                                     # (nb, 1)
+    q16 = blocks[:, 2:66].copy().view("<u2").reshape(nb, 8, 4).astype(np.uint32)
+    a1 = q16[..., 2] | (q16[..., 3] << 16)
+    s4 = (a1 >> 28).astype(np.uint8)                             # (nb, 8)
+    return (_codes4_from_values(codes, "iq2"), d * 0.125,
+            (2 * s4 + 1).astype(np.uint8), None, None, sub)
+
+
+def _packed_iq2_xs(blocks: np.ndarray):
+    nb = blocks.shape[0]
+    codes, _s, _m, sub = _planes_iq2_xs(blocks)
+    d = _f16(blocks[:, 0:2])
+    sc = blocks[:, 66:74]
+    s4 = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 16)
+    return (_codes4_from_values(codes, "iq2"), d * 0.125,
+            (2 * s4 + 1).astype(np.uint8), None, None, sub)
+
+
+def _packed_iq2_s(blocks: np.ndarray):
+    nb = blocks.shape[0]
+    codes, _s, _m, sub = _planes_iq2_s(blocks)
+    d = _f16(blocks[:, 0:2])
+    sc = blocks[:, 74:82]
+    s4 = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 16)
+    return (_codes4_from_values(codes, "iq2"), d * 0.125,
+            (2 * s4 + 1).astype(np.uint8), None, None, sub)
+
+
+def _packed_iq3_xxs(blocks: np.ndarray):
+    codes, _s, _m, sub = _planes_iq3_xxs(blocks)
+    d = _f16(blocks[:, 0:2])
+    aux = blocks[:, 66:98].copy().view("<u4")
+    s4 = (aux >> 28).astype(np.uint8)                            # (nb, 8)
+    return (_codes4_from_values(codes, "iq3"), d * 0.25,
+            (2 * s4 + 1).astype(np.uint8), None, None, sub)
+
+
+def _packed_iq3_s(blocks: np.ndarray):
+    codes, _s, _m, sub = _planes_iq3_s(blocks)
+    d = _f16(blocks[:, 0:2])
+    sc4 = blocks[:, 106:110]
+    m8 = np.arange(8)
+    s4 = (sc4[:, m8 // 2] >> (4 * (m8 % 2))) & 0xF               # (nb, 8)
+    return (_codes4_from_values(codes, "iq3"), d,
+            (2 * s4 + 1).astype(np.uint8), None, None, sub)
+
+
+def _packed_iq1_s(blocks: np.ndarray):
+    codes, _s, _m, sub = _planes_iq1_s(blocks)
+    d = _f16(blocks[:, 0:2])
+    qh = blocks[:, 34:50].copy().view("<u2").astype(np.int64)    # (nb, 8)
+    s3 = ((qh >> 12) & 7).astype(np.int32)
+    odd = (2 * s3 + 1).astype(np.uint8)
+    # m = -(s*delta): delta sign in qh bit 15 -> mn = -sign * (2s+1)
+    mn = np.where(qh & 0x8000, odd.astype(np.int32),
+                  -odd.astype(np.int32)).astype(np.int8)
+    return ((codes.astype(np.int32) + 1).astype(np.uint8), d,
+            odd, d * IQ1S_DELTA, mn, sub)
+
+
+def _packed_iq1_m(blocks: np.ndarray):
+    nb = blocks.shape[0]
+    codes, _s, _m, sub = _planes_iq1_m(blocks)
+    qh = blocks[:, 32:48].reshape(nb, 8, 2)
+    sc16 = blocks[:, 48:56].copy().view("<u2").astype(np.uint16)
+    du16 = ((sc16[:, 0] >> 12) | ((sc16[:, 1] >> 8) & 0x00F0)
+            | ((sc16[:, 2] >> 4) & 0x0F00) | (sc16[:, 3] & 0xF000))
+    d = np.ascontiguousarray(du16.astype("<u2")).view("<f2").astype(
+        np.float32)[:, None]                                     # (nb, 1)
+    m8 = np.arange(8)
+    scw = sc16[:, m8 // 2]
+    base = 6 * (m8 % 2)
+    s1 = (scw >> base) & 7
+    s2 = (scw >> (base + 3)) & 7
+    sl = np.stack([s1, s1, s2, s2], axis=-1).astype(np.int32)    # (nb, 8, 4)
+    odd = (2 * sl + 1).reshape(nb, 32)
+    nib = np.stack([qh[..., 0] & 0xF, qh[..., 0] >> 4,
+                    qh[..., 1] & 0xF, qh[..., 1] >> 4], axis=-1)  # (nb, 8, 4)
+    neg_delta = (nib & 8).astype(bool).reshape(nb, 32)
+    mn = np.where(neg_delta, odd, -odd).astype(np.int8)
+    return ((codes.astype(np.int32) + 1).astype(np.uint8), d,
+            odd.astype(np.uint8), d * IQ1M_DELTA, mn, sub)
+
+
+IQ_PACKED = {
+    GGMLType.IQ2_XXS: _packed_iq2_xxs,
+    GGMLType.IQ2_XS: _packed_iq2_xs,
+    GGMLType.IQ2_S: _packed_iq2_s,
+    GGMLType.IQ3_XXS: _packed_iq3_xxs,
+    GGMLType.IQ3_S: _packed_iq3_s,
+    GGMLType.IQ1_S: _packed_iq1_s,
+    GGMLType.IQ1_M: _packed_iq1_m,
+}
+
+
 def _dequant_from_planes(planes_fn):
     def deq(blocks: np.ndarray) -> np.ndarray:
         codes, s, m, sub = planes_fn(blocks)

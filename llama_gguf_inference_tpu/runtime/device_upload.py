@@ -95,7 +95,7 @@ def _carve_one(chunk: jax.Array, sig: tuple) -> dict[str, jax.Array]:
         seg = jax.lax.slice(chunk, (off,), (off + nbytes,))
         arrs[field] = _bitcast(seg, np.dtype(dstr)).reshape(shape)
 
-    flatten = dsz > sub and not compact_scales(bits)
+    flatten = dsz > sub and not compact_scales(bits, fmt)
     if not flatten:
         return arrs
 

