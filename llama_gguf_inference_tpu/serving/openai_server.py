@@ -274,27 +274,49 @@ class OpenAIServer:
             return None
 
     async def handle_chat(self, req, writer) -> None:
+        from .tool_calls import (
+            ToolRequestError,
+            prepare_messages,
+            tool_grammar,
+            validate_tools,
+        )
         body = self._parse_json(req)
         if body is None or not isinstance(body.get("messages"), list):
             await send_error(writer, 400, "messages is required",
                              "invalid_request_error", "bad_request")
             return
-        prompt = self._render_prompt(body["messages"])
         try:
+            tools, forced, tools_on = validate_tools(body)
+            messages = body["messages"]
+            if tools_on or any(isinstance(m, dict)
+                               and m.get("role") == "tool"
+                               or (isinstance(m, dict) and m.get("tool_calls"))
+                               for m in messages):
+                messages = prepare_messages(messages, tools, tools_on)
+            prompt = self._render_prompt(messages)
             params = _params_from_request(body)
-        except ValueError as e:
+            if tools_on and forced is not None:
+                if params.grammar:
+                    raise ToolRequestError(
+                        "grammar/response_format cannot be combined with a "
+                        "forced tool_choice")
+                params = dataclasses.replace(
+                    params, grammar=tool_grammar(tools, forced))
+        except ValueError as e:          # includes ToolRequestError
             await send_error(writer, 400, str(e), "invalid_request_error",
                              "bad_request")
             return
         rid = "chatcmpl-" + uuid.uuid4().hex[:24]
+        active_tools = tools if tools_on else None
         if body.get("stream"):
             await self._stream(writer, rid, "chat.completion.chunk", prompt,
                                params, chat=True,
                                include_usage=bool(
-                                   (body.get("stream_options") or {}).get("include_usage")))
+                                   (body.get("stream_options") or {}).get("include_usage")),
+                               tools=active_tools)
         else:
             await self._complete(writer, rid, "chat.completion", prompt, params,
-                                 chat=True)
+                                 chat=True, tools=active_tools)
 
     async def handle_completions(self, req, writer) -> None:
         body = self._parse_json(req)
@@ -543,7 +565,8 @@ class OpenAIServer:
         return entry
 
     async def _complete(self, writer, rid: str, obj: str, prompt: str,
-                        params: SamplingParams, chat: bool) -> None:
+                        params: SamplingParams, chat: bool,
+                        tools: list | None = None) -> None:
         text = []
         lp_content = []
         finish = "stop"
@@ -563,9 +586,19 @@ class OpenAIServer:
             return
         content = "".join(text)
         if chat:
-            choice = {"index": 0,
-                      "message": {"role": "assistant", "content": content},
-                      "finish_reason": finish}
+            calls = None
+            if tools:
+                from .tool_calls import parse_tool_calls
+                calls = parse_tool_calls(content, tools)
+            if calls:
+                choice = {"index": 0,
+                          "message": {"role": "assistant", "content": None,
+                                      "tool_calls": calls},
+                          "finish_reason": "tool_calls"}
+            else:
+                choice = {"index": 0,
+                          "message": {"role": "assistant", "content": content},
+                          "finish_reason": finish}
             if params.n_probs > 0:
                 choice["logprobs"] = {"content": lp_content}
         else:
@@ -589,7 +622,8 @@ class OpenAIServer:
 
     async def _stream(self, writer, rid: str, obj: str, prompt: str,
                       params: SamplingParams, chat: bool,
-                      include_usage: bool = False) -> None:
+                      include_usage: bool = False,
+                      tools: list | None = None) -> None:
         head = ("HTTP/1.1 200 OK\r\n"
                 "Content-Type: text/event-stream\r\n"
                 "Cache-Control: no-cache\r\n"
@@ -615,6 +649,28 @@ class OpenAIServer:
         n_prompt = n_gen = 0
         finish = "stop"
         first = True
+        # tools mode: hold text back while it still LOOKS like a tool-call
+        # JSON object (llama-server's generic handler has the same
+        # buffer-then-decide shape); the moment the prefix can't be one,
+        # flush and stream normally — plain answers keep live streaming.
+        buffering = bool(tools) and chat
+        buf: list[str] = []
+
+        async def emit_text(txt: str, ev=None) -> None:
+            nonlocal first
+            await ensure_head()
+            if first and chat:
+                first = False
+                writer.write(sse_event(chunk({"role": "assistant"}, None)))
+                await writer.drain()
+            if txt:
+                c = chunk({"content": txt}, None)
+                if ev is not None and chat and params.n_probs > 0:
+                    c["choices"][0]["logprobs"] = {
+                        "content": [self._lp_entry(ev)]}
+                writer.write(sse_event(c))
+                await writer.drain()
+
         async for ev in self._collect(prompt, params):
             n_prompt, n_gen = ev.n_prompt, ev.n_generated
             if ev.finished:
@@ -625,18 +681,35 @@ class OpenAIServer:
                 await send_error(writer, 500, "inference engine failure",
                                  "server_error", "engine_error")
                 return
-            await ensure_head()
-            if first and chat:
-                first = False
+            if buffering:
+                buf.append(ev.text)
+                lead = "".join(buf).lstrip()
+                if lead and lead[0] not in "{`":
+                    buffering = False
+                    await emit_text("".join(buf))
+                    buf.clear()
+                continue
+            await emit_text(ev.text, ev)
+        if buf or (bool(tools) and chat and finish != "error"):
+            content = "".join(buf)
+            from .tool_calls import parse_tool_calls
+            calls = parse_tool_calls(content, tools) if content else None
+            if calls:
+                await ensure_head()
                 writer.write(sse_event(chunk({"role": "assistant"}, None)))
+                for i, call in enumerate(calls):
+                    writer.write(sse_event(chunk({"tool_calls": [{
+                        "index": i, "id": call["id"], "type": "function",
+                        "function": {"name": call["function"]["name"],
+                                     "arguments": ""}}]}, None)))
+                    writer.write(sse_event(chunk({"tool_calls": [{
+                        "index": i,
+                        "function": {"arguments":
+                                     call["function"]["arguments"]}}]}, None)))
                 await writer.drain()
-            if ev.text:
-                c = chunk({"content": ev.text}, None)
-                if chat and params.n_probs > 0:
-                    c["choices"][0]["logprobs"] = {
-                        "content": [self._lp_entry(ev)]}
-                writer.write(sse_event(c))
-                await writer.drain()
+                finish = "tool_calls"
+            elif content:
+                await emit_text(content)
         await ensure_head()
         if finish == "error":
             # mid-stream failure: status line is gone — emit an SSE error
