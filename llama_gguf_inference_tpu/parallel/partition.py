@@ -34,6 +34,26 @@ def _block_multiple(w: QuantLinear | DenseLinear) -> int:
     return 1
 
 
+def shard_decision(out_f: int, in_f: int, dim: int, tp: int,
+                   blk: int = 1) -> bool:
+    """Whether a (out, in) weight can shard on ``dim`` across ``tp`` chips.
+
+    The single source of truth for the TP divisibility rules — used by
+    :func:`_shard_linear` at placement time and by
+    ``parallel.scaling.shard_plan`` to validate production shapes (70B)
+    without materializing arrays.  ``blk`` is the quant super-block size
+    (d_size); row-parallel shards must keep super-blocks intact.
+    """
+    size = out_f if dim == 0 else in_f
+    if tp <= 1:
+        return True
+    if size % tp:
+        return False
+    if dim == 1 and blk > 1 and (in_f // tp) % blk:
+        return False
+    return True
+
+
 def _shard_linear(w, mesh: Mesh, axis: str, dim: int):
     """dim 0 = column-parallel (out), dim 1 = row-parallel (in)."""
     tp = mesh.shape[axis]
@@ -54,17 +74,12 @@ def _shard_linear(w, mesh: Mesh, axis: str, dim: int):
                           b=jax.device_put(w.b, b_spec), scale=w.scale)
     if tp == 1:
         return _device_put_tree(w, NamedSharding(mesh, P()))
-    dim_size = w.out_features if dim == 0 else w.in_features
-    if dim_size % tp != 0:
-        # non-divisible (e.g. odd vocab): replicate rather than fail — padding
-        # the axis is the perf fix, done by the loader for production shapes
+    if not shard_decision(w.out_features, w.in_features, dim, tp,
+                          _block_multiple(w)):
+        # non-divisible axis (e.g. odd vocab) or a shard boundary that would
+        # split quant super-blocks: replicate rather than fail — padding the
+        # axis is the perf fix, done by the loader for production shapes
         return _device_put_tree(w, NamedSharding(mesh, P()))
-    if dim == 1 and isinstance(w, QuantLinear):
-        blk = _block_multiple(w)
-        if (w.in_features // tp) % blk != 0:
-            # shard boundary would split quant super-blocks: the per-block
-            # scale arrays can't be placed consistently — replicate instead
-            return _device_put_tree(w, NamedSharding(mesh, P()))
     if isinstance(w, DenseLinear):
         spec = P(axis, None) if dim == 0 else P(None, axis)
         return DenseLinear(w=jax.device_put(w.w, NamedSharding(mesh, spec)),

@@ -32,14 +32,21 @@ def log(*a):
 
 
 def build_weight(fmt: str, out_f: int, in_f: int):
-    from ..gguf.constants import GGMLType
+    """Quantize a 1M-value pool once and tile its wire bytes (bench.py
+    trick): bandwidth is value-independent, and a direct encode of an
+    8B-shape tensor through the IQ codebook search takes tens of minutes
+    host-side."""
+    from ..gguf.constants import GGMLType, type_block_info
     from ..quant import quantize
     from ..quant.repack import repack, to_quant_linear
 
     gtype = GGMLType[fmt.upper()]
     rng = np.random.default_rng(0)
-    w = (rng.standard_normal((out_f, in_f)) * 0.02).astype(np.float32)
-    raw = quantize(w, gtype)
+    pool = (rng.standard_normal(1 << 20) * 0.02).astype(np.float32)
+    qp = np.frombuffer(quantize(pool.reshape(1, -1), gtype), np.uint8)
+    blk, bpb = type_block_info(gtype)
+    nbytes = out_f * in_f // blk * bpb
+    raw = np.tile(qp, -(-nbytes // qp.size))[:nbytes]
     return to_quant_linear(repack(raw, gtype, out_f, in_f))
 
 
