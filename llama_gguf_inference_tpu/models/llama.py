@@ -364,6 +364,14 @@ def shift_cache_slot(cache: KVCache, cfg: ModelConfig, b: jax.Array,
     shifted positions (up to the bf16 re-round of already-rounded values —
     llama.cpp's K-shift has the same property).  Jit-compiled once per
     engine; keep/discard/b ride as traced scalars.
+
+    Quantized caches (q8_0/q4_0/q4_1, r4 — VERDICT r3 #7) shift too:
+    V rolls its CODES and scales directly (no rope on V — exact, zero
+    requant noise), while K dequantizes the slot row to f32, rolls +
+    rotates, and REQUANTIZES — one absmax round-trip of noise on the
+    moved positions only (kept positions select the original codes, so
+    they stay bit-identical; llama.cpp's K-shift on a quantized cache
+    requantizes the same way).
     """
     S = cache.max_seq
     delta = jnp.asarray(discard, jnp.float32).reshape(1, 1)
@@ -372,22 +380,65 @@ def shift_cache_slot(cache: KVCache, cfg: ModelConfig, b: jax.Array,
     pos = jnp.arange(S, dtype=jnp.int32)
     moved = (pos >= keep)[None, :, None]             # (1, S, 1) over (H,S,D)
 
-    def shift_row(row, rope: bool):
-        rolled = jnp.roll(row, -discard, axis=1)
-        if rope:
-            x = rolled.transpose(1, 0, 2)[None]      # (1, S, KVH, D)
-            rolled = apply_rope(x, cos_d, -sin_d,
-                                cfg.rope_interleaved)[0].transpose(1, 0, 2)
-        return jnp.where(moved, rolled.astype(row.dtype), row)
+    def rope_rolled(kf):
+        """(H, S, D) f32 -> rolled and rotated by -delta."""
+        rolled = jnp.roll(kf, -discard, axis=1)
+        x = rolled.transpose(1, 0, 2)[None]          # (1, S, KVH, D)
+        return apply_rope(x, cos_d, -sin_d,
+                          cfg.rope_interleaved)[0].transpose(1, 0, 2)
 
-    new_k, new_v = list(cache.k), list(cache.v)
+    def row_of(buf):
+        return jax.lax.dynamic_slice_in_dim(buf, b, 1, axis=0)[0]
+
+    def put_row(buf, row):
+        return jax.lax.dynamic_update_slice_in_dim(buf, row[None], b, axis=0)
+
+    if isinstance(cache, KVCache):
+        def shift_row(row, rope: bool):
+            if rope:
+                new = rope_rolled(row.astype(jnp.float32))
+            else:
+                new = jnp.roll(row, -discard, axis=1)
+            return jnp.where(moved, new.astype(row.dtype), row)
+
+        new_k, new_v = list(cache.k), list(cache.v)
+        for li in range(cfg.n_layers):
+            for arrs, buf, rope in ((new_k, cache.k[li], True),
+                                    (new_v, cache.v[li], False)):
+                arrs[li] = put_row(buf, shift_row(row_of(buf), rope))
+        return KVCache(k=tuple(new_k), v=tuple(new_v))
+
+    # quantized caches: QuantKV / QuantKV4 / QuantKV41
+    cls = type(cache)
+    affine = hasattr(cache, "k_m")                   # q4_1 carries mins
+    moved_s = moved[:, :, 0]                         # (1, S) for scale arrays
+
+    def sel(new, old, mask):
+        return jnp.where(mask, new.astype(old.dtype), old)
+
+    fields = {f: list(getattr(cache, f)) for f in cache._fields}
     for li in range(cfg.n_layers):
-        for arrs, buf, rope in ((new_k, cache.k[li], True),
-                                (new_v, cache.v[li], False)):
-            row = jax.lax.dynamic_slice_in_dim(buf, b, 1, axis=0)[0]
-            arrs[li] = jax.lax.dynamic_update_slice_in_dim(
-                buf, shift_row(row, rope)[None], b, axis=0)
-    return KVCache(k=tuple(new_k), v=tuple(new_v))
+        # K: dequant -> roll+rope -> requant; moved positions only
+        kq, ks = row_of(cache.k_q[li]), row_of(cache.k_s[li])
+        if affine:
+            km = row_of(cache.k_m[li])
+            kf = cls.dequantize(kq, ks, km, jnp.float32)
+            nq, ns, nm = cls.quantize(rope_rolled(kf))
+            fields["k_m"][li] = put_row(cache.k_m[li], sel(nm, km, moved_s))
+        else:
+            kf = cls.dequantize(kq, ks, jnp.float32)
+            nq, ns = cls.quantize(rope_rolled(kf))
+        fields["k_q"][li] = put_row(cache.k_q[li], sel(nq, kq, moved))
+        fields["k_s"][li] = put_row(cache.k_s[li], sel(ns, ks, moved_s))
+        # V: roll codes + scales directly — exact
+        v_fields = ["v_q", "v_s"] + (["v_m"] if affine else [])
+        for name in v_fields:
+            buf = getattr(cache, name)[li]
+            row = row_of(buf)
+            mask = moved if row.ndim == 3 else moved_s
+            fields[name][li] = put_row(
+                buf, sel(jnp.roll(row, -discard, axis=1), row, mask))
+    return cls(**{f: tuple(v) for f, v in fields.items()})
 
 
 def attention_mla(layer: Params, cfg: ModelConfig, x: jax.Array,
@@ -645,7 +696,8 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
     B, T = token_ids.shape
     S = cache.max_seq
 
-    x = jnp.take(params["tok_embd"], token_ids, axis=0)       # (B, T, D)
+    from ..ops.linear import embed_lookup
+    x = embed_lookup(params["tok_embd"], token_ids)           # (B, T, D)
     if cfg.embedding_scale != 1.0:   # gemma: sqrt(dim), rounded to x dtype
         x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
 

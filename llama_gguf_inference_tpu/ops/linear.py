@@ -41,13 +41,17 @@ def code_values(fmt: str, q):
     {4, 12, ..., 52, 62} (iq3: 8c + 4 + 2*(c==7)).  Negation is the
     two's-complement identity -x == (x ^ -1) + 1, vectorized as
     (m ^ neg) - neg with neg = -sign in {0, -1}.
+
+    MULTIPLY-FREE on purpose: inside Pallas this runs full-width on the
+    VPU, where an i32 multiply lowers to a multi-op sequence — measured
+    3x kernel slowdown (r4 probe) — while shifts/adds are single-slot.
     """
     if fmt in ("iq2_xxs", "iq2_xs", "iq2_s"):
         c = q & 3
-        m = 17 * c + 8 + ((c >> 1) & (c ^ 1) & 1)
+        m = ((c << 4) + c) + 8 + ((c >> 1) & (c ^ 1))   # 17c + 8 + (c==2)
     elif fmt in ("iq3_xxs", "iq3_s"):
         c = q & 7
-        m = 8 * c + 4 + ((((c + 1) >> 3) & 1) << 1)
+        m = (c << 3) + 4 + ((((c + 1) >> 3) & 1) << 1)  # 8c + 4 + 2(c==7)
     else:
         return q
     neg = -(q >> 3)
@@ -119,8 +123,10 @@ class QuantLinear:
     q3_k        4     16         d f32 / 256; sc i8 / 16, bias 4
     q2_k        2     16         d,dmin f32 / 256; sc,mn u8 / 16
     iq4_nl/xs   8     32/256     codebook applied at repack -> int8
-    iq2_*/iq3_* 4     16/32      sign|mag codes (code_values map);
+    iq2_*/iq3_* 8     16/32      decoded int8 VALUES (default, fastest);
                                  d f32 / 256, sc u8 odd per sub
+    iq2_*/iq3_* 4     16/32      LGT_IQ_CODES=packed4: sign|mag codes
+                                 (code_values map) at min footprint
     iq1_s/m     2     32/8       trit codes, bias 1; d,dmin f32 / 256;
                                  sc u8, mn i8 per sub (delta term)
     ==========  ====  =========  ====================================
@@ -178,7 +184,11 @@ class QuantLinear:
                                  (b >> 6) & 3], axis=1)
         else:
             raise NotImplementedError(f"bits={self.bits}")
-        return code_values(self.fmt, q) - self.code_bias
+        if self.bits == 4:
+            # the sign|magnitude map applies only to 4-bit IQ codes; the
+            # int8 layout of the same fmts stores decoded VALUES directly
+            q = code_values(self.fmt, q)
+        return q - self.code_bias
 
     def _scale_full_bm(self, arr_d, arr_sc) -> jax.Array:
         """(out, in) per-element scale in block-minor order via tiles."""
@@ -263,6 +273,61 @@ class LoraLinear:
         merged = w + self.scale * (self.b.astype(jnp.float32)
                                    @ self.a.astype(jnp.float32))
         return merged.astype(dtype)
+
+
+@_register
+@dataclasses.dataclass
+class QuantEmbedding:
+    """Quantized-RESIDENT token embedding table (r4; VERDICT r3 #8).
+
+    The table is gathered per token, never matmul'd, so rounds 1-3 kept a
+    dequantized bf16 copy resident (1.05 GB for an 8B vocab).  Instead:
+    keep the repacked QuantLinear arrays (rows = vocab entries, quant
+    blocks run along the feature axis) and gather + dequantize only the
+    requested ROWS on device — exact wire values (no re-quantization, the
+    gathered rows decode through the same rule as the full table) at the
+    packed footprint (~6 bpw for Q4_K flat vs 16 bpw bf16).
+
+    llama.cpp's ggml_get_rows on quantized tensors is the same design.
+    """
+
+    table: QuantLinear
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.table.out_features, self.table.in_features)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    def take(self, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+        """token_ids (...,) int32 -> (..., dim) embeddings.
+
+        The gathered-row sub-table is itself a valid QuantLinear (every
+        array shares the leading vocab axis), so decode reuses
+        ``dequantize`` verbatim; row count is static per trace (engine
+        buckets fix B*T), costing one tiny specialization per shape.
+        """
+        flat = token_ids.reshape(-1)
+        g = lambda a: None if a is None else jnp.take(a, flat, axis=0)  # noqa: E731
+        sub = dataclasses.replace(
+            self.table, codes=g(self.table.codes), d=g(self.table.d),
+            sc=g(self.table.sc), dmin=g(self.table.dmin),
+            mn=g(self.table.mn), out_features=int(flat.shape[0]))
+        w = sub.dequantize(dtype)
+        return w.reshape(*token_ids.shape, self.table.in_features)
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        """Full-table dequant (tests / tied-head fallbacks)."""
+        return self.table.dequantize(dtype)
+
+
+def embed_lookup(tok_embd, token_ids: jax.Array) -> jax.Array:
+    """Gather token embeddings from a dense table or a QuantEmbedding."""
+    if isinstance(tok_embd, QuantEmbedding):
+        return tok_embd.take(token_ids)
+    return jnp.take(tok_embd, token_ids, axis=0)
 
 
 LinearWeight = DenseLinear | QuantLinear | LoraLinear

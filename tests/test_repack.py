@@ -92,6 +92,16 @@ def test_loader_embedding_matches_golden(tmp_path):
 
     cfg, params, r2 = load_model(q, mode="quant")
     r2.close()
-    got = np.asarray(params["tok_embd"].astype(jnp.float32))
-    want = np.asarray(jnp.asarray(golden, jnp.bfloat16).astype(jnp.float32))
-    np.testing.assert_array_equal(got, want)
+    # r4: the table stays quantized-resident; its full dequant (and a
+    # row gather through the serving path) must still match the golden
+    # decode bit-for-bit at f32
+    from llama_gguf_inference_tpu.ops.linear import QuantEmbedding, embed_lookup
+    emb = params["tok_embd"]
+    assert isinstance(emb, QuantEmbedding)
+    got = np.asarray(emb.dequantize(jnp.float32))
+    np.testing.assert_array_equal(got, golden)
+    ids = jnp.asarray([[0, 5, 17], [250, 3, 9]], jnp.int32)
+    rows = np.asarray(embed_lookup(emb, ids).astype(jnp.float32))
+    want_rows = np.asarray(jnp.asarray(
+        golden, jnp.bfloat16).astype(jnp.float32))[np.asarray(ids)]
+    np.testing.assert_array_equal(rows, want_rows)
