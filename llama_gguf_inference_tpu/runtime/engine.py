@@ -90,8 +90,9 @@ class EngineConfig:
     # fills mid-generation, keep the first n_keep positions, discard half
     # of the rest, roll the remainder left and re-rope cached K by the
     # position delta — generation continues instead of finishing "length".
-    # bf16 contiguous KV + plain decode only (no MLA / SWA / longrope /
-    # speculation); default off, like current llama-server.
+    # Contiguous KV only (bf16 exact; q8_0/q4_0/q4_1 requantize the moved
+    # K window), plain decode (no MLA / SWA / longrope / speculation);
+    # default off, like current llama-server.
     ctx_shift: bool = False
     # adaptive gating: speculation is a net LOSS below some acceptance
     # rate (each round pays a K+1-position verify + per-dispatch overhead
@@ -207,8 +208,8 @@ class InferenceEngine:
             raise ValueError("speculative decoding requires "
                              "kv_layout='contig'")
         if self.ecfg.ctx_shift:
-            if self.ecfg.kv_layout != "contig" or quantized_kv:
-                raise ValueError("ctx_shift requires the contiguous bf16 KV "
+            if self.ecfg.kv_layout != "contig":
+                raise ValueError("ctx_shift requires the contiguous KV "
                                  "layout (cached K is re-roped in place)")
             if self.ecfg.draft_model or self.ecfg.spec_ngram:
                 raise ValueError("ctx_shift does not combine with "

@@ -157,3 +157,87 @@ def test_ctx_shift_rejected_combinations(tmp_path):
                      ffn_dim=96, arch="gemma2", sliding_window=16)
     with pytest.raises(ValueError, match="sliding"):
         InferenceEngine(str(swa), EngineConfig(**base))
+
+
+@pytest.mark.parametrize("kv", ["q8_0", "q4_0", "q4_1"])
+def test_shift_quantized_kv(tmp_path, rng, kv):
+    """r4 (VERDICT r3 #7): ctx_shift composes with quantized KV.  Kept
+    positions stay BIT-identical (codes selected, not requantized); V
+    beyond keep is an exact roll of codes+scales; K beyond keep matches
+    the bf16-path shift within one requant step of noise."""
+    from llama_gguf_inference_tpu.runtime.kv_cache import (
+        QuantKV, QuantKV4, QuantKV41,
+    )
+    cls = {"q8_0": QuantKV, "q4_0": QuantKV4, "q4_1": QuantKV41}[kv]
+
+    p = tmp_path / "m.gguf"
+    write_tiny_llama(p, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96)
+    cfg, params, r = load_model(p, mode="dense")
+    r.close()
+
+    ids = rng.integers(5, 250, size=(1, 24)).astype(np.int32)
+    keep, discard = 6, 8
+    S = 32
+    cache = cls.zeros(cfg, 1, S)
+    _, cache = forward(params, cfg, jnp.asarray(ids),
+                       jnp.zeros(1, jnp.int32), cache,
+                       jnp.full(1, 24, jnp.int32))
+    shifted = shift_cache_slot(cache, cfg, jnp.int32(0), jnp.int32(keep),
+                               jnp.int32(discard))
+    assert isinstance(shifted, cls)
+
+    n_valid = 24 - discard
+    for li in range(cfg.n_layers):
+        # below keep: codes + scales bit-identical (never requantized)
+        for f in cache._fields:
+            orig = np.asarray(getattr(cache, f)[li][0])
+            got = np.asarray(getattr(shifted, f)[li][0])
+            np.testing.assert_array_equal(got[:, :keep], orig[:, :keep],
+                                          err_msg=f"{kv} {f} kept region")
+        # V: exact roll of codes and scales
+        for f in [f_ for f_ in cache._fields if f_.startswith("v_")]:
+            orig = np.asarray(getattr(cache, f)[li][0])
+            got = np.asarray(getattr(shifted, f)[li][0])
+            np.testing.assert_array_equal(
+                got[:, keep:n_valid], orig[:, keep + discard:24],
+                err_msg=f"{kv} {f} rolled region")
+        # K: dequantized values match the rolled+re-roped dequant of the
+        # original within one requant step (absmax grid spacing)
+        from llama_gguf_inference_tpu.models.llama import apply_rope, rope_angles
+        cos_d, sin_d = rope_angles(jnp.full((1, 1), discard, jnp.float32),
+                                   cfg.head_dim, cfg.rope_dim,
+                                   cfg.rope_base, cfg)
+        got_k = np.asarray(shifted.k_full(li)[0], np.float32)
+        orig_k = np.asarray(cache.k_full(li)[0], np.float32)
+        rolled = jnp.asarray(orig_k[:, keep + discard:24])
+        want = np.asarray(apply_rope(
+            rolled.transpose(1, 0, 2)[None], cos_d, -sin_d,
+            cfg.rope_interleaved)[0].transpose(1, 0, 2))
+        bits = {"q8_0": 127.0, "q4_0": 7.0, "q4_1": 7.5}[kv]
+        step = np.abs(want).max(axis=-1, keepdims=True) / bits
+        assert (np.abs(got_k[:, keep:n_valid] - want)
+                <= step + 0.02).all(), f"{kv} requant error too large"
+
+
+@pytest.mark.parametrize("kv", ["q8_0", "q4_1"])
+def test_engine_generates_past_capacity_quantized(tmp_path, kv):
+    """End-to-end: the engine shifts a quantized cache and keeps
+    generating to max_tokens (llama-server --ctx-shift with
+    --cache-type-k q8_0 behavior)."""
+    p = tmp_path / "m.gguf"
+    write_tiny_llama(p, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96)
+    eng = InferenceEngine(str(p), EngineConfig(
+        max_slots=1, ctx=64, prefill_buckets=(16,), mode="quant",
+        multi_step=4, ctx_shift=True, kv_dtype=kv))
+    eng.start()
+    try:
+        evs = list(eng.generate([3, 9, 4, 7], SamplingParams(
+            temperature=0.0, max_tokens=120)))
+        toks = [e.token_id for e in evs]
+        assert len(toks) == 120
+        assert evs[-1].finish_reason == "length"
+        assert eng.stats()["ctx_shifts"] >= 1
+    finally:
+        eng.stop()
