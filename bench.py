@@ -37,6 +37,16 @@ SHAPES = {
     # the 8b target (spec_bench --draft-shape 1b3)
     "1b3": dict(dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
                 ffn_dim=8192, vocab=128256, rope_base=500000.0),
+    # Mixtral-style MoE (BASELINE config 4, scaled to one 16 GB chip):
+    # 8 experts x (3 x 4096x4096) per layer, top-2 routing -> ~10.8 GB
+    # resident Q4_K, ~3.4 GB ACTIVE per decode step (cond-gated 2/8)
+    "moe": dict(dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+                ffn_dim=4096, vocab=32000, rope_base=500000.0,
+                n_experts=8, n_experts_used=2),
+    # CPU-smoke MoE shape (flow validation off-TPU)
+    "moe160m": dict(dim=512, n_layers=4, n_heads=8, n_kv_heads=4,
+                    ffn_dim=512, vocab=32000, rope_base=10000.0,
+                    n_experts=4, n_experts_used=2),
     # CPU-smoke shape (tools/spec_bench.py flow validation off-TPU)
     "160m": dict(dim=512, n_layers=8, n_heads=8, n_kv_heads=4,
                  ffn_dim=1536, vocab=32000, rope_base=10000.0),
@@ -103,6 +113,10 @@ def bench_model_path(shape: str, quant: str = "q4_k",
     w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
     w.add("llama.rope.freq_base", d["rope_base"])
     w.add("llama.rope.dimension_count", head_dim)
+    n_exp = d.get("n_experts", 0)
+    if n_exp:
+        w.add("llama.expert_count", n_exp)
+        w.add("llama.expert_used_count", d["n_experts_used"])
     w.add(Keys.TOKENIZER_MODEL, "llama")
     w.add(Keys.TOKENIZER_TOKENS, tokens)
     w.add(Keys.TOKENIZER_SCORES, np.asarray(scores, np.float32))
@@ -149,9 +163,32 @@ def bench_model_path(shape: str, quant: str = "q4_k",
               zero=echo)
         add_q(p + "attn_output.weight", d["dim"], d["dim"], wq, zero=echo)
         w.add_tensor(p + "ffn_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-        add_q(p + "ffn_gate.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
-        add_q(p + "ffn_up.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
-        add_q(p + "ffn_down.weight", d["dim"], d["ffn_dim"], wq, zero=echo)
+        if n_exp:
+            # Mixtral layout: router + stacked 3D expert tensors
+            # (llama.cpp ffn_*_exps export).  Router weights random so
+            # routing selects varied experts per token.
+            w.add_tensor(p + "ffn_gate_inp.weight",
+                         (rng.standard_normal((n_exp, d["dim"])) * 0.05
+                          ).astype(np.float32), GGMLType.F32)
+            for nm, rows, cols in (
+                    ("ffn_gate_exps", d["ffn_dim"], d["dim"]),
+                    ("ffn_up_exps", d["ffn_dim"], d["dim"]),
+                    ("ffn_down_exps", d["dim"], d["ffn_dim"])):
+                blk, bpb = type_block_info(wq)
+                key = (wq, echo)
+                if key not in qpool:
+                    src = zpool if echo else pool
+                    qpool[key] = np.frombuffer(
+                        quantize(src.reshape(1, -1), wq), np.uint8)
+                qp = qpool[key]
+                nbytes = n_exp * rows * cols // blk * bpb
+                raw = np.tile(qp, -(-nbytes // qp.size))[:nbytes].tobytes()
+                w.add_raw_tensor(p + nm + ".weight", (cols, rows, n_exp),
+                                 wq, raw)
+        else:
+            add_q(p + "ffn_gate.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
+            add_q(p + "ffn_up.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
+            add_q(p + "ffn_down.weight", d["dim"], d["ffn_dim"], wq, zero=echo)
     w.add_tensor("output_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
     add_q("output.weight", vocab, d["dim"], GGMLType.Q6_K)
     w.write()
@@ -184,6 +221,10 @@ def main() -> None:
     # BENCH_SLOTS>1 measures aggregate continuous-batching throughput
     n_slots = int(os.environ.get("BENCH_SLOTS", 1))
 
+    # BENCH_KV=q8_0 measures quantized-KV serving (BASELINE config 4
+    # pairs the MoE shape with a q8_0 cache)
+    import jax.numpy as jnp
+    kv = os.environ.get("BENCH_KV", "bf16").lower()
     t0 = time.time()
     eng = InferenceEngine(path, EngineConfig(
         # ONE prefill bucket: each bucket is its own multi-minute Mosaic
@@ -192,6 +233,7 @@ def main() -> None:
         # prompt and the TTFT prompts (decode cost is S-bound, not
         # prompt-length-bound, so nothing in the metrics changes)
         max_slots=n_slots, ctx=1024, prefill_buckets=(512,), mode="quant",
+        kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
         multi_step=int(os.environ.get("BENCH_MULTI_STEP", 32))))
     eng.start()
     load_s = time.time() - t0
@@ -201,9 +243,28 @@ def main() -> None:
     weight_bytes = sum(l.nbytes for l in leaves if hasattr(l, "nbytes"))
     # the embedding table is GATHERED per token, not streamed — decode's
     # mandatory per-step HBM traffic excludes it (tools/decode_decompose:
-    # matmuls alone run at ~99% of this stream roofline)
-    embd_bytes = getattr(eng.params.get("tok_embd"), "nbytes", 0)
+    # matmuls alone run at ~99% of this stream roofline).  Since r4 the
+    # table is quantized-resident (QuantEmbedding pytree), so sum leaves.
+    embd_bytes = sum(
+        l.nbytes for l in jax.tree_util.tree_leaves(
+            eng.params.get("tok_embd")) if hasattr(l, "nbytes"))
     stream_bytes = weight_bytes - embd_bytes
+    # MoE: decode streams only the ROUTED experts (cond-gated k/E,
+    # runtime.engine decode path) — the per-step roofline uses ACTIVE
+    # bytes; resident stays reported separately
+    expert_bytes = 0
+    if getattr(eng.cfg, "is_moe", False):
+        for layer in eng.params["layers"]:
+            for key in ("experts", "experts_ep"):
+                if key in layer:
+                    expert_bytes += sum(
+                        l.nbytes for l in jax.tree_util.tree_leaves(
+                            layer[key]) if hasattr(l, "nbytes"))
+        k_frac = eng.cfg.n_experts_used / eng.cfg.n_experts
+        stream_bytes = (stream_bytes - expert_bytes
+                        + expert_bytes * k_frac)
+        log(f"[bench] MoE: {expert_bytes / 1e9:.2f} GB experts, "
+            f"active fraction {k_frac:.3f}")
     log(f"[bench] resident weight bytes: {weight_bytes / 1e9:.3f} GB")
 
     prompt = list(range(3, 3 + 500))

@@ -173,8 +173,11 @@ def _make_kernel(meta: tuple, B: int, TO: int, in_features: int):
             # 8-bit codes can't ride the bf16 magic (9-bit int range exceeds
             # bf16's 7 mantissa bits) — and the i32/f32 path already streams
             # int8 formats at HBM roofline.  2-bit and value-mapped (IQ
-            # codebook) formats also go here: their maps are i32 arithmetic.
-            q = code_values(fmt, _unpack_planar(codes_ref[:], bits))
+            # packed4 codes) formats also go here; the map applies to
+            # 4-bit codes only (int8 IQ layouts store decoded values).
+            q = _unpack_planar(codes_ref[:], bits)
+            if bits == 4:
+                q = code_values(fmt, q)
             v = (q - bias).astype(jnp.float32)
             # bias handled directly; no fold
             s_full = pltpu.repeat(s_sub, sub_size, axis=1)

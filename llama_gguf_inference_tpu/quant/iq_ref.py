@@ -221,8 +221,10 @@ IQ_PLANES = {
 #       iq3_s:   s = d*(1+2*s4)       ==   d     * (2*s4+1)
 #       iq1_*:   s = d*(2*s3+1); m = -(s*delta)  ==  (d*delta) * (-sign*(2*s3+1))
 #
-# Each function returns (codes (nb, 256) uint8 logical order, d (nb, nd'),
-# sc (nb, nsub'), dmin | None, mn | None, sub) for quant.repack.rw.
+# Each function returns (values (nb, 256) int8 — the decoded elements,
+# for the int8-codes fast layout — codes (nb, 256) uint8 packed-code
+# logical order, d (nb, nd'), sc (nb, nsub'), dmin | None, mn | None,
+# sub) for quant.repack.rw.
 
 def _codes4_from_values(vals: np.ndarray, fmt: str) -> np.ndarray:
     """int8 element values -> 4-bit sign|mag codes, verified exact."""
@@ -246,7 +248,7 @@ def _packed_iq2_xxs(blocks: np.ndarray):
     q16 = blocks[:, 2:66].copy().view("<u2").reshape(nb, 8, 4).astype(np.uint32)
     a1 = q16[..., 2] | (q16[..., 3] << 16)
     s4 = (a1 >> 28).astype(np.uint8)                             # (nb, 8)
-    return (_codes4_from_values(codes, "iq2"), d * 0.125,
+    return (codes, _codes4_from_values(codes, "iq2"), d * 0.125,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
@@ -256,7 +258,7 @@ def _packed_iq2_xs(blocks: np.ndarray):
     d = _f16(blocks[:, 0:2])
     sc = blocks[:, 66:74]
     s4 = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 16)
-    return (_codes4_from_values(codes, "iq2"), d * 0.125,
+    return (codes, _codes4_from_values(codes, "iq2"), d * 0.125,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
@@ -266,7 +268,7 @@ def _packed_iq2_s(blocks: np.ndarray):
     d = _f16(blocks[:, 0:2])
     sc = blocks[:, 74:82]
     s4 = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 16)
-    return (_codes4_from_values(codes, "iq2"), d * 0.125,
+    return (codes, _codes4_from_values(codes, "iq2"), d * 0.125,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
@@ -275,7 +277,7 @@ def _packed_iq3_xxs(blocks: np.ndarray):
     d = _f16(blocks[:, 0:2])
     aux = blocks[:, 66:98].copy().view("<u4")
     s4 = (aux >> 28).astype(np.uint8)                            # (nb, 8)
-    return (_codes4_from_values(codes, "iq3"), d * 0.25,
+    return (codes, _codes4_from_values(codes, "iq3"), d * 0.25,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
@@ -285,7 +287,7 @@ def _packed_iq3_s(blocks: np.ndarray):
     sc4 = blocks[:, 106:110]
     m8 = np.arange(8)
     s4 = (sc4[:, m8 // 2] >> (4 * (m8 % 2))) & 0xF               # (nb, 8)
-    return (_codes4_from_values(codes, "iq3"), d,
+    return (codes, _codes4_from_values(codes, "iq3"), d,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
@@ -298,7 +300,7 @@ def _packed_iq1_s(blocks: np.ndarray):
     # m = -(s*delta): delta sign in qh bit 15 -> mn = -sign * (2s+1)
     mn = np.where(qh & 0x8000, odd.astype(np.int32),
                   -odd.astype(np.int32)).astype(np.int8)
-    return ((codes.astype(np.int32) + 1).astype(np.uint8), d,
+    return (codes, (codes.astype(np.int32) + 1).astype(np.uint8), d,
             odd, d * IQ1S_DELTA, mn, sub)
 
 
@@ -322,7 +324,7 @@ def _packed_iq1_m(blocks: np.ndarray):
                     qh[..., 1] & 0xF, qh[..., 1] >> 4], axis=-1)  # (nb, 8, 4)
     neg_delta = (nib & 8).astype(bool).reshape(nb, 32)
     mn = np.where(neg_delta, odd, -odd).astype(np.int8)
-    return ((codes.astype(np.int32) + 1).astype(np.uint8), d,
+    return (codes, (codes.astype(np.int32) + 1).astype(np.uint8), d,
             odd.astype(np.uint8), d * IQ1M_DELTA, mn, sub)
 
 

@@ -57,24 +57,19 @@ def scale_layout() -> str:
 def compact_scales(bits: int = 8, fmt: str = "") -> bool:
     """Whether a (bits, fmt) weight stores hierarchical scales on device.
 
-    ``auto``: flat only for the measured-win case — plain 4-bit K-quants,
-    whose fsplit kernels run at the DMA limit where the in-kernel scale
-    expansion costs more than the ~0.5 bpw it saves.  Everything else is
-    compact: for 2-bit codes (q2_k, iq1_*) flat f32 sub-scales would DOUBLE
-    total traffic (4 bpw of scales over 2 bpw of codes), and the mapped IQ
-    4-bit formats exist purely to minimize HBM bytes (their sub-blocks are
-    16 elements, so flat costs 2 bpw vs compact's 0.5).
+    ``auto`` = flat for every sub-8-bit code format, compact for 8-bit.
+    Measured (r4 A/B probe, v5e, 4096x14336): the in-kernel compact
+    expansion costs ~0.03 ms/pass — MORE than the bytes it saves for 2-
+    and 4-bit codes (q2_k flat 0.060 ms / 90% of own roofline vs compact
+    0.077 / 38%), while 8-bit kernels are DMA-bound and the saved bytes
+    win (q6_k, r2).  ``LGT_SCALE_LAYOUT=compact`` opts into the
+    minimum-footprint layouts when HBM capacity matters more than decode
+    speed.
     """
     mode = scale_layout()
     if mode == "auto":
-        return bits != 4 or fmt in _COMPACT_4BIT
+        return bits == 8
     return mode == "compact"
-
-
-# 4-bit formats that keep hierarchical scales under ``auto`` (the mapped IQ
-# codebook formats; ops.linear.MAPPED_FMTS, duplicated to avoid the import
-# cycle quant -> ops -> quant)
-_COMPACT_4BIT = frozenset(("iq2_xxs", "iq2_xs", "iq2_s", "iq3_xxs", "iq3_s"))
 
 
 @dataclasses.dataclass
@@ -393,22 +388,32 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
 
     if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
              GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M):
-        # codebook formats store NATIVE-WIDTH codes (r4; VERDICT r3 #1):
-        # IQ2/IQ3 as 4-bit sign|magnitude (value map applied in-kernel by
-        # ops.linear.code_values — the dequant alphabets are fixed ABI),
-        # IQ1 as 2-bit trits with code_bias=1.  Scales keep the wire's
-        # d x sub-scale hierarchy at wire density; every split is a
-        # power-of-two factorization, so dequant stays bit-exact vs
-        # quant.iq_ref planes (see iq_ref "native-width packing" notes).
+        # codebook formats, two layouts (r4; VERDICT r3 #1 + A/B probes):
+        # - IQ1 always stores native 2-bit trit codes (code_bias 1) — the
+        #   qsplit kernel runs them at ~90% of their own roofline;
+        # - IQ2/IQ3 default to int8 VALUES + compact hierarchical scales
+        #   (~8.6 bpw): the 4-bit sign|magnitude code map costs ~9 VPU
+        #   ops/element, which measured 2.5x SLOWER than streaming int8
+        #   through the DMA-bound 8-bit kernel chain (fastest known);
+        # - LGT_IQ_CODES=packed4 opts IQ2/IQ3 into the 4-bit mapped codes
+        #   (ops.linear.code_values) for minimum HBM footprint.
+        # Scales keep the wire's d x sub-scale hierarchy; every split is
+        # a power-of-two factorization, so dequant stays bit-exact vs the
+        # quant.iq_ref planes in every mode.
         from .iq_ref import IQ_PACKED
-        codes, d, sc, dmin, mn, sub = IQ_PACKED[t](blocks)
-        bits = 2 if t in (GGMLType.IQ1_S, GGMLType.IQ1_M) else 4
-        return rw(codes.reshape(O, I), d.reshape(O, I // 256),
+        values, codes, d, sc, dmin, mn, sub = IQ_PACKED[t](blocks)
+        iq1 = t in (GGMLType.IQ1_S, GGMLType.IQ1_M)
+        packed4 = os.environ.get("LGT_IQ_CODES", "int8").lower() == "packed4"
+        if iq1 or packed4:
+            bits = 2 if iq1 else 4
+            return rw(codes.reshape(O, I), d.reshape(O, I // 256),
+                      sc=sc.reshape(O, I // sub),
+                      dmin=None if dmin is None else dmin.reshape(O, I // 256),
+                      mn=None if mn is None else mn.reshape(O, I // sub),
+                      bits=bits, sub=sub, dsz=256, bias=1 if iq1 else 0)
+        return rw(values.reshape(O, I), d.reshape(O, I // 256),
                   sc=sc.reshape(O, I // sub),
-                  dmin=None if dmin is None else dmin.reshape(O, I // 256),
-                  mn=None if mn is None else mn.reshape(O, I // sub),
-                  bits=bits, sub=sub, dsz=256,
-                  bias=1 if bits == 2 else 0)
+                  bits=8, sub=sub, dsz=256)
 
     raise NotImplementedError(f"repack for {t!r}")
 

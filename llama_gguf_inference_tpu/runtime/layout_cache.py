@@ -120,6 +120,9 @@ class LayoutCache:
             fp = _fingerprint(model_path)
         except OSError:
             return None
+        # the IQ code-layout knob changes what repack EMITS (int8 values
+        # vs packed4 codes) — flipping it must invalidate cached entries
+        fp += ":iq=" + os.environ.get("LGT_IQ_CODES", "int8").lower()
         return LayoutCache(cache_dir, fp)
 
     # -- read ---------------------------------------------------------------

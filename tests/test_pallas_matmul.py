@@ -134,14 +134,17 @@ NATIVE_LOWBIT = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
                  GGMLType.IQ1_M, GGMLType.Q2_K]
 
 
+@pytest.mark.parametrize("iq_codes", ["int8", "packed4"])
 @pytest.mark.parametrize("gtype", NATIVE_LOWBIT, ids=lambda t: t.name)
-def test_native_lowbit_kernels_match_xla(gtype, rng, monkeypatch):
-    """Native-width low-bit kernels (r4): IQ2/IQ3 stream 4-bit sign|mag
-    codes through fsplit with the in-kernel code->value map; Q2_K/IQ1
-    stream 2-bit codes through the quarter-split kernel.  Both must match
-    the XLA reference path (which shares the code_values map)."""
+def test_native_lowbit_kernels_match_xla(gtype, iq_codes, rng, monkeypatch):
+    """Low-bit kernels (r4): Q2_K/IQ1 stream 2-bit codes through the
+    quarter-split kernel; IQ2/IQ3 default to int8 values (8-bit chain,
+    fastest measured) and opt into 4-bit sign|mag codes + the in-kernel
+    code->value map under LGT_IQ_CODES=packed4 (minimum footprint).
+    Every combination must match the XLA reference path."""
     from llama_gguf_inference_tpu.ops import pallas_matmul as pm
 
+    monkeypatch.setenv("LGT_IQ_CODES", iq_codes)
     used = {}
     orig = pm._quant_matmul_2d_xsum
 
@@ -160,27 +163,51 @@ def test_native_lowbit_kernels_match_xla(gtype, rng, monkeypatch):
     scale = np.abs(want).max() + 1e-6
     assert np.abs(got - want).max() / scale < 2e-2, \
         f"{gtype.name}: rel err {np.abs(got - want).max() / scale}"
-    assert used["kern"] == ("qsplit" if ql.bits == 2 else "fsplit")
+    if ql.bits == 2:
+        assert used["kern"] == "qsplit"
+    elif ql.bits == 4:
+        assert used["kern"] == "fsplit"      # mapped codes force fsplit
+    else:
+        assert "kern" not in used            # int8 values: base 8-bit chain
 
 
-def test_native_lowbit_density():
+def test_native_lowbit_density(monkeypatch):
     """The on-device arrays of the IQ/2-bit formats must stay at native
-    width (VERDICT r3 #1 — IQ2_XS streamed at ~10 bpw before r4).  Pins the
-    achieved bits-per-weight: 4-bit sign|mag codes for IQ2/IQ3 (one spare
-    bit for IQ2 — a split 2-bit mag + 1-bit sign plane layout could reach
-    ~3.1 bpw and is the remaining headroom), 2-bit trits for IQ1, plus
-    wire-density hierarchical scales."""
-    max_bpw = {GGMLType.IQ2_XXS: 4.4, GGMLType.IQ2_XS: 4.7,
+    code width (VERDICT r3 #1 — IQ2_XS streamed ~10 bpw of int8 codes
+    before r4).  Default ``auto`` layout is speed-first (flat f32
+    sub-scales — the r4 A/B probe measured the in-kernel compact
+    expansion costing more than the bytes it saves); pinned per format
+    for both the default and the minimum-footprint
+    ``LGT_SCALE_LAYOUT=compact`` mode."""
+    # default: IQ2/IQ3 int8 values + compact scales (fastest measured);
+    # Q2_K/IQ1_S 2-bit + flat scales
+    default_bpw = {GGMLType.IQ2_XXS: 8.4, GGMLType.IQ2_XS: 8.7,
+                   GGMLType.IQ2_S: 8.7, GGMLType.IQ3_XXS: 8.4,
+                   GGMLType.IQ3_S: 8.4, GGMLType.IQ1_S: 4.1,
+                   GGMLType.IQ1_M: 10.1, GGMLType.Q2_K: 6.1}
+    # packed4 + compact: minimum-footprint mode
+    min_bpw = {GGMLType.IQ2_XXS: 4.4, GGMLType.IQ2_XS: 4.7,
                GGMLType.IQ2_S: 4.7, GGMLType.IQ3_XXS: 4.4,
                GGMLType.IQ3_S: 4.4, GGMLType.IQ1_S: 2.8,
                GGMLType.IQ1_M: 4.3, GGMLType.Q2_K: 3.3}
     rng = np.random.default_rng(7)
     out_f, in_f = 8, 1024
-    for gtype in NATIVE_LOWBIT:
-        x = rng.normal(size=(out_f, in_f)).astype(np.float32)
-        ql = to_quant_linear(repack(quantize(x, gtype), gtype, out_f, in_f))
-        dev = sum(int(np.asarray(a).nbytes)
-                  for a in (ql.codes, ql.d, ql.sc, ql.dmin, ql.mn)
-                  if a is not None)
-        bpw = dev * 8 / (out_f * in_f)
-        assert bpw <= max_bpw[gtype], f"{gtype.name}: {bpw:.2f} bpw"
+    for mode, caps in (((None, None), default_bpw),
+                       (("packed4", "compact"), min_bpw)):
+        iq_codes, layout = mode
+        for var, val in (("LGT_IQ_CODES", iq_codes),
+                         ("LGT_SCALE_LAYOUT", layout)):
+            if val:
+                monkeypatch.setenv(var, val)
+            else:
+                monkeypatch.delenv(var, raising=False)
+        for gtype in NATIVE_LOWBIT:
+            x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+            ql = to_quant_linear(repack(quantize(x, gtype), gtype,
+                                        out_f, in_f))
+            dev = sum(int(np.asarray(a).nbytes)
+                      for a in (ql.codes, ql.d, ql.sc, ql.dmin, ql.mn)
+                      if a is not None)
+            bpw = dev * 8 / (out_f * in_f)
+            assert bpw <= caps[gtype], \
+                f"{gtype.name} {iq_codes or 'default'}: {bpw:.2f} bpw"
