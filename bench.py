@@ -63,7 +63,8 @@ def log(*a):
 
 
 def bench_model_path(shape: str, quant: str = "q4_k",
-                     echo: bool = False) -> str:
+                     echo: bool = False, roll: int = 0,
+                     draft_miss: float = 0.0) -> str:
     """Synthesize (once) a bench-shape GGUF.
 
     ``echo=True`` zeroes every block tensor while keeping the (identical)
@@ -72,7 +73,16 @@ def bench_model_path(shape: str, quant: str = "q4_k",
     input token — the model deterministically repeats its last token.
     Same shapes/formats/HBM traffic as the normal model, but a perfectly
     predictable output stream: the acceptance-controlled upper bound for
-    speculative decoding (tools/spec_bench.py)."""
+    speculative decoding (tools/spec_bench.py).
+
+    ``roll`` (echo variants): output row v holds embedding row (v+roll),
+    so greedy emits ``t - roll`` — ``roll=-1`` walks the vocab ascending
+    instead of repeating one token.  ``draft_miss`` additionally zeroes
+    that fraction of output rows (on a mod-4 grid: exact for 0.25 / 0.5 /
+    0.75): when the true next token lands on a zeroed row the model
+    proposes something else.  A rolled target + a rolled-with-miss draft
+    realizes MID-RANGE per-token speculation agreement ~ (1 - draft_miss)
+    over the full vocab cycle (spec_bench acc25/acc50/acc75 modes)."""
     import numpy as np
 
     from llama_gguf_inference_tpu.gguf.constants import GGMLType, Keys
@@ -80,7 +90,9 @@ def bench_model_path(shape: str, quant: str = "q4_k",
     from llama_gguf_inference_tpu.utils.testing import make_tiny_vocab
 
     d = SHAPES[shape]
-    tag = f"{shape}_{quant}" + ("_echo" if echo else "")
+    tag = (f"{shape}_{quant}" + ("_echo" if echo else "")
+           + (f"_r{roll}" if roll else "")
+           + (f"_m{int(draft_miss * 100)}" if draft_miss else ""))
     path = os.environ.get("BENCH_MODEL", f"/tmp/bench_llama3_{tag}.gguf")
     legacy = f"/tmp/bench_llama3_{shape}_q4k.gguf"
     if quant == "q4_k" and not echo and "BENCH_MODEL" not in os.environ \
@@ -190,7 +202,32 @@ def bench_model_path(shape: str, quant: str = "q4_k",
             add_q(p + "ffn_up.weight", d["ffn_dim"], d["dim"], wq, zero=echo)
             add_q(p + "ffn_down.weight", d["dim"], d["ffn_dim"], wq, zero=echo)
     w.add_tensor("output_norm.weight", np.ones(d["dim"], np.float32), GGMLType.F32)
-    add_q("output.weight", vocab, d["dim"], GGMLType.Q6_K)
+    if roll or draft_miss:
+        oq = GGMLType.Q6_K
+        blk, bpb = type_block_info(oq)
+        rowbytes = d["dim"] // blk * bpb
+        key = (oq, False)
+        if key not in qpool:
+            qpool[key] = np.frombuffer(quantize(pool.reshape(1, -1), oq),
+                                       np.uint8)
+        qp = qpool[key]
+        nbytes = vocab * rowbytes
+        raw = np.tile(qp, -(-nbytes // qp.size))[:nbytes].copy()
+        if roll:
+            # whole-array byte roll == mod-vocab row roll (rows contiguous)
+            raw = np.roll(raw, -roll * rowbytes)
+        if draft_miss:
+            zrow = np.frombuffer(
+                quantize(np.zeros((1, d["dim"]), np.float32), oq),
+                np.uint8)[:rowbytes]
+            n_zero = int(round(draft_miss * 4))        # of every 4 rows
+            for r in range(vocab):
+                if r % 4 < n_zero:
+                    raw[r * rowbytes:(r + 1) * rowbytes] = zrow
+        w.add_raw_tensor("output.weight", (d["dim"], vocab), oq,
+                         raw.tobytes())
+    else:
+        add_q("output.weight", vocab, d["dim"], GGMLType.Q6_K)
     w.write()
     log(f"[bench] model written in {time.time() - t0:.1f}s "
         f"({os.path.getsize(path) / 1e9:.2f} GB)")
@@ -364,6 +401,9 @@ def main() -> None:
         "decode_step_ms": round(step_ms, 2),
         "ttft512_p50_ms": round(ttft_p50, 1),
         "ttft512_p95_ms": round(ttft_p95, 1),
+        # prefill throughput: the TTFT sample IS a full 512-token prefill
+        # + one decode step (unique prompt heads defeat the prefix cache)
+        "prefill_tok_s": round(512 / (ttft_p50 / 1000.0), 1),
         "weight_gb": round(weight_bytes / 1e9, 3),
         "load_s": round(load_s, 1),
     }

@@ -122,6 +122,9 @@ def main(argv=None) -> int:
 
     import os
 
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()   # honor JAX_PLATFORMS=cpu for off-TPU smokes
+
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")

@@ -16,9 +16,19 @@ the MACHINERY from the CONTENT by pinning acceptance at both ends:
 - ``gate``: RANDOM-weight target + draft (acceptance ~0) with the
   adaptive gate on — holds ~parity with plain decode instead of paying
   the ~40% round-2 penalty.
+- ``acc25``/``acc50``/``acc75`` (r4): MID-RANGE acceptance — the target
+  is a ROLLED echo model (emits t+1: walks the vocab ascending) and the
+  draft rolls identically but with 75/50/25% of its output rows zeroed,
+  so PER-TOKEN draft agreement is the named fraction p over the cycle.
+  The engine's acceptance statistic (accepted/drafted — the same EWMA
+  the gate thresholds on) then follows the geometric truncation
+  p(1-p^K)/(K(1-p)): ~0.19 at p=0.5, K=5.  Together with plain + high
+  these draw the tok/s-vs-acceptance curve that sets ``spec_min_accept``
+  and guides ``spec_tokens``.
 
 Usage (TPU):  python -m llama_gguf_inference_tpu.tools.spec_bench
-  [--shape 8b] [--modes plain,high,ngram,gate] [--steps 96]
+  [--shape 8b] [--modes plain,high,acc75,acc50,acc25,ngram,gate]
+  [--steps 96] [--spec-tokens 5] [--draft-shape 1b3]
 
 Prints one JSON line per mode: {"mode", "tok_s", "acceptance", ...}.
 """
@@ -78,6 +88,9 @@ def main() -> None:
     ap.add_argument("--draft-shape", default="1b")
     args = ap.parse_args()
 
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()   # honor JAX_PLATFORMS=cpu for off-TPU smokes
+
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
     import bench  # repo-root bench.py: model synthesis
@@ -106,6 +119,19 @@ def main() -> None:
             path = bench.bench_model_path(args.shape, echo=True)
             r = measure(path, args.steps, ngram=True,
                         spec_tokens=args.spec_tokens)
+        elif mode.startswith("acc"):
+            # mid-acceptance points (VERDICT r3 #4): rolled echo target
+            # walks the vocab ascending; the draft rolls identically but
+            # has (1 - p) of its output rows zeroed, so realized
+            # acceptance ~ p measured over the cycle (bench_model_path
+            # roll/draft_miss docstring)
+            frac = int(mode[3:]) / 100.0
+            path = bench.bench_model_path(args.shape, echo=True, roll=-1)
+            dpath = bench.bench_model_path(draft_shape, echo=True, roll=-1,
+                                           draft_miss=1.0 - frac)
+            r = measure(path, args.steps, draft=dpath,
+                        spec_tokens=args.spec_tokens)
+            r["per_token_agreement"] = frac
         elif mode == "gate":
             path = bench.bench_model_path(args.shape)
             dpath = bench.bench_model_path(draft_shape)
