@@ -241,57 +241,62 @@ def _codes4_from_values(vals: np.ndarray, fmt: str) -> np.ndarray:
     return (c | ((v < 0) << 3)).astype(np.uint8)
 
 
-def _packed_iq2_xxs(blocks: np.ndarray):
+def _packed_iq2_xxs(blocks: np.ndarray, with_packed: bool = True):
     nb = blocks.shape[0]
     codes, _s, _m, sub = _planes_iq2_xxs(blocks)
     d = _f16(blocks[:, 0:2])                                     # (nb, 1)
     q16 = blocks[:, 2:66].copy().view("<u2").reshape(nb, 8, 4).astype(np.uint32)
     a1 = q16[..., 2] | (q16[..., 3] << 16)
     s4 = (a1 >> 28).astype(np.uint8)                             # (nb, 8)
-    return (codes, _codes4_from_values(codes, "iq2"), d * 0.125,
+    return (codes,
+            _codes4_from_values(codes, "iq2") if with_packed else None, d * 0.125,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
-def _packed_iq2_xs(blocks: np.ndarray):
+def _packed_iq2_xs(blocks: np.ndarray, with_packed: bool = True):
     nb = blocks.shape[0]
     codes, _s, _m, sub = _planes_iq2_xs(blocks)
     d = _f16(blocks[:, 0:2])
     sc = blocks[:, 66:74]
     s4 = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 16)
-    return (codes, _codes4_from_values(codes, "iq2"), d * 0.125,
+    return (codes,
+            _codes4_from_values(codes, "iq2") if with_packed else None, d * 0.125,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
-def _packed_iq2_s(blocks: np.ndarray):
+def _packed_iq2_s(blocks: np.ndarray, with_packed: bool = True):
     nb = blocks.shape[0]
     codes, _s, _m, sub = _planes_iq2_s(blocks)
     d = _f16(blocks[:, 0:2])
     sc = blocks[:, 74:82]
     s4 = np.stack([sc & 0xF, sc >> 4], axis=-1).reshape(nb, 16)
-    return (codes, _codes4_from_values(codes, "iq2"), d * 0.125,
+    return (codes,
+            _codes4_from_values(codes, "iq2") if with_packed else None, d * 0.125,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
-def _packed_iq3_xxs(blocks: np.ndarray):
+def _packed_iq3_xxs(blocks: np.ndarray, with_packed: bool = True):
     codes, _s, _m, sub = _planes_iq3_xxs(blocks)
     d = _f16(blocks[:, 0:2])
     aux = blocks[:, 66:98].copy().view("<u4")
     s4 = (aux >> 28).astype(np.uint8)                            # (nb, 8)
-    return (codes, _codes4_from_values(codes, "iq3"), d * 0.25,
+    return (codes,
+            _codes4_from_values(codes, "iq3") if with_packed else None, d * 0.25,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
-def _packed_iq3_s(blocks: np.ndarray):
+def _packed_iq3_s(blocks: np.ndarray, with_packed: bool = True):
     codes, _s, _m, sub = _planes_iq3_s(blocks)
     d = _f16(blocks[:, 0:2])
     sc4 = blocks[:, 106:110]
     m8 = np.arange(8)
     s4 = (sc4[:, m8 // 2] >> (4 * (m8 % 2))) & 0xF               # (nb, 8)
-    return (codes, _codes4_from_values(codes, "iq3"), d,
+    return (codes,
+            _codes4_from_values(codes, "iq3") if with_packed else None, d,
             (2 * s4 + 1).astype(np.uint8), None, None, sub)
 
 
-def _packed_iq1_s(blocks: np.ndarray):
+def _packed_iq1_s(blocks: np.ndarray, with_packed: bool = True):
     codes, _s, _m, sub = _planes_iq1_s(blocks)
     d = _f16(blocks[:, 0:2])
     qh = blocks[:, 34:50].copy().view("<u2").astype(np.int64)    # (nb, 8)
@@ -301,10 +306,10 @@ def _packed_iq1_s(blocks: np.ndarray):
     mn = np.where(qh & 0x8000, odd.astype(np.int32),
                   -odd.astype(np.int32)).astype(np.int8)
     return (codes, (codes.astype(np.int32) + 1).astype(np.uint8), d,
-            odd, d * IQ1S_DELTA, mn, sub)
+            odd, d * IQ1S_DELTA, mn, sub)   # iq1 packed codes are trivial
 
 
-def _packed_iq1_m(blocks: np.ndarray):
+def _packed_iq1_m(blocks: np.ndarray, with_packed: bool = True):
     nb = blocks.shape[0]
     codes, _s, _m, sub = _planes_iq1_m(blocks)
     qh = blocks[:, 32:48].reshape(nb, 8, 2)

@@ -401,9 +401,10 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
         # a power-of-two factorization, so dequant stays bit-exact vs the
         # quant.iq_ref planes in every mode.
         from .iq_ref import IQ_PACKED
-        values, codes, d, sc, dmin, mn, sub = IQ_PACKED[t](blocks)
         iq1 = t in (GGMLType.IQ1_S, GGMLType.IQ1_M)
         packed4 = os.environ.get("LGT_IQ_CODES", "int8").lower() == "packed4"
+        values, codes, d, sc, dmin, mn, sub = IQ_PACKED[t](
+            blocks, with_packed=iq1 or packed4)
         if iq1 or packed4:
             bits = 2 if iq1 else 4
             return rw(codes.reshape(O, I), d.reshape(O, I // 256),
