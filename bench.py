@@ -38,10 +38,13 @@ SHAPES = {
     "1b3": dict(dim=2048, n_layers=16, n_heads=32, n_kv_heads=8,
                 ffn_dim=8192, vocab=128256, rope_base=500000.0),
     # Mixtral-style MoE (BASELINE config 4, scaled to one 16 GB chip):
-    # 8 experts x (3 x 4096x4096) per layer, top-2 routing -> ~10.8 GB
-    # resident Q4_K, ~3.4 GB ACTIVE per decode step (cond-gated 2/8)
+    # 8 experts x (3 x 2048x4096) per layer, top-2 routing -> ~6.3 GB
+    # resident Q4_K, ~2.3 GB ACTIVE per decode step (cond-gated 2/8).
+    # An ffn 4096 variant (10.9 GB resident) OOMs during prefill-graph
+    # compilation on the 16 GB chip — XLA's per-expert dequant transients
+    # need the headroom.
     "moe": dict(dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
-                ffn_dim=4096, vocab=32000, rope_base=500000.0,
+                ffn_dim=2048, vocab=32000, rope_base=500000.0,
                 n_experts=8, n_experts_used=2),
     # CPU-smoke MoE shape (flow validation off-TPU)
     "moe160m": dict(dim=512, n_layers=4, n_heads=8, n_kv_heads=4,
@@ -235,6 +238,8 @@ def bench_model_path(shape: str, quant: str = "q4_k",
 
 
 def main() -> None:
+    from llama_gguf_inference_tpu.utils.platform import apply_platform_env
+    apply_platform_env()   # honor JAX_PLATFORMS=cpu for off-TPU smokes
     shape = os.environ.get("BENCH_SHAPE", "8b")
     # BENCH_QUANT=q2_k measures BASELINE config 3 (low-bit K-quant);
     # default q4_k is config 2
@@ -257,6 +262,13 @@ def main() -> None:
 
     # BENCH_SLOTS>1 measures aggregate continuous-batching throughput
     n_slots = int(os.environ.get("BENCH_SLOTS", 1))
+    # MoE shapes prefill through a 128 bucket: at 512 the capacity-factor
+    # expert matmuls (256 rows) take the XLA path, whose per-expert bf16
+    # dequant transients OOM the 16 GB chip; at 128 the capacity drops to
+    # 64 rows and the experts stay on the Pallas kernels (no transients).
+    # Longer prompts chunk through the bucket.
+    bucket = int(os.environ.get(
+        "BENCH_PREFILL_BUCKET", 128 if shape.startswith("moe") else 512))
 
     # BENCH_KV=q8_0 measures quantized-KV serving (BASELINE config 4
     # pairs the MoE shape with a q8_0 cache)
@@ -269,7 +281,7 @@ def main() -> None:
         # absorb them across runs; the 512 bucket covers both the timed
         # prompt and the TTFT prompts (decode cost is S-bound, not
         # prompt-length-bound, so nothing in the metrics changes)
-        max_slots=n_slots, ctx=1024, prefill_buckets=(512,), mode="quant",
+        max_slots=n_slots, ctx=1024, prefill_buckets=(bucket,), mode="quant",
         kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
         multi_step=int(os.environ.get("BENCH_MULTI_STEP", 32))))
     eng.start()
