@@ -106,49 +106,14 @@ def main() -> None:
     draft_shape = args.draft_shape
     results = {}
     for mode in modes:
-        t0 = time.time()
-        if mode == "plain":
-            path = bench.bench_model_path(args.shape, echo=True)
-            r = measure(path, args.steps)
-        elif mode == "high":
-            path = bench.bench_model_path(args.shape, echo=True)
-            dpath = bench.bench_model_path(draft_shape, echo=True)
-            r = measure(path, args.steps, draft=dpath,
-                        spec_tokens=args.spec_tokens)
-        elif mode == "ngram":
-            path = bench.bench_model_path(args.shape, echo=True)
-            r = measure(path, args.steps, ngram=True,
-                        spec_tokens=args.spec_tokens)
-        elif mode.startswith("acc"):
-            # mid-acceptance points (VERDICT r3 #4): rolled echo target
-            # walks the vocab ascending; the draft rolls identically but
-            # has (1 - p) of its output rows zeroed, so realized
-            # acceptance ~ p measured over the cycle (bench_model_path
-            # roll/draft_miss docstring)
-            frac = int(mode[3:]) / 100.0
-            path = bench.bench_model_path(args.shape, echo=True, roll=-1)
-            dpath = bench.bench_model_path(draft_shape, echo=True, roll=-1,
-                                           draft_miss=1.0 - frac)
-            r = measure(path, args.steps, draft=dpath,
-                        spec_tokens=args.spec_tokens)
-            r["per_token_agreement"] = frac
-        elif mode == "gate":
-            path = bench.bench_model_path(args.shape)
-            dpath = bench.bench_model_path(draft_shape)
-            r = measure(path, args.steps, draft=dpath, min_accept=0.2,
-                        spec_tokens=args.spec_tokens)
-        else:
-            raise SystemExit(f"unknown mode {mode!r}")
-        r.update(mode=mode, wall_s=round(time.time() - t0, 1))
-        results[mode] = r
-        print(json.dumps(r), flush=True)
-        # the relay frees a stopped engine's HBM with a lag; without this
-        # the next mode's model load ResourceExhausts (8b plain + 8b high
-        # would briefly double-book ~14 GB of a 16 GB chip)
-        import gc
-        gc.collect()
-        if mode != modes[-1]:        # no pause needed after the final mode
-            time.sleep(float(os.environ.get("SPEC_BENCH_MODE_PAUSE", 60)))
+        try:
+            _run_mode(mode, args, bench, draft_shape, results, modes)
+        except Exception as e:  # noqa: BLE001 — one OOM'd mode must not
+            # kill the sweep (the relay frees crashed HBM with a lag)
+            print(json.dumps({"mode": mode, "error":
+                              f"{type(e).__name__}: "
+                              f"{str(e).splitlines()[0][:160]}"}), flush=True)
+            time.sleep(float(os.environ.get("SPEC_BENCH_MODE_PAUSE", 120)))
 
     if "plain" in results:
         base = results["plain"]["tok_s"]
@@ -157,6 +122,52 @@ def main() -> None:
                 print(json.dumps({"summary": m,
                                   "speedup_vs_plain": round(r["tok_s"] / base, 2)}),
                       flush=True)
+
+
+def _run_mode(mode, args, bench, draft_shape, results, modes):
+    t0 = time.time()
+    if mode == "plain":
+        path = bench.bench_model_path(args.shape, echo=True)
+        r = measure(path, args.steps)
+    elif mode == "high":
+        path = bench.bench_model_path(args.shape, echo=True)
+        dpath = bench.bench_model_path(draft_shape, echo=True)
+        r = measure(path, args.steps, draft=dpath,
+                    spec_tokens=args.spec_tokens)
+    elif mode == "ngram":
+        path = bench.bench_model_path(args.shape, echo=True)
+        r = measure(path, args.steps, ngram=True,
+                    spec_tokens=args.spec_tokens)
+    elif mode.startswith("acc"):
+        # mid-acceptance points (VERDICT r3 #4): rolled echo target
+        # walks the vocab ascending; the draft rolls identically but
+        # has (1 - p) of its output rows zeroed, so realized
+        # acceptance ~ p measured over the cycle (bench_model_path
+        # roll/draft_miss docstring)
+        frac = int(mode[3:]) / 100.0
+        path = bench.bench_model_path(args.shape, echo=True, roll=-1)
+        dpath = bench.bench_model_path(draft_shape, echo=True, roll=-1,
+                                       draft_miss=1.0 - frac)
+        r = measure(path, args.steps, draft=dpath,
+                    spec_tokens=args.spec_tokens)
+        r["per_token_agreement"] = frac
+    elif mode == "gate":
+        path = bench.bench_model_path(args.shape)
+        dpath = bench.bench_model_path(draft_shape)
+        r = measure(path, args.steps, draft=dpath, min_accept=0.2,
+                    spec_tokens=args.spec_tokens)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+    r.update(mode=mode, wall_s=round(time.time() - t0, 1))
+    results[mode] = r
+    print(json.dumps(r), flush=True)
+    # the relay frees a stopped engine's HBM with a lag; without this
+    # the next mode's model load ResourceExhausts (8b plain + 8b high
+    # would briefly double-book ~14 GB of a 16 GB chip)
+    import gc
+    gc.collect()
+    if mode != modes[-1]:        # no pause needed after the final mode
+        time.sleep(float(os.environ.get("SPEC_BENCH_MODE_PAUSE", 120)))
 
 
 if __name__ == "__main__":
