@@ -304,7 +304,7 @@ def main() -> None:
     expert_bytes = 0
     if getattr(eng.cfg, "is_moe", False):
         for layer in eng.params["layers"]:
-            for key in ("experts", "experts_ep"):
+            for key in ("experts", "experts_ep", "experts_st"):
                 if key in layer:
                     expert_bytes += sum(
                         l.nbytes for l in jax.tree_util.tree_leaves(

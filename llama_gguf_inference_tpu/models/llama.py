@@ -656,6 +656,30 @@ def _moe_capacity(layer: Params, cfg: ModelConfig, x: jax.Array,
     return out.reshape(B, T, D).astype(x.dtype)
 
 
+def _expert_views(st: Params, n_experts: int) -> list[Params]:
+    """Per-expert weight dicts sliced from stacked (E,)-leading arrays.
+
+    Static indexing under jit — XLA lowers each slice to a view of the
+    shared buffer, so the cond/capacity code below runs unchanged while
+    the PARAMS pytree stays ~9 arrays per layer (runtime.loader
+    _stack_layer_experts rationale)."""
+    import dataclasses as _dc
+
+    from ..ops.linear import DenseLinear
+
+    def view(w, e):
+        if isinstance(w, DenseLinear):
+            return _dc.replace(w, w=w.w[e])
+        return _dc.replace(
+            w, codes=w.codes[e], d=w.d[e],
+            sc=None if w.sc is None else w.sc[e],
+            dmin=None if w.dmin is None else w.dmin[e],
+            mn=None if w.mn is None else w.mn[e])
+
+    return [{role: view(st[role], e) for role in st}
+            for e in range(n_experts)]
+
+
 def ffn_moe(layer: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     """Mixtral-style top-k routed experts.
 
@@ -669,6 +693,10 @@ def ffn_moe(layer: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     if "experts_ep" in layer:
         from ..parallel.ep import moe_ep
         return moe_ep(layer, cfg, x, w_exp)
+    if "experts_st" in layer:
+        layer = dict(layer)
+        layer["experts"] = _expert_views(layer["experts_st"],
+                                         cfg.n_experts)
     if os.environ.get("LGT_MOE_DENSE"):
         return _moe_dense(layer, cfg, x, w_exp)
     B, T, _ = x.shape
@@ -754,7 +782,8 @@ def forward(params: Params, cfg: ModelConfig, token_ids: jax.Array,
             x = x + attn_out
             ffn_in = _norm(x, layer, "ffn_norm", cfg) \
                 if "ffn_norm" in layer else x
-        if "experts" in layer or "experts_ep" in layer:
+        if ("experts" in layer or "experts_ep" in layer
+                or "experts_st" in layer):
             # per-layer: deepseek2's leading layers are dense, the rest MoE
             ffn_out = ffn_moe(layer, cfg, ffn_in)
             if "shared_experts" in layer:

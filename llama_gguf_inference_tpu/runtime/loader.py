@@ -263,6 +263,7 @@ def load_params(reader: GGUFReader, cfg: ModelConfig, mode: str = "quant",
     if fuse:
         for layer in params["layers"]:
             _fuse_layer(layer, cfg)
+            _stack_layer_experts(layer)
     if cfg.is_mla:
         for layer in params["layers"]:
             _absorb_mla(layer, cfg)
@@ -321,6 +322,45 @@ def _resolve_pending(params: dict, cache) -> dict:
                            in_features=e.shape[1])
 
     return jax.tree_util.tree_map(sub, params, is_leaf=is_pending)
+
+
+def _stack_layer_experts(layer: dict) -> None:
+    """Coalesce per-expert weights into stacked (E,)-leading arrays.
+
+    Single-chip MoE layers otherwise carry ~25 small device arrays PER
+    EXPERT (8 experts x 3 roles x codes/scale arrays) — ~2,500 arrays on
+    a Mixtral shape, which the remote-runtime relay handles pathologically
+    (per-array transfer/bookkeeping overhead measured in minutes, r4).
+    Stacking gives ~9 big arrays per layer (the 8B dense class); the
+    forward slices expert ``e`` back out statically
+    (models.llama._expert_views), which XLA lowers to free views of the
+    same buffers.  Same representation the EP mesh path uses
+    (parallel.partition.stack_experts).
+    """
+    if "experts" not in layer:
+        return
+    from ..ops.linear import DenseLinear, QuantLinear
+    from ..parallel.partition import stack_experts
+    experts = layer["experts"]
+
+    def geom(w):
+        if isinstance(w, DenseLinear):
+            return ("dense", w.w.shape, w.w.dtype)
+        if isinstance(w, QuantLinear):
+            return (w.fmt, w.bits, w.sub_size, w.d_size, w.code_bias,
+                    w.out_features, w.in_features, w.sc is None,
+                    w.dmin is None, w.mn is None)
+        return None                       # LoRA-wrapped etc: don't stack
+
+    for role in ("ffn_gate", "ffn_up", "ffn_down"):
+        gs = {geom(ex[role]) for ex in experts}
+        if len(gs) != 1 or None in gs:
+            return                        # mixed geometry: keep the list
+    layer.pop("experts")
+    layer["experts_st"] = {
+        role: stack_experts(experts, role)
+        for role in ("ffn_gate", "ffn_up", "ffn_down")
+    }
 
 
 def _fuse_layer(layer: dict, cfg: ModelConfig) -> None:

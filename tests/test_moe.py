@@ -124,3 +124,39 @@ def test_ep_lite_fallback_when_indivisible(moe_model):
     sp = shard_params(params, cfg, mesh)
     assert "experts" in sp["layers"][0]
     assert "experts_ep" not in sp["layers"][0]
+
+
+def test_stacked_experts_match_per_expert_list(moe_model, tmp_path):
+    """Single-chip fused load coalesces experts into stacked (E,)-leading
+    arrays (r4: the per-expert array zoo cost minutes of per-array relay
+    overhead on Mixtral shapes).  The stacked forward must produce
+    BIT-IDENTICAL logits to the per-expert-list forward, and the stacked
+    layer must carry ~9 arrays instead of ~E*9."""
+    cfg, params_list, reader = moe_model
+    path = reader.path if hasattr(reader, "path") else None
+    p = tmp_path / "moe2.gguf"
+    write_tiny_llama(p, dim=128, n_layers=2, n_heads=8, n_kv_heads=4,
+                     ffn_dim=256, n_experts=4, n_experts_used=2,
+                     quant=GGMLType.Q8_0)
+    cfg2, params_fused, r2 = load_model(p, mode="quant", fuse=True)
+    r2.close()
+    assert "experts_st" in params_fused["layers"][0]
+    assert "experts" not in params_fused["layers"][0]
+    n_leaves = len(jax.tree_util.tree_leaves(
+        params_fused["layers"][0]["experts_st"]))
+    assert n_leaves <= 12
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(5, 250, size=(1, 6)), jnp.int32)
+    cache_a = KVCache.zeros(cfg, 1, 16)
+    cache_b = KVCache.zeros(cfg2, 1, 16)
+    la, _ = forward(params_list, cfg, ids, jnp.zeros(1, jnp.int32),
+                    cache_a, jnp.full(1, 6, jnp.int32))
+    lb, _ = forward(params_fused, cfg2, ids, jnp.zeros(1, jnp.int32),
+                    cache_b, jnp.full(1, 6, jnp.int32))
+    # same weights; fused QKV + stacked experts change only array layout.
+    # bf16 matmul association can differ for the fused QKV, so allow tiny
+    # numerics; the MoE combine itself is unchanged.
+    np.testing.assert_allclose(np.asarray(la, np.float32),
+                               np.asarray(lb, np.float32),
+                               atol=2e-2, rtol=2e-2)
