@@ -731,12 +731,17 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array, out_dtype=None) -> jax.Arr
 
     cb_per_row = in_f * w.bits // 8
     TO = _pick_tile(out_f, in_f, cb_per_row)
-    # Large B (prefill buckets) goes to the XLA dequant path: the kernels
-    # map the full (B, in) activation tile into VMEM, which blows the 16 MB
-    # scoped budget at B=512 × in=14336 (observed compile OOM), and prefill
-    # is MXU-bound anyway — streaming packed weights buys nothing there.
+    # Prefill-sized batches take the Pallas kernels only while the (B, in)
+    # activation tile fits a VMEM budget: B=512 x in=14336 blows the 16 MB
+    # scoped budget (observed compile OOM), but B=512 x in=4096 (qkv) and
+    # B=128 x anything fit fine.  Falling back to XLA costs more than MXU
+    # time: the dequant fallback materializes bf16 WEIGHT transients in
+    # HBM — ~0.4 GB/layer on an 8B, and XLA's scheduler keeps enough of
+    # them alive to ResourceExhaust a 16 GB chip once residency passes
+    # ~7 GB (r4: the spec-bench target+draft and MoE prefill OOMs).
     max_b = int(os.environ.get("LGT_MM_MAX_B", 64))
-    if TO == 0 or in_f % _LANE or B > max_b:
+    x_vmem = int(os.environ.get("LGT_MM_X_VMEM", 6 * 1024 * 1024))
+    if TO == 0 or in_f % _LANE or (B > max_b and B * in_f * 2 > x_vmem):
         return w.matmul_xla(x, out_dtype)
 
     # reorder activation features into the weight's block-minor order

@@ -126,6 +126,15 @@ def load_model(path: str | Path, mode: str = "quant", fuse: bool = False,
         raise ValueError(
             f"unsupported GGUF architecture {cfg.arch!r} "
             f"(supported: {', '.join(SUPPORTED_ARCHES)})")
+    if cfg.is_moe and os.environ.get("JAX_PLATFORMS", "") == "axon" \
+            and "LGT_UPLOAD" not in os.environ:
+        # the axon relay mishandles bulk-carved buffers for MoE chunk
+        # layouts (first compute stalls then ResourceExhausts — bisect in
+        # DEBUGGING.md "Bulk-carve upload vs the axon relay"); per-tensor
+        # transfers are slower to warm but correct.  Local TPUs unaffected.
+        os.environ["LGT_UPLOAD"] = "tensor"
+        print("[loader] axon relay + MoE model: per-tensor upload "
+              "(DEBUGGING.md bulk-carve issue)", flush=True)
     cache = None
     if mode == "quant":
         from .layout_cache import LayoutCache

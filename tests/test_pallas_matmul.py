@@ -98,11 +98,12 @@ def test_variant_kernels_match_xla(gtype, variant, rng, monkeypatch):
         f"{gtype.name}/{variant}: rel err {np.abs(got - want).max() / scale}"
 
 
-def test_large_batch_takes_xla_path(rng, monkeypatch):
-    """Prefill-sized batches must NOT enter the Pallas kernels: the kernel
-    maps the full (B, in) activation tile into VMEM, which OOMs the 16 MB
-    scoped budget at B=512 x in=14336 (observed on v5e).  Above LGT_MM_MAX_B
-    the dispatcher routes to matmul_xla (prefill is MXU-bound anyway)."""
+def test_large_batch_vmem_gated(rng, monkeypatch):
+    """Prefill-sized batches use the Pallas kernels only while the (B, in)
+    activation tile fits LGT_MM_X_VMEM — B=512 x in=14336 blows the VMEM
+    scoped budget (observed on v5e), but small-in prefills must NOT fall
+    to the XLA path: its bf16 weight-dequant transients ResourceExhaust
+    the chip at high residency (r4 spec-bench/MoE OOMs)."""
     import jax.numpy as jnp
 
     from llama_gguf_inference_tpu.ops import pallas_matmul as pm
@@ -121,12 +122,19 @@ def test_large_batch_takes_xla_path(rng, monkeypatch):
     pm.pallas_quant_matmul(ql, x_small)
     assert calls["pallas"] == 1
 
+    # B=128 x in=256 fits the default budget -> stays on the kernels
     x_prefill = jnp.asarray(rng.normal(size=(128, 256)), jnp.bfloat16)
     got = np.asarray(pm.pallas_quant_matmul(ql, x_prefill))
-    assert calls["pallas"] == 1          # unchanged: took the XLA path
+    assert calls["pallas"] == 2
     want = np.asarray(ql.matmul_xla(x_prefill))
     scale = np.abs(want).max() + 1e-6
     assert np.abs(got - want).max() / scale < 2e-2
+
+    # shrinking the budget reroutes the same shape to the XLA path
+    monkeypatch.setenv("LGT_MM_X_VMEM", "1024")
+    got2 = np.asarray(pm.pallas_quant_matmul(ql, x_prefill))
+    assert calls["pallas"] == 2          # unchanged: took the XLA path
+    assert np.abs(got2 - want).max() / scale < 2e-2
 
 
 NATIVE_LOWBIT = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
