@@ -103,6 +103,21 @@ def _device_put_tree(tree, sharding: NamedSharding):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def _row_parallel(w, mesh: Mesh):
+    """Row-parallel placement: the explicit-overlap path
+    (``LGT_TP_OVERLAP=1`` — per-shard repacked stack + shard_map ring
+    all-reduce, parallel.overlap) when eligible, else the GSPMD default."""
+    from ..ops.linear import LoraLinear
+    from .overlap import make_row_parallel, overlap_enabled
+    tp = mesh.shape[AXIS_TP]
+    if (overlap_enabled() and tp > 1 and mesh.shape[AXIS_DP] == 1
+            and not isinstance(w, LoraLinear)
+            and shard_decision(w.out_features, w.in_features, 1, tp,
+                               _block_multiple(w))):
+        return make_row_parallel(w, mesh)
+    return _shard_linear(w, mesh, AXIS_TP, 1)
+
+
 def stack_experts(experts: list[dict[str, Any]], role: str):
     """Stack one expert role (gate/up/down) across all experts: each array
     field gains a leading (E,) axis.  Static geometry must match across
@@ -155,7 +170,7 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
     layers = []
     for layer in params["layers"]:
         new: dict[str, Any] = {
-            "attn_output": _shard_linear(layer["attn_output"], mesh, AXIS_TP, 1),
+            "attn_output": _row_parallel(layer["attn_output"], mesh),
         }
         # pre-norms are optional (olmo2 ships post-norms only; command-r
         # has a single shared pre-norm) — the catch-all below replicates
@@ -220,14 +235,14 @@ def shard_params(params: dict[str, Any], cfg: ModelConfig, mesh: Mesh) -> dict[s
                 ]
         elif "ffn_gateup" in layer:
             new["ffn_gateup"] = _shard_linear(layer["ffn_gateup"], mesh, AXIS_TP, 0)
-            new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
+            new["ffn_down"] = _row_parallel(layer["ffn_down"], mesh)
         elif "ffn_gate" in layer:
             new["ffn_gate"] = _shard_linear(layer["ffn_gate"], mesh, AXIS_TP, 0)
             new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)
-            new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
+            new["ffn_down"] = _row_parallel(layer["ffn_down"], mesh)
         else:   # plain MLP (starcoder2): up column-, down row-parallel
             new["ffn_up"] = _shard_linear(layer["ffn_up"], mesh, AXIS_TP, 0)
-            new["ffn_down"] = _shard_linear(layer["ffn_down"], mesh, AXIS_TP, 1)
+            new["ffn_down"] = _row_parallel(layer["ffn_down"], mesh)
         # per-arch extras (qwen2 biases, qwen3 q/k norms, gemma2 post-norms):
         # small 1-D vectors — replicate.  A generic pass so new optional
         # tensors can never be silently dropped from the sharded pytree.

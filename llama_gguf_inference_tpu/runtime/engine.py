@@ -340,14 +340,13 @@ class InferenceEngine:
 
         @partial(jax.jit, donate_argnums=(1,))
         def decode_step(params, cache: KVCache, tokens, offsets, st: SampleState):
-            # tokens (B, 1); offsets (B,)
+            # tokens (B, 1); offsets (B,).  No log-softmax here: per-token
+            # logprobs live only in the _lp variants — the default hot path
+            # must not pay a (B, V) softmax pass per step it never reads.
             logits, cache = forward(params, cfg, tokens, offsets, cache,
                                     jnp.ones(tokens.shape[0], jnp.int32))
-            last = logits[:, 0, :]
-            tok, st = sample(last, st)
-            lp = jax.nn.log_softmax(last, axis=-1)
-            tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
-            return tok, st, cache, tok_lp
+            tok, st = sample(logits[:, 0, :], st)
+            return tok, st, cache
 
         self._decode_step = decode_step
 
@@ -363,19 +362,17 @@ class InferenceEngine:
                     cache, tok, off, st = carry
                     logits, cache = forward(params, cfg, tok, off, cache,
                                             jnp.ones(tok.shape[0], jnp.int32))
-                    last = logits[:, 0, :]
-                    nxt, st = sample(last, st)
-                    lp = jax.nn.log_softmax(last, axis=-1)
-                    tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
-                    return (cache, nxt[:, None], off + 1, st), (nxt, tok_lp)
+                    nxt, st = sample(logits[:, 0, :], st)
+                    return (cache, nxt[:, None], off + 1, st), nxt
 
-                (cache, next_tok, _, st), (toks, lps) = jax.lax.scan(
+                (cache, next_tok, next_off, st), toks = jax.lax.scan(
                     body, (cache, tokens, offsets, st), None, length=n_steps)
-                # next_tok (B, 1) is the continuation's token input — returned
-                # on-device so the pipelined dispatch needs NO host-side ops
-                # on the in-flight result (an eager slice here costs a remote
-                # compile + dispatch round trip; measured 1.8 s first-request)
-                return toks, st, cache, lps, next_tok
+                # next_tok (B, 1) / next_off (B,) are the continuation's
+                # inputs — returned on-device so the pipelined dispatch needs
+                # NO host-side ops or transfers on the in-flight result (an
+                # eager slice here costs a remote compile + dispatch round
+                # trip; a numpy offsets re-upload costs a relay transfer)
+                return toks, st, cache, next_tok, next_off
             return decode_multi
 
         self._decode_multi_fns: dict[int, Any] = {}
@@ -417,9 +414,11 @@ class InferenceEngine:
                     return (cache, nxt[:, None], off + 1, st), \
                         (nxt, tok_lp, top_v, top_i)
 
-                (cache, next_tok, _, st), (toks, lps, tv, ti) = jax.lax.scan(
-                    body, (cache, tokens, offsets, st), None, length=n_steps)
-                return toks, st, cache, lps, tv, ti, next_tok
+                (cache, next_tok, next_off, st), (toks, lps, tv, ti) = \
+                    jax.lax.scan(
+                        body, (cache, tokens, offsets, st), None,
+                        length=n_steps)
+                return toks, st, cache, lps, tv, ti, next_tok, next_off
             return decode_multi_lp
 
         self._make_multi_lp = make_multi_lp
@@ -1100,10 +1099,15 @@ class InferenceEngine:
         del want_lp  # params are immutable per request, so it cannot change
         return True
 
-    def _issue(self, tokens, offsets: np.ndarray, n_steps: int, want_lp: bool,
-               active: list[int]) -> dict:
+    def _issue(self, tokens, offsets, n_steps: int, want_lp: bool,
+               active: list[int], offsets_np: np.ndarray | None = None
+               ) -> dict:
         """Dispatch a decode batch (async) without fetching results.
-        ``tokens`` may be host numpy or a device array (continuation)."""
+        ``tokens``/``offsets`` may be host numpy or device arrays (the
+        pipelined continuation passes the previous dispatch's on-device
+        outputs — zero host->device transfers on that path).
+        ``offsets_np`` carries the host bookkeeping copy when ``offsets``
+        is a device array."""
         key = (n_steps, want_lp)
         if n_steps == 1:
             fn = self._decode_step_lp if want_lp else self._decode_step
@@ -1116,24 +1120,26 @@ class InferenceEngine:
         outs = fn(self.params, self.cache, jnp.asarray(tokens),
                   jnp.asarray(offsets), self.sample_state)
         _tr("issue dispatched")
-        next_dev = None
+        next_dev = next_off_dev = None
         if n_steps == 1:
             if want_lp:
                 tok, self.sample_state, self.cache, tok_lp, tv, ti = outs
                 dev = (tok[None], tok_lp[None], tv[None], ti[None])
             else:
-                tok, self.sample_state, self.cache, tok_lp = outs
+                tok, self.sample_state, self.cache = outs
                 dev = (tok[None], None, None, None)
         else:
             if want_lp:
                 toks_dev, self.sample_state, self.cache, lps, tv, ti, \
-                    next_dev = outs
+                    next_dev, next_off_dev = outs
                 dev = (toks_dev, lps, tv, ti)
             else:
-                toks_dev, self.sample_state, self.cache, lps, next_dev = outs
+                toks_dev, self.sample_state, self.cache, next_dev, \
+                    next_off_dev = outs
                 dev = (toks_dev, None, None, None)
         return {
-            "dev": dev, "next_dev": next_dev, "offsets": offsets,
+            "dev": dev, "next_dev": next_dev, "next_off_dev": next_off_dev,
+            "offsets": offsets_np if offsets_np is not None else offsets,
             "n_steps": n_steps, "want_lp": want_lp, "active": active,
             "gen": {b: self.slots[b].request_id for b in active},
             "t0": time.monotonic(),
@@ -1169,10 +1175,12 @@ class InferenceEngine:
         if pend is not None:
             nxt = None
             if self._pipeline_ok(pend):
-                tokens_dev = pend["next_dev"]   # on-device (B, 1), no host op
-                offsets = pend["offsets"] + pend["n_steps"]
-                nxt = self._issue(tokens_dev, offsets, pend["n_steps"],
-                                  pend["want_lp"], list(pend["active"]))
+                # both continuation inputs are the in-flight dispatch's own
+                # on-device outputs — no host ops, no host->device transfers
+                nxt = self._issue(pend["next_dev"], pend["next_off_dev"],
+                                  pend["n_steps"], pend["want_lp"],
+                                  list(pend["active"]),
+                                  offsets_np=pend["offsets"] + pend["n_steps"])
             self._drain(pend)           # fetch overlaps nxt's device time
             if nxt is not None:
                 # continuation slots that finished during the drain waste

@@ -126,23 +126,32 @@ def load_model(path: str | Path, mode: str = "quant", fuse: bool = False,
         raise ValueError(
             f"unsupported GGUF architecture {cfg.arch!r} "
             f"(supported: {', '.join(SUPPORTED_ARCHES)})")
-    if cfg.is_moe and os.environ.get("JAX_PLATFORMS", "") == "axon" \
-            and "LGT_UPLOAD" not in os.environ:
+    moe_relay_override = (cfg.is_moe
+                          and os.environ.get("JAX_PLATFORMS", "") == "axon"
+                          and "LGT_UPLOAD" not in os.environ)
+    if moe_relay_override:
         # the axon relay mishandles bulk-carved buffers for MoE chunk
         # layouts (first compute stalls then ResourceExhausts — bisect in
         # DEBUGGING.md "Bulk-carve upload vs the axon relay"); per-tensor
         # transfers are slower to warm but correct.  Local TPUs unaffected.
+        # Scoped to THIS load (restored in the finally below): a later
+        # non-MoE load in the same process keeps the fast bulk-carve path
+        # (r4 advisor finding).
         os.environ["LGT_UPLOAD"] = "tensor"
         print("[loader] axon relay + MoE model: per-tensor upload "
               "(DEBUGGING.md bulk-carve issue)", flush=True)
     cache = None
-    if mode == "quant":
-        from .layout_cache import LayoutCache
-        cache = LayoutCache.open(path)
-    params = load_params(reader, cfg, mode, fuse=fuse, cache=cache,
-                         lora_path=lora_path, lora_scale=lora_scale)
-    if cache is not None:
-        cache.finalize()
+    try:
+        if mode == "quant":
+            from .layout_cache import LayoutCache
+            cache = LayoutCache.open(path)
+        params = load_params(reader, cfg, mode, fuse=fuse, cache=cache,
+                             lora_path=lora_path, lora_scale=lora_scale)
+        if cache is not None:
+            cache.finalize()
+    finally:
+        if moe_relay_override:
+            os.environ.pop("LGT_UPLOAD", None)
     return cfg, params, reader
 
 

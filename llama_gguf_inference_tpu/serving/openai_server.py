@@ -654,7 +654,8 @@ class OpenAIServer:
         # buffer-then-decide shape); the moment the prefix can't be one,
         # flush and stream normally — plain answers keep live streaming.
         buffering = bool(tools) and chat
-        buf: list[str] = []
+        buf: list = []          # buffered EVENTS (text + logprobs), so a
+        #                         flush can replay the logprobs-aware path
 
         async def emit_text(txt: str, ev=None) -> None:
             nonlocal first
@@ -682,16 +683,20 @@ class OpenAIServer:
                                  "server_error", "engine_error")
                 return
             if buffering:
-                buf.append(ev.text)
-                lead = "".join(buf).lstrip()
+                buf.append(ev)
+                lead = "".join(e.text for e in buf).lstrip()
                 if lead and lead[0] not in "{`":
+                    # not a tool call: replay each held event through the
+                    # logprobs-aware emit so per-token logprobs survive
+                    # (r4 advisor finding — '{'-prefixed plain answers)
                     buffering = False
-                    await emit_text("".join(buf))
+                    for e in buf:
+                        await emit_text(e.text, e)
                     buf.clear()
                 continue
             await emit_text(ev.text, ev)
         if buf or (bool(tools) and chat and finish != "error"):
-            content = "".join(buf)
+            content = "".join(e.text for e in buf)
             from .tool_calls import parse_tool_calls
             calls = parse_tool_calls(content, tools) if content else None
             if calls:
@@ -709,7 +714,8 @@ class OpenAIServer:
                 await writer.drain()
                 finish = "tool_calls"
             elif content:
-                await emit_text(content)
+                for e in buf:
+                    await emit_text(e.text, e)
         await ensure_head()
         if finish == "error":
             # mid-stream failure: status line is gone — emit an SSE error

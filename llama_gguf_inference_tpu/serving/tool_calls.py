@@ -49,7 +49,17 @@ def validate_tools(body: dict) -> tuple[list[dict], str | None, bool]:
     ``tool_choice`` is ``none``.
     """
     tools_in = body.get("tools")
-    if tools_in is None:
+    if tools_in is None or tools_in == []:
+        # tool_choice that FORCES a call with no usable tools is a client
+        # error (OpenAI returns 400) — not a directive to silently ignore
+        choice = body.get("tool_choice", "auto")
+        forces = (choice == "required"
+                  or (isinstance(choice, dict)
+                      and choice.get("type") == "function"))
+        if forces:
+            raise ToolRequestError(
+                "tool_choice requires a tool call but the request has no "
+                "tools")
         return [], None, False
     if not isinstance(tools_in, list):
         raise ToolRequestError("tools must be an array")

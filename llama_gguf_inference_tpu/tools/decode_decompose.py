@@ -100,6 +100,22 @@ def main(argv=None) -> int:
     logits0 = jnp.zeros((B, cfg.vocab_size), jnp.float32) + 0.1
 
     def make_full(n):
+        # mirrors the engine's DEFAULT multi-step body (forward + sample;
+        # log-softmax lives only in the _lp graph variants since r5)
+        @jax.jit
+        def run(params, cache, st):
+            def body(c, _):
+                cache, tok, off, st = c
+                logits, cache = forward(params, cfg, tok, off, cache, ones)
+                nxt, st = sample(logits[:, 0, :], st)
+                return (cache, nxt[:, None], off + 1, st), nxt[0]
+            (_, tok, _, _), toks = jax.lax.scan(
+                body, (cache, tok0, off0, st), None, length=n)
+            return toks[-1] + tok[0, 0]
+        return lambda: run(params, cache, st)
+
+    def make_full_lp(n):
+        # the logprobs-requested body (what "full" measured before r5)
         @jax.jit
         def run(params, cache, st):
             def body(c, _):
@@ -194,7 +210,8 @@ def main(argv=None) -> int:
             return outs[-1]
         return lambda: run(logits0, st)
 
-    makers = {"full": make_full, "forward": make_forward,
+    makers = {"full": make_full, "full_lp": make_full_lp,
+              "forward": make_forward,
               "nohead": make_nohead, "head": make_head,
               "matmuls": make_matmuls, "sample": make_sample}
     if args.only:
