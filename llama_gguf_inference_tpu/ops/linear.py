@@ -144,6 +144,12 @@ class QuantLinear:
     code_bias: int = static_field(default=0)    # subtract from unpacked code
     out_features: int = static_field(default=0)
     in_features: int = static_field(default=0)
+    # MIXED layout (quant.repack.mixed_repacked): dmin granularity when it
+    # differs from d's — dmin is (out, in // min_size) f32 per min
+    # super-block and mn (out, in // sub_size) per sub in the compact
+    # (s, σ) column order, while d is the FLAT effective scale.  0 = min
+    # arrays share d_size (flat/compact layouts).
+    min_size: int = static_field(default=0)
 
     # -- decode (XLA reference path; Pallas kernels mirror this exactly) ----
     #
@@ -198,12 +204,26 @@ class QuantLinear:
             s = s * arr_sc.astype(jnp.int32).astype(jnp.float32)
         return jnp.tile(s, (1, sub))                   # (out, in)
 
+    def _min_sub_mixed(self) -> jax.Array:
+        """Mixed layout: per-sub-block min term (out, nsub) in the FLAT
+        σ' = σ*g + s column order (matching d and the stored codes)."""
+        o = self.out_features
+        g = self.min_size // self.sub_size
+        ndm = self.in_features // self.min_size
+        m = jnp.repeat(self.dmin, g, axis=1)              # σ-major expand
+        mn_p = (self.mn.reshape(o, g, ndm).transpose(0, 2, 1)
+                .reshape(o, ndm * g))                     # (s,σ) -> σ' order
+        return m * mn_p.astype(jnp.int32).astype(jnp.float32)
+
     def dequantize_bm(self, dtype=jnp.bfloat16) -> jax.Array:
         """Dequant to (out, in) in block-minor column order."""
         q = self._unpack_codes_bm().astype(jnp.float32)
         w = q * self._scale_full_bm(self.d, self.sc)
         if self.dmin is not None:
-            w = w - self._scale_full_bm(self.dmin, self.mn)
+            if self.min_size:
+                w = w - jnp.tile(self._min_sub_mixed(), (1, self.sub_size))
+            else:
+                w = w - self._scale_full_bm(self.dmin, self.mn)
         return w.astype(dtype)
 
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:

@@ -123,7 +123,7 @@ def _expand_scales(d, sc, sub_size: int, d_size: int, in_features: int):
 def _make_kernel(meta: tuple, B: int, TO: int, in_features: int):
     """Build the kernel body for one (format, tile) specialization."""
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
 
     def kernel(*refs):
         idx = 0
@@ -210,7 +210,7 @@ def _quant_matmul_2d(x, codes, d, sc, dmin, mn, *, meta, shapes,
     """x (B, in) bf16 -> (B, out) f32 via the tiled Pallas kernel."""
     (B, in_features, out_features, TO) = shapes
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     n_tiles = out_features // TO
     cb = codes.shape[1]                      # packed bytes per row
     nsub = in_features // sub_size
@@ -228,7 +228,8 @@ def _quant_matmul_2d(x, codes, d, sc, dmin, mn, *, meta, shapes,
                                      memory_space=pltpu.VMEM))
         args.append(sc)
     if has_dmin:
-        in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
+        ndm = in_features // (min_size or d_size)   # mixed: min granularity
+        in_specs.append(pl.BlockSpec((TO, ndm), lambda o: (o, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dmin)
     if has_mn:
@@ -274,15 +275,26 @@ def _hier_scales(meta, d_ref, sc_ref, dmin_ref, mn_ref):
     tile expansion over the tiny (TO, nd) arrays (pltpu.repeat matches the
     (s, σ) sub-block order of quant.repack.block_minor_perm).  The code
     bias folds into the min term: w = q*s - (bias*s + m).
+
+    Mixed layout (min_size > 0): s_sub comes flat (σ' column order, rides
+    the hot chain untouched); the min term expands hierarchically in the
+    compact (s, σ) order — legal because it ONLY feeds the xsum dot, whose
+    activation block sums the caller permutes to the same order (code bias
+    is zero for mixed formats, so no cross-order fold exists).
     """
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     g = d_size // sub_size
     s_sub = d_ref[:]                                       # (TO, nd) f32
     if g > 1:
         s_sub = pltpu.repeat(s_sub, g, axis=1)             # (TO, nsub)
     if sc_ref is not None:
         s_sub = s_sub * sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    if min_size:
+        gm = min_size // sub_size
+        m_sub = pltpu.repeat(dmin_ref[:], gm, axis=1)      # (s, σ) order
+        m_sub = m_sub * mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        return s_sub, m_sub
     m_sub = float(bias) * s_sub
     if dmin_ref is not None:
         m = dmin_ref[:]
@@ -305,7 +317,7 @@ def _make_kernel_xsum(meta: tuple, B: int, TO: int, in_features: int):
     The min term is MORE precise than round 1 (f32 MXU dot, not bf16 FMA).
     """
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
 
     def kernel(*refs):
         idx = 0
@@ -359,7 +371,7 @@ def _make_kernel_split(meta: tuple, B: int, TO: int, in_features: int):
     relayout was the remaining 4-bit gap).  Min/bias handled like xsum.
     """
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     h = in_features // 2
 
     def kernel(*refs):
@@ -418,7 +430,7 @@ def _make_kernel_fsplit(meta: tuple, B: int, TO: int, in_features: int):
     dots.  Min/bias via the exact xsum dot like the other variants.
     """
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     h = in_features // 2
 
     def kernel(*refs):
@@ -479,7 +491,7 @@ def _make_kernel_qsplit(meta: tuple, B: int, TO: int, in_features: int):
     8 bpw of rounds 1-3 (VERDICT r3 #1).
     """
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     qt = in_features // 4
 
     def kernel(*refs):
@@ -535,7 +547,7 @@ def _make_kernel_int8(meta: tuple, B: int, TO: int, in_features: int):
     reshape is free and σ is the lane-minor batch dimension.
     """
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     nd = in_features // sub_size
 
     def kernel(*refs):
@@ -588,7 +600,7 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, sc, dmin, mn, *, meta, shapes,
                           interpret=False, kern="xsum"):
     (B, in_features, out_features, TO) = shapes
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     n_tiles = out_features // TO
     cb = codes.shape[1]
     nd = in_features // d_size          # super-blocks per row (d/dmin width)
@@ -607,7 +619,8 @@ def _quant_matmul_2d_xsum(x, xsum, codes, d, sc, dmin, mn, *, meta, shapes,
                                      memory_space=pltpu.VMEM))
         args.append(sc)
     if has_dmin:
-        in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
+        ndm = in_features // (min_size or d_size)   # mixed: min granularity
+        in_specs.append(pl.BlockSpec((TO, ndm), lambda o: (o, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dmin)
     if has_mn:
@@ -646,7 +659,7 @@ def _quant_matmul_2d_int8(xq, xs, xsum, codes, d, sc, dmin, mn, *, meta,
                           shapes, interpret=False):
     (B, in_features, out_features, TO) = shapes
     (fmt, bits, sub_size, d_size, bias, has_sc, has_dmin, has_mn,
-     sc_signed) = meta
+     sc_signed, min_size) = meta
     n_tiles = out_features // TO
     cb = codes.shape[1]
     nd = in_features // d_size          # super-blocks per row
@@ -666,7 +679,8 @@ def _quant_matmul_2d_int8(xq, xs, xsum, codes, d, sc, dmin, mn, *, meta,
                                      memory_space=pltpu.VMEM))
         args.append(sc)
     if has_dmin:
-        in_specs.append(pl.BlockSpec((TO, nd), lambda o: (o, 0),
+        ndm = in_features // (min_size or d_size)   # mixed: min granularity
+        in_specs.append(pl.BlockSpec((TO, ndm), lambda o: (o, 0),
                                      memory_space=pltpu.VMEM))
         args.append(dmin)
     if has_mn:
@@ -754,7 +768,7 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array, out_dtype=None) -> jax.Arr
 
     meta = (w.fmt, w.bits, w.sub_size, w.d_size, w.code_bias,
             w.sc is not None, w.dmin is not None, w.mn is not None,
-            w.sc is not None and w.sc.dtype == jnp.int8)
+            w.sc is not None and w.sc.dtype == jnp.int8, w.min_size)
     shapes = (Bp, in_f, out_f, TO)
     interpret = jax.devices()[0].platform != "tpu"
 
@@ -772,6 +786,9 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array, out_dtype=None) -> jax.Arr
         elif (w.bits == 2 and w.sub_size % 4 == 0 and in_f % 512 == 0
               and var != "base"):
             kern = "qsplit"   # quarter planes must stay lane-aligned (in/4)
+    if w.min_size and (kern is None or kern == "int8"):
+        # mixed layout is implemented in the xsum-dot family only
+        return w.matmul_xla(x, out_dtype)
     if kern is not None:
         if kern == "int8":
             xq, xs = _quantize_acts(x2, w.sub_size)
@@ -781,6 +798,14 @@ def pallas_quant_matmul(w: QuantLinear, x: jax.Array, out_dtype=None) -> jax.Arr
                 meta=meta, shapes=shapes, interpret=interpret)
         else:
             xsum = _block_sums(x2, w.sub_size)
+            if w.min_size:
+                # mixed: the min dot contracts against mn in the compact
+                # (s, σ) column order — permute the block sums to match
+                # (σ'-order cols σ*g+s -> (s, σ) cols s*ndm+σ)
+                gm = w.min_size // w.sub_size
+                ndm = in_f // w.min_size
+                xsum = (xsum.reshape(Bp, ndm, gm).transpose(0, 2, 1)
+                        .reshape(Bp, ndm * gm))
             out = _quant_matmul_2d_xsum(
                 x2.astype(jnp.bfloat16), xsum, w.codes, w.d, w.sc, w.dmin,
                 w.mn, meta=meta, shapes=shapes, interpret=interpret,

@@ -47,11 +47,40 @@ def scale_layout() -> str:
     A/B and as each other's bit-exactness oracle.
     """
     mode = os.environ.get("LGT_SCALE_LAYOUT", "").lower()
-    if mode in ("auto", "compact", "flat"):
+    if mode in ("auto", "compact", "flat", "mixed"):
         return mode
     if os.environ.get("LGT_FLAT_SCALES", "").lower() in ("1", "true", "yes"):
         return "flat"
     return "auto"
+
+
+def device_scale_layout(bits: int = 8, fmt: str = "",
+                        has_min: bool = False, bias: int = 0) -> str:
+    """Per-weight device layout: ``flat`` | ``compact`` | ``mixed``.
+
+    ``mixed`` (r5, BASELINE config-3 round two): codes + the EFFECTIVE
+    scale in the flat layout (f32 per sub-block — the part that rides the
+    hot dequant chain, where flat measured 75-94% of roofline for q2_k vs
+    compact's 38-48%), while the MIN side stays hierarchical (dmin f32 per
+    super-block + mn per sub-block) because it only feeds the tiny xsum
+    dot.  Cuts q2_k's stored density from flat's 6.0 bpw to 4.375 while
+    keeping the hot path flat.  Exact: the same IEEE products as compact.
+    Only formats with a min hierarchy and zero code bias qualify (the
+    bias*scale fold would need the min term in the flat order) — q2_k;
+    others degrade to flat.
+
+    ``auto`` keeps the measured r4 policy (compact for DMA-bound 8-bit
+    codes, flat below), with ``mixed`` for 2-bit min-carrying formats once
+    selected explicitly via ``LGT_SCALE_LAYOUT=mixed``.
+    """
+    mode = scale_layout()
+    if mode == "mixed":
+        if has_min and bias == 0 and bits < 8:
+            return "mixed"
+        return "compact" if bits == 8 else "flat"
+    if mode == "auto":
+        return "compact" if bits == 8 else "flat"
+    return mode
 
 
 def compact_scales(bits: int = 8, fmt: str = "") -> bool:
@@ -88,6 +117,9 @@ class RepackedWeight:
     code_bias: int
     out_features: int
     in_features: int
+    # mixed layout: granularity of dmin (elements per min super-block);
+    # 0 = min arrays share d_size (flat/compact layouts)
+    min_size: int = 0
 
 
 def _pack4(q: np.ndarray) -> np.ndarray:
@@ -462,6 +494,36 @@ def flatten_repacked(rp: RepackedWeight) -> RepackedWeight:
     )
 
 
+def mixed_repacked(rp: RepackedWeight) -> RepackedWeight:
+    """Relayout a compact RepackedWeight to the MIXED layout.
+
+    Codes + effective scale go to the flat order/density (same permutation
+    and f32 products as :func:`flatten_repacked`); dmin stays per
+    super-block and mn per sub-block in the compact (s, σ) order —
+    ``min_size`` records the min hierarchy's granularity.  The min term
+    only feeds the kernels' xsum dot, whose activation-side block sums are
+    permuted to match (ops.pallas_matmul).  q2_k: 4.375 bpw stored vs
+    flat's 6.0, with the hot dequant chain identical to flat.
+    """
+    if rp.d_size == rp.sub_size:
+        return rp
+    if rp.dmin is None or rp.code_bias != 0:
+        return flatten_repacked(rp)
+    flat = flatten_repacked(RepackedWeight(
+        codes=rp.codes, d=rp.d, sc=rp.sc, dmin=None, mn=None,
+        fmt=rp.fmt, bits=rp.bits, sub_size=rp.sub_size, d_size=rp.d_size,
+        code_bias=rp.code_bias, out_features=rp.out_features,
+        in_features=rp.in_features))
+    return RepackedWeight(
+        codes=flat.codes, d=flat.d, sc=None,
+        dmin=rp.dmin, mn=rp.mn,
+        fmt=rp.fmt, bits=rp.bits, sub_size=rp.sub_size,
+        d_size=rp.sub_size, code_bias=rp.code_bias,
+        out_features=rp.out_features, in_features=rp.in_features,
+        min_size=rp.d_size,
+    )
+
+
 def to_quant_linear(rp: RepackedWeight):
     """Move repacked host arrays onto device as a QuantLinear pytree.
 
@@ -473,8 +535,14 @@ def to_quant_linear(rp: RepackedWeight):
 
     from ..ops.linear import QuantLinear
 
-    if rp.d_size > rp.sub_size and not compact_scales(rp.bits, rp.fmt):
-        rp = flatten_repacked(rp)
+    if rp.d_size > rp.sub_size:
+        layout = device_scale_layout(rp.bits, rp.fmt,
+                                     has_min=rp.dmin is not None,
+                                     bias=rp.code_bias)
+        if layout == "flat":
+            rp = flatten_repacked(rp)
+        elif layout == "mixed":
+            rp = mixed_repacked(rp)
 
     return QuantLinear(
         codes=jnp.asarray(rp.codes),
@@ -485,4 +553,5 @@ def to_quant_linear(rp: RepackedWeight):
         fmt=rp.fmt, bits=rp.bits, sub_size=rp.sub_size, d_size=rp.d_size,
         code_bias=rp.code_bias,
         out_features=rp.out_features, in_features=rp.in_features,
+        min_size=rp.min_size,
     )

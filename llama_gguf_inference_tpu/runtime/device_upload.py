@@ -39,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linear import QuantLinear
-from ..quant.repack import compact_scales
 
 _FIELDS = ("codes", "d", "sc", "dmin", "mn")
 _carve_cache: dict[tuple, "jax.stages.Wrapped"] = {}
@@ -95,8 +94,10 @@ def _carve_one(chunk: jax.Array, sig: tuple) -> dict[str, jax.Array]:
         seg = jax.lax.slice(chunk, (off,), (off + nbytes,))
         arrs[field] = _bitcast(seg, np.dtype(dstr)).reshape(shape)
 
-    flatten = dsz > sub and not compact_scales(bits, fmt)
-    if not flatten:
+    from ..quant.repack import device_scale_layout
+    layout = "compact" if dsz == sub else device_scale_layout(
+        bits, fmt, has_min="dmin" in arrs, bias=bias)
+    if layout == "compact":
         return arrs
 
     # compact → flat relayout, mirroring quant.repack.flatten_repacked:
@@ -114,6 +115,11 @@ def _carve_one(chunk: jax.Array, sig: tuple) -> dict[str, jax.Array]:
         return prod.transpose(0, 2, 1).reshape(out_f, nd * g)
 
     flat = {"codes": codes, "d": expand(arrs["d"], arrs.get("sc"))}
+    if layout == "mixed":
+        # mixed (quant.repack.mixed_repacked): min side stays hierarchical
+        flat["dmin"] = arrs["dmin"]
+        flat["mn"] = arrs["mn"]
+        return flat
     if "dmin" in arrs:
         flat["dmin"] = expand(arrs["dmin"], arrs.get("mn"))
     return flat
@@ -143,6 +149,8 @@ def _get_carve_fn(chunk_sig: tuple):
 
 def _to_quant_linear(meta: dict, arrs: dict[str, jax.Array]) -> QuantLinear:
     flattened = "sc" not in arrs and meta["d_size"] > meta["sub_size"]
+    # mixed carve: codes/d flat but the min hierarchy survived intact
+    mixed = flattened and "mn" in arrs
     return QuantLinear(
         codes=arrs["codes"], d=arrs["d"], sc=arrs.get("sc"),
         dmin=arrs.get("dmin"), mn=arrs.get("mn"),
@@ -150,6 +158,7 @@ def _to_quant_linear(meta: dict, arrs: dict[str, jax.Array]) -> QuantLinear:
         d_size=meta["sub_size"] if flattened else meta["d_size"],
         code_bias=meta["code_bias"],
         out_features=meta["out"], in_features=meta["in"],
+        min_size=meta["d_size"] if mixed else 0,
     )
 
 

@@ -210,10 +210,76 @@ def main(argv=None) -> int:
             return outs[-1]
         return lambda: run(logits0, st)
 
+    def make_norms(n):
+        # 2 rms_norms per layer per step (attn_norm + ffn_norm) = 64 norms
+        w = jnp.ones(cfg.dim, jnp.float32)
+
+        @jax.jit
+        def run(h0):
+            from ..models.llama import rms_norm
+
+            def body(h, _):
+                for _i in range(2 * cfg.n_layers):
+                    h = rms_norm(h, w, 1e-5) * (1.0 + 1e-30)
+                return h, h[0, 0, 0].astype(jnp.float32)
+            h, outs = jax.lax.scan(body, h0, None, length=n)
+            return outs[-1]
+        return lambda: run(hidden0)
+
+    def make_flashonly(n):
+        # the per-layer flash attention calls alone: 32 kernel calls per
+        # step on a fixed cache at the bench offset (no KV write, no rope)
+        from ..ops.flash_attention import flash_attention
+        H, KVH, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        q0 = jnp.zeros((B, 1, H, hd), jnp.bfloat16) + 0.01
+        kc = jnp.zeros((B, KVH, S, hd), jnp.bfloat16) + 0.01
+        vc = jnp.zeros((B, KVH, S, hd), jnp.bfloat16) + 0.01
+
+        @jax.jit
+        def run(q0, kc, vc):
+            def body(q, _):
+                acc = jnp.float32(0.0)
+                for _i in range(cfg.n_layers):
+                    ctx = flash_attention(q, kc, vc, off0)
+                    acc = acc + ctx[0, 0, 0, 0].astype(jnp.float32)
+                    # serial dep: stop XLA CSE-ing 32 identical calls
+                    q = q * (1.0 + ctx[:1, :1, :1, :1].astype(q.dtype)
+                             * 1e-30)
+                return q, acc
+            q, outs = jax.lax.scan(body, q0, None, length=n)
+            return outs[-1]
+        return lambda: run(q0, kc, vc)
+
+    def make_kvwrite(n):
+        # 64 donated dynamic-update-slice cache writes per step
+        from ..models.llama import _write_kv
+        KVH, hd = cfg.n_kv_heads, cfg.head_dim
+        new0 = jnp.zeros((B, 1, KVH, hd), jnp.bfloat16) + 0.01
+
+        @jax.jit
+        def run(cache, new):
+            def body(c, _):
+                cache, off = c
+                k = list(cache.k)
+                v = list(cache.v)
+                for i in range(cfg.n_layers):
+                    k[i] = _write_kv(cache.k[i], new, off)
+                    v[i] = _write_kv(cache.v[i], new, off)
+                from ..models.llama import KVCache
+                return (KVCache(k=tuple(k), v=tuple(v)), off + 1), \
+                    k[0][0, 0, 0, 0].astype(jnp.float32)
+            (_, _), outs = jax.lax.scan(body, (cache, off0), None, length=n)
+            return outs[-1]
+        from ..models.llama import KVCache
+        c0 = KVCache.zeros(cfg, B, S)     # always its own bf16 cache
+        return lambda: run(c0, new0)
+
     makers = {"full": make_full, "full_lp": make_full_lp,
               "forward": make_forward,
               "nohead": make_nohead, "head": make_head,
-              "matmuls": make_matmuls, "sample": make_sample}
+              "matmuls": make_matmuls, "sample": make_sample,
+              "norms": make_norms, "flashonly": make_flashonly,
+              "kvwrite": make_kvwrite}
     if args.only:
         keep = set(args.only.split(","))
         makers = {k: v for k, v in makers.items() if k in keep}
