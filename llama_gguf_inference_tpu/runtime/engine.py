@@ -809,6 +809,15 @@ class InferenceEngine:
 
     def _admit(self) -> bool:
         did = False
+        # Two-phase admission (llama-server batches slot admissions; VERDICT
+        # r4 #4): phase 1 dispatches every pending request's prefill chain
+        # WITHOUT syncing its first token — the device then executes the
+        # prefills back-to-back while the host sets up the next slot — and
+        # phase 2 fetches the first tokens once nothing is left to dispatch.
+        # The old sync-per-admission loop paid a full host round trip
+        # (~30 ms on the axon relay) of device idle between every pair of
+        # concurrent prefills (~1.9k vs 3.8k tok/s measured, DEBUGGING.md).
+        pending_adm: list[tuple[int, Any, Any]] = []
         while True:
             free = [b for b, s in enumerate(self.slots) if s.state == "free"]
             if not free:
@@ -898,9 +907,12 @@ class InferenceEngine:
                 jnp.asarray(ids_arr), jnp.int32(len(ids)),
                 jnp.asarray(brow))
             _tr("write_slot dispatched")
-            self._prefill_slot(b)
-            _tr("prefill_slot done (token 0 emitted)")
+            pending_adm.append((b, *self._prefill_slot(b)))
+            _tr(f"prefill dispatched slot={b}")
             did = True
+        for b, tok_dev, logits_dev in pending_adm:
+            self._finish_prefill(b, tok_dev, logits_dev)
+            _tr(f"first token emitted slot={b}")
         return did
 
     def _bucket(self, n: int) -> int:
@@ -915,7 +927,8 @@ class InferenceEngine:
         also samples the first token — a single-bucket prompt is ONE
         dispatch end to end.  Deterministic given (b, ids, sample_state) —
         the multi-host follower path replays exactly this
-        (parallel.multihost).  Returns (token, last-position logits)."""
+        (parallel.multihost).  Returns the ON-DEVICE (token, last-position
+        logits) — no host sync happens here (see _admit)."""
         pos = self._reusable_prefix(b, ids)
         if pos:
             self.total_prefix_reused += pos
@@ -959,17 +972,26 @@ class InferenceEngine:
                     break
             _tr("draft prefill dispatched")
             self.slots[b].draft_upto = len(ids)
-        tok = int(tok)
-        _tr("first token synced to host")
         return tok, logits_last
 
-    def _prefill_slot(self, b: int) -> None:
+    def _prefill_slot(self, b: int):
+        """Dispatch slot b's admission prefill (async).  Returns the
+        on-device (first token, last-position logits) pair for
+        :meth:`_finish_prefill` — the host sync is deferred so concurrent
+        admissions pipeline on the device (see _admit)."""
         slot = self.slots[b]
         ids = slot.prompt_ids
         self.total_prompt_tokens += len(ids)
-        tok, logits_last = self._prefill_device(b, ids)
+        tok_dev, logits_last = self._prefill_device(b, ids)
         slot.offset = len(ids)
         slot.cached_ids = list(ids)
+        return tok_dev, logits_last
+
+    def _finish_prefill(self, b: int, tok_dev, logits_last) -> None:
+        """Sync a dispatched admission's first token to the host and emit."""
+        slot = self.slots[b]
+        tok = int(tok_dev)
+        _tr(f"first token synced slot={b}")
         if slot.params.n_probs > 0:
             # the full logits row is a ~0.5 MB device fetch (a relay round
             # trip) — only pay it when the request asked for logprobs
@@ -977,8 +999,8 @@ class InferenceEngine:
         else:
             tok_lp, top = None, None
         self._emit_token(b, tok, tok_lp, top)
-        if self.slots[b].state != "free":
-            self.slots[b].state = "active"
+        if slot.state != "free":
+            slot.state = "active"
 
     # -- grammar-constrained decoding -----------------------------------------
     def _make_matcher(self, gbnf: str):

@@ -100,6 +100,45 @@ def test_engine_stats(engine):
     assert s["ctx"] == 128
 
 
+def test_batched_admission_parity(tmp_path_factory):
+    """Concurrent admissions dispatch phase-1/phase-2 (deferred first-token
+    sync, VERDICT r4 #4): queueing N requests before the scheduler runs must
+    produce exactly the single-request outputs, including max_tokens=1
+    requests that finish inside the deferred-finish pass."""
+    path = tmp_path_factory.mktemp("ba") / "tiny.gguf"
+    write_tiny_llama(path, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96)
+    eng = InferenceEngine(str(path), EngineConfig(
+        max_slots=4, ctx=128, prefill_buckets=(16, 32), mode="dense"))
+    eng.start()
+    try:
+        prompts = ["the lazy dog", "hello world", "a b c d", "quick brown"]
+        p = SamplingParams(temperature=0.0, max_tokens=5)
+        solo = {pr: [ev.token_id for ev in eng.generate(pr, p)]
+                for pr in prompts}
+        # burst: all four hit the queue before one scheduler tick admits
+        # them together through the two-phase path
+        outs = [eng.submit(pr, SamplingParams(temperature=0.0, max_tokens=5))[1]
+                for pr in prompts]
+        for pr, out in zip(prompts, outs):
+            toks = []
+            while True:
+                ev = out.get(timeout=120)
+                toks.append(ev.token_id)
+                if ev.finished:
+                    break
+            assert toks == solo[pr], f"burst admission diverged for {pr!r}"
+        # max_tokens=1: _emit_token releases the slot inside the deferred
+        # finish pass — state transitions must not resurrect it
+        outs1 = [eng.submit(pr, SamplingParams(temperature=0.0, max_tokens=1))[1]
+                 for pr in prompts]
+        for pr, out in zip(prompts, outs1):
+            ev = out.get(timeout=120)
+            assert ev.finished and ev.token_id == solo[pr][0]
+    finally:
+        eng.stop()
+
+
 def test_slot_churn_many_short_requests(engine):
     """Rapid slot reuse across many short requests stays consistent."""
     p = SamplingParams(temperature=0.0, max_tokens=2)
