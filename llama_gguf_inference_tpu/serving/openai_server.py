@@ -160,9 +160,13 @@ def _params_from_request(body: dict, default_max: int = 256) -> SamplingParams:
         top_p=float(body.get("top_p", 1.0)),
         top_k=int(body.get("top_k", 0)),
         min_p=float(body.get("min_p", 0.0)),
+        typical_p=float(body.get("typical_p", 1.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),
         repeat_penalty=float(body.get("repeat_penalty", 1.0)),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
         seed=int(seed) if seed is not None else int.from_bytes(os.urandom(4), "little"),
         max_tokens=int(max_tokens),
         stop=stop,
@@ -308,15 +312,24 @@ class OpenAIServer:
             return
         rid = "chatcmpl-" + uuid.uuid4().hex[:24]
         active_tools = tools if tools_on else None
+        n = self._parse_n(body)
+        if n is None:
+            await send_error(writer, 400, "n must be an integer in [1, 8]",
+                             "invalid_request_error", "bad_request")
+            return
+        if n > 1 and active_tools:
+            await send_error(writer, 400, "n > 1 cannot be combined with "
+                             "tools", "invalid_request_error", "bad_request")
+            return
         if body.get("stream"):
             await self._stream(writer, rid, "chat.completion.chunk", prompt,
                                params, chat=True,
                                include_usage=bool(
                                    (body.get("stream_options") or {}).get("include_usage")),
-                               tools=active_tools)
+                               tools=active_tools, n=n)
         else:
             await self._complete(writer, rid, "chat.completion", prompt, params,
-                                 chat=True, tools=active_tools)
+                                 chat=True, tools=active_tools, n=n)
 
     async def handle_completions(self, req, writer) -> None:
         body = self._parse_json(req)
@@ -334,14 +347,20 @@ class OpenAIServer:
                              "bad_request")
             return
         rid = "cmpl-" + uuid.uuid4().hex[:24]
+        n = self._parse_n(body)
+        if n is None:
+            await send_error(writer, 400, "n must be an integer in [1, 8]",
+                             "invalid_request_error", "bad_request")
+            return
         if body.get("stream"):
             await self._stream(writer, rid, "text_completion", prompt, params,
                                chat=False,
                                include_usage=bool(
-                                   (body.get("stream_options") or {}).get("include_usage")))
+                                   (body.get("stream_options") or {}).get("include_usage")),
+                               n=n)
         else:
             await self._complete(writer, rid, "text_completion", prompt, params,
-                                 chat=False)
+                                 chat=False, n=n)
 
     async def handle_embeddings(self, req, writer) -> None:
         body = self._parse_json(req)
@@ -530,12 +549,43 @@ class OpenAIServer:
                                  chat=False)
 
     # -- generation plumbing -------------------------------------------------
-    async def _collect(self, prompt: str, params: SamplingParams):
+    @staticmethod
+    def _parse_n(body: dict) -> int | None:
+        """OpenAI ``n`` (choices per request), capped at 8 fan-out slots.
+        Returns None on invalid values (-> 400)."""
+        n = body.get("n", 1)
+        if n is None:
+            return 1
+        if isinstance(n, bool) or not isinstance(n, int) or not 1 <= n <= 8:
+            return None
+        return n
+
+    def _cancel_pres(self, pres: list) -> None:
+        """Cancel pre-submitted fan-out choices that will never drain
+        (early error return) so their slots free immediately."""
+        for rid, _out in pres:
+            if hasattr(self.engine, "cancel"):
+                self.engine.cancel(rid)
+
+    @staticmethod
+    def _fanout_params(params: SamplingParams, n: int) -> list[SamplingParams]:
+        """Per-choice params for OpenAI ``n``: each choice samples with a
+        distinct seed derived from the request seed (choice 0 keeps it, so
+        n=1 behavior is unchanged and seeded requests stay reproducible)."""
+        return [params if i == 0 else
+                dataclasses.replace(params,
+                                    seed=(params.seed + i) & 0xFFFFFFFF)
+                for i in range(n)]
+
+    async def _collect(self, prompt: str, params: SamplingParams, pre=None):
         """Run a generation on the engine, draining its thread-safe queue
         without blocking the event loop.  On consumer error (client gone),
-        the request is cancelled so the engine frees the slot."""
+        the request is cancelled so the engine frees the slot.  ``pre``
+        carries an already-submitted (rid, queue) pair — the n>1 fan-out
+        submits every choice up front so they decode concurrently in the
+        continuous batch."""
         loop = asyncio.get_running_loop()
-        rid, out = self.engine.submit(prompt, params)
+        rid, out = pre if pre is not None else self.engine.submit(prompt, params)
         finished = False
         try:
             while True:
@@ -566,64 +616,76 @@ class OpenAIServer:
 
     async def _complete(self, writer, rid: str, obj: str, prompt: str,
                         params: SamplingParams, chat: bool,
-                        tools: list | None = None) -> None:
-        text = []
-        lp_content = []
-        finish = "stop"
-        n_prompt = n_gen = 0
-        async for ev in self._collect(prompt, params):
-            text.append(ev.text)
-            n_prompt, n_gen = ev.n_prompt, ev.n_generated
-            if params.n_probs > 0:
-                lp_content.append(self._lp_entry(ev))
-            if ev.finished:
-                finish = ev.finish_reason or "stop"
-        if finish == "error":
-            # a dead engine must surface as 5xx, not a 200 with an empty body
-            # (reference clients see 502/504 in the analogous states)
-            await send_error(writer, 500, "inference engine failure",
-                             "server_error", "engine_error")
-            return
-        content = "".join(text)
-        if chat:
-            calls = None
-            if tools:
-                from .tool_calls import parse_tool_calls
-                calls = parse_tool_calls(content, tools)
-            if calls:
-                choice = {"index": 0,
-                          "message": {"role": "assistant", "content": None,
-                                      "tool_calls": calls},
-                          "finish_reason": "tool_calls"}
+                        tools: list | None = None, n: int = 1) -> None:
+        fan = self._fanout_params(params, n)
+        pres = [self.engine.submit(prompt, p) for p in fan]
+        choices = []
+        usage_prompt = usage_gen = 0
+        for idx, (p_i, pre) in enumerate(zip(fan, pres)):
+            text = []
+            lp_content = []
+            finish = "stop"
+            n_prompt = n_gen = 0
+            async for ev in self._collect(prompt, p_i, pre=pre):
+                text.append(ev.text)
+                n_prompt, n_gen = ev.n_prompt, ev.n_generated
+                if params.n_probs > 0:
+                    lp_content.append(self._lp_entry(ev))
+                if ev.finished:
+                    finish = ev.finish_reason or "stop"
+            if finish == "error":
+                # a dead engine must surface as 5xx, not a 200 with an
+                # empty body (reference clients see 502/504 here)
+                self._cancel_pres(pres[idx + 1:])
+                await send_error(writer, 500, "inference engine failure",
+                                 "server_error", "engine_error")
+                return
+            usage_prompt = n_prompt
+            usage_gen += n_gen
+            content = "".join(text)
+            if chat:
+                calls = None
+                if tools:
+                    from .tool_calls import parse_tool_calls
+                    calls = parse_tool_calls(content, tools)
+                if calls:
+                    choice = {"index": idx,
+                              "message": {"role": "assistant", "content": None,
+                                          "tool_calls": calls},
+                              "finish_reason": "tool_calls"}
+                else:
+                    choice = {"index": idx,
+                              "message": {"role": "assistant",
+                                          "content": content},
+                              "finish_reason": finish}
+                if params.n_probs > 0:
+                    choice["logprobs"] = {"content": lp_content}
             else:
-                choice = {"index": 0,
-                          "message": {"role": "assistant", "content": content},
-                          "finish_reason": finish}
-            if params.n_probs > 0:
-                choice["logprobs"] = {"content": lp_content}
-        else:
-            choice = {"index": 0, "text": content, "finish_reason": finish,
-                      "logprobs": None}
-            if params.n_probs > 0:
-                choice["logprobs"] = {
-                    "tokens": [e["token"] for e in lp_content],
-                    "token_logprobs": [e["logprob"] for e in lp_content],
-                    "top_logprobs": [
-                        {t["token"]: t["logprob"] for t in e["top_logprobs"]}
-                        for e in lp_content],
-                }
+                choice = {"index": idx, "text": content,
+                          "finish_reason": finish, "logprobs": None}
+                if params.n_probs > 0:
+                    choice["logprobs"] = {
+                        "tokens": [e["token"] for e in lp_content],
+                        "token_logprobs": [e["logprob"] for e in lp_content],
+                        "top_logprobs": [
+                            {t["token"]: t["logprob"]
+                             for t in e["top_logprobs"]}
+                            for e in lp_content],
+                    }
+            choices.append(choice)
         await send_response(writer, 200, json.dumps({
             "id": rid, "object": obj, "created": _now(),
             "model": self.engine.model_name,
-            "choices": [choice],
-            "usage": {"prompt_tokens": n_prompt, "completion_tokens": n_gen,
-                      "total_tokens": n_prompt + n_gen},
+            "choices": choices,
+            "usage": {"prompt_tokens": usage_prompt,
+                      "completion_tokens": usage_gen,
+                      "total_tokens": usage_prompt + usage_gen},
         }).encode())
 
     async def _stream(self, writer, rid: str, obj: str, prompt: str,
                       params: SamplingParams, chat: bool,
                       include_usage: bool = False,
-                      tools: list | None = None) -> None:
+                      tools: list | None = None, n: int = 1) -> None:
         head = ("HTTP/1.1 200 OK\r\n"
                 "Content-Type: text/event-stream\r\n"
                 "Cache-Control: no-cache\r\n"
@@ -637,8 +699,9 @@ class OpenAIServer:
                 writer.write(head)
                 await writer.drain()
 
-        def chunk(delta: dict | None, finish: str | None) -> dict:
-            c: dict[str, Any] = {"index": 0, "finish_reason": finish}
+        def chunk(delta: dict | None, finish: str | None,
+                  idx: int = 0) -> dict:
+            c: dict[str, Any] = {"index": idx, "finish_reason": finish}
             if chat:
                 c["delta"] = delta if delta is not None else {}
             else:
@@ -646,92 +709,114 @@ class OpenAIServer:
             return {"id": rid, "object": obj, "created": _now(),
                     "model": self.engine.model_name, "choices": [c]}
 
-        n_prompt = n_gen = 0
-        finish = "stop"
-        first = True
-        # tools mode: hold text back while it still LOOKS like a tool-call
-        # JSON object (llama-server's generic handler has the same
-        # buffer-then-decide shape); the moment the prefix can't be one,
-        # flush and stream normally — plain answers keep live streaming.
-        buffering = bool(tools) and chat
-        buf: list = []          # buffered EVENTS (text + logprobs), so a
-        #                         flush can replay the logprobs-aware path
+        usage_prompt = usage_gen = 0
+        # n>1 fan-out: every choice is submitted up front (they decode
+        # concurrently in the continuous batch); streams drain in index
+        # order — OpenAI clients route chunks by choices[].index
+        fan = self._fanout_params(params, n)
+        pres = [self.engine.submit(prompt, p) for p in fan]
 
-        async def emit_text(txt: str, ev=None) -> None:
-            nonlocal first
-            await ensure_head()
-            if first and chat:
-                first = False
-                writer.write(sse_event(chunk({"role": "assistant"}, None)))
-                await writer.drain()
-            if txt:
-                c = chunk({"content": txt}, None)
-                if ev is not None and chat and params.n_probs > 0:
-                    c["choices"][0]["logprobs"] = {
-                        "content": [self._lp_entry(ev)]}
-                writer.write(sse_event(c))
-                await writer.drain()
+        async def stream_one(idx: int, p_i, pre) -> bool:
+            nonlocal usage_prompt, usage_gen
+            n_prompt = n_gen = 0
+            finish = "stop"
+            first = True
+            # tools mode: hold text back while it still LOOKS like a
+            # tool-call JSON object (llama-server's generic handler has the
+            # same buffer-then-decide shape); the moment the prefix can't
+            # be one, flush and stream normally — plain answers keep live
+            # streaming.
+            buffering = bool(tools) and chat
+            buf: list = []      # buffered EVENTS (text + logprobs), so a
+            #                     flush can replay the logprobs-aware path
 
-        async for ev in self._collect(prompt, params):
-            n_prompt, n_gen = ev.n_prompt, ev.n_generated
-            if ev.finished:
-                finish = ev.finish_reason or "stop"
-            if ev.finished and finish == "error" and not head_sent:
-                # engine died before any byte was streamed: a real 5xx is
-                # still possible — take it (reference clients see 502 here)
-                await send_error(writer, 500, "inference engine failure",
-                                 "server_error", "engine_error")
-                return
-            if buffering:
-                buf.append(ev)
-                lead = "".join(e.text for e in buf).lstrip()
-                if lead and lead[0] not in "{`":
-                    # not a tool call: replay each held event through the
-                    # logprobs-aware emit so per-token logprobs survive
-                    # (r4 advisor finding — '{'-prefixed plain answers)
-                    buffering = False
+            async def emit_text(txt: str, ev=None) -> None:
+                nonlocal first
+                await ensure_head()
+                if first and chat:
+                    first = False
+                    writer.write(sse_event(
+                        chunk({"role": "assistant"}, None, idx)))
+                    await writer.drain()
+                if txt:
+                    c = chunk({"content": txt}, None, idx)
+                    if ev is not None and chat and params.n_probs > 0:
+                        c["choices"][0]["logprobs"] = {
+                            "content": [self._lp_entry(ev)]}
+                    writer.write(sse_event(c))
+                    await writer.drain()
+
+            async for ev in self._collect(prompt, p_i, pre=pre):
+                n_prompt, n_gen = ev.n_prompt, ev.n_generated
+                if ev.finished:
+                    finish = ev.finish_reason or "stop"
+                if ev.finished and finish == "error" and not head_sent:
+                    # engine died before any byte was streamed: a real 5xx
+                    # is still possible — take it (reference: 502 here)
+                    await send_error(writer, 500, "inference engine failure",
+                                     "server_error", "engine_error")
+                    return False
+                if buffering:
+                    buf.append(ev)
+                    lead = "".join(e.text for e in buf).lstrip()
+                    if lead and lead[0] not in "{`":
+                        # not a tool call: replay each held event through
+                        # the logprobs-aware emit so per-token logprobs
+                        # survive (r4 advisor finding)
+                        buffering = False
+                        for e in buf:
+                            await emit_text(e.text, e)
+                        buf.clear()
+                    continue
+                await emit_text(ev.text, ev)
+            if buf or (bool(tools) and chat and finish != "error"):
+                content = "".join(e.text for e in buf)
+                from .tool_calls import parse_tool_calls
+                calls = parse_tool_calls(content, tools) if content else None
+                if calls:
+                    await ensure_head()
+                    writer.write(sse_event(
+                        chunk({"role": "assistant"}, None, idx)))
+                    for i, call in enumerate(calls):
+                        writer.write(sse_event(chunk({"tool_calls": [{
+                            "index": i, "id": call["id"], "type": "function",
+                            "function": {"name": call["function"]["name"],
+                                         "arguments": ""}}]}, None, idx)))
+                        writer.write(sse_event(chunk({"tool_calls": [{
+                            "index": i,
+                            "function": {"arguments":
+                                         call["function"]["arguments"]}}]},
+                            None, idx)))
+                    await writer.drain()
+                    finish = "tool_calls"
+                elif content:
                     for e in buf:
                         await emit_text(e.text, e)
-                    buf.clear()
-                continue
-            await emit_text(ev.text, ev)
-        if buf or (bool(tools) and chat and finish != "error"):
-            content = "".join(e.text for e in buf)
-            from .tool_calls import parse_tool_calls
-            calls = parse_tool_calls(content, tools) if content else None
-            if calls:
-                await ensure_head()
-                writer.write(sse_event(chunk({"role": "assistant"}, None)))
-                for i, call in enumerate(calls):
-                    writer.write(sse_event(chunk({"tool_calls": [{
-                        "index": i, "id": call["id"], "type": "function",
-                        "function": {"name": call["function"]["name"],
-                                     "arguments": ""}}]}, None)))
-                    writer.write(sse_event(chunk({"tool_calls": [{
-                        "index": i,
-                        "function": {"arguments":
-                                     call["function"]["arguments"]}}]}, None)))
+            await ensure_head()
+            if finish == "error":
+                # mid-stream failure: status line is gone — emit an SSE
+                # error event (llama.cpp behavior) and close WITHOUT [DONE]
+                writer.write(sse_event({"error": {
+                    "message": "inference engine failure",
+                    "type": "server_error", "code": "engine_error"}}))
                 await writer.drain()
-                finish = "tool_calls"
-            elif content:
-                for e in buf:
-                    await emit_text(e.text, e)
-        await ensure_head()
-        if finish == "error":
-            # mid-stream failure: status line is gone — emit an SSE error
-            # event (llama.cpp behavior) and close WITHOUT [DONE]
-            writer.write(sse_event({"error": {
-                "message": "inference engine failure",
-                "type": "server_error", "code": "engine_error"}}))
-            await writer.drain()
-            return
-        writer.write(sse_event(chunk(None, finish)))
+                return False
+            writer.write(sse_event(chunk(None, finish, idx)))
+            usage_prompt = n_prompt
+            usage_gen += n_gen
+            return True
+
+        for idx, (p_i, pre) in enumerate(zip(fan, pres)):
+            if not await stream_one(idx, p_i, pre):
+                self._cancel_pres(pres[idx + 1:])
+                return
         if include_usage:
             writer.write(sse_event({
                 "id": rid, "object": obj, "created": _now(),
                 "model": self.engine.model_name, "choices": [],
-                "usage": {"prompt_tokens": n_prompt, "completion_tokens": n_gen,
-                          "total_tokens": n_prompt + n_gen},
+                "usage": {"prompt_tokens": usage_prompt,
+                          "completion_tokens": usage_gen,
+                          "total_tokens": usage_prompt + usage_gen},
             }))
         writer.write(sse_event("[DONE]"))
         await writer.drain()

@@ -35,9 +35,11 @@ def main() -> int:
     )
     from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
 
+    variant = sys.argv[6] if len(sys.argv) > 6 else "base"
     tp = len(jax.devices())
+    kw = dict(kv_layout="paged", kv_page_size=16) if variant == "paged" else {}
     eng = InferenceEngine(model, EngineConfig(
-        max_slots=2, ctx=128, prefill_buckets=(16, 32), tp=tp, dp=1))
+        max_slots=2, ctx=128, prefill_buckets=(16, 32), tp=tp, dp=1, **kw))
 
     if mode == "multi":
         mh = MultiHostEngine(eng)
@@ -50,8 +52,18 @@ def main() -> int:
 
     engine.start()
     p = SamplingParams(temperature=0.0, max_tokens=10, seed=0)
-    prompts = [[1, 5, 9, 13, 17], [1, 4, 8, 12]]
-    outs = [engine.submit(ids, p)[1] for ids in prompts]
+    # the request mix exercises the full broadcast surface: plain greedy,
+    # logit_bias (rides lb_tok/lb_val), and grammar-constrained decode
+    # (GBNF in the ADMIT command; per-step gflush matcher advances)
+    reqs = [
+        ([1, 5, 9, 13, 17], p),
+        ([1, 4, 8, 12], SamplingParams(temperature=0.0, max_tokens=10,
+                                       logit_bias={55: 1e4, 7: 2.5})),
+        ([1, 6, 2], SamplingParams(
+            temperature=0.0, max_tokens=12, seed=0,
+            grammar='root ::= "{" "\\"a\\"" ":" [0-9] [0-9] "}"')),
+    ]
+    outs = [engine.submit(ids, pr)[1] for ids, pr in reqs]
     tokens = []
     for out in outs:
         toks = []

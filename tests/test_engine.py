@@ -173,3 +173,18 @@ def test_empty_prompt(engine):
     p = SamplingParams(temperature=0.0, max_tokens=2)
     evs = list(engine.generate("", p))
     assert len(evs) >= 1 and evs[-1].finished
+
+
+def test_sampler_tail_through_engine(engine):
+    """typical_p and mirostat ride the fused admission path (scal vector)
+    end to end: deterministic per seed, and mirostat state resets per
+    request (identical back-to-back outputs)."""
+    p = SamplingParams(temperature=0.9, typical_p=0.6, seed=21, max_tokens=6)
+    a = [ev.token_id for ev in engine.generate("hello world", p)]
+    b = [ev.token_id for ev in engine.generate("hello world", p)]
+    assert a == b and len(a) >= 1
+    pm = SamplingParams(temperature=0.9, mirostat=2, mirostat_tau=3.0,
+                        seed=22, max_tokens=8)
+    c = [ev.token_id for ev in engine.generate("hello world", pm)]
+    d = [ev.token_id for ev in engine.generate("hello world", pm)]
+    assert c == d and len(c) >= 1

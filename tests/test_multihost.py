@@ -29,7 +29,7 @@ def free_port() -> int:
     return p
 
 
-def run_driver(pid, nprocs, port, model, mode, devices):
+def run_driver(pid, nprocs, port, model, mode, devices, variant="base"):
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
@@ -38,7 +38,8 @@ def run_driver(pid, nprocs, port, model, mode, devices):
         "PYTHONPATH": REPO,
     })
     return subprocess.Popen(
-        [sys.executable, DRIVER, str(pid), str(nprocs), str(port), model, mode],
+        [sys.executable, DRIVER, str(pid), str(nprocs), str(port), model,
+         mode, variant],
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
 
@@ -75,6 +76,38 @@ def test_two_process_lockstep_matches_single(tmp_path):
     assert got["tokens"] == want["tokens"], \
         f"multi-host tokens diverged:\n{got['tokens']}\nvs\n{want['tokens']}"
     assert got["http"] == 200   # real HTTP served on host 0
+
+
+@pytest.mark.slow
+def test_two_process_lockstep_paged_kv(tmp_path):
+    """Paged KV under multi-host (VERDICT r4 #5): the leader's page table
+    rides the command broadcast, so followers mirror reservations and the
+    token stream matches a single-process paged run — including the
+    grammar + logit_bias requests the driver mixes in."""
+    model = str(tmp_path / "m.gguf")
+    write_tiny_llama(model, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96, quant=GGMLType.Q4_0)
+
+    single = run_driver(0, 1, "0", model, "single", devices=2,
+                        variant="paged")
+    out, err = single.communicate(timeout=600)
+    assert single.returncode == 0, f"single-proc paged run failed:\n{err[-3000:]}"
+    want = parse_tokens(out)
+
+    port = free_port()
+    follower = run_driver(1, 2, port, model, "multi", devices=1,
+                          variant="paged")
+    leader = run_driver(0, 2, port, model, "multi", devices=1,
+                        variant="paged")
+    l_out, l_err = leader.communicate(timeout=600)
+    f_out, f_err = follower.communicate(timeout=60)
+    assert leader.returncode == 0, f"leader failed:\n{l_err[-3000:]}"
+    assert follower.returncode == 0, f"follower failed:\n{f_err[-3000:]}"
+    got = parse_tokens(l_out)
+
+    assert got["tokens"] == want["tokens"], \
+        f"multi-host paged tokens diverged:\n{got['tokens']}\nvs\n{want['tokens']}"
+    assert got["http"] == 200
 
 
 @pytest.mark.slow
