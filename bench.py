@@ -372,21 +372,42 @@ def main() -> None:
         decode_s = times[-1] - times[0]
         tok_s = (n_tok - 1) / decode_s if decode_s > 0 else 0.0
     else:
-        # aggregate across n_slots concurrent requests
+        # aggregate across n_slots concurrent requests; each slot's prompt
+        # head is unique so every admission runs a REAL 512-token prefill
+        # (the burst exercises the two-phase batched admission), and the
+        # per-slot first-token time gives the TTFT-under-load distribution
+        # VERDICT r4 #4 asks for
         import threading
         times = []
+        firsts = {}
         lock = threading.Lock()
 
-        def one():
-            for ev in eng.generate(prompt, p):
+        def one(i):
+            first = True
+            uniq = [40 + i] + prompt[1:]
+            for ev in eng.generate(uniq, p):
                 with lock:
                     times.append(time.time())
+                    if first:
+                        firsts[i] = time.time()
+                        first = False
 
-        threads = [threading.Thread(target=one) for _ in range(n_slots)]
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(n_slots)]
+        t_burst0 = time.time()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        burst_ttfts = sorted((t - t_burst0) * 1000 for t in firsts.values())
+        # all n_slots prompts prefill back to back during the burst window
+        # (ends when the LAST slot's first token lands)
+        burst_prefill = (n_slots * len(prompt)
+                         / ((max(firsts.values()) - t_burst0)))
+        log(f"[bench] burst admission x{n_slots}: TTFT p50 "
+            f"{percentile(burst_ttfts, 50):.0f} ms  p95 "
+            f"{percentile(burst_ttfts, 95):.0f} ms; loaded prefill "
+            f"{burst_prefill:.0f} tok/s")
         times.sort()
         n_tok = len(times)
         # steady-state window: middle 50% of token arrivals (excludes the

@@ -47,9 +47,14 @@ def code_values(fmt: str, q):
     3x kernel slowdown (r4 probe) — while shifts/adds are single-slot.
     """
     if fmt in ("iq2_xxs", "iq2_xs", "iq2_s"):
-        c = q & 3
-        m = ((c << 4) + c) + 8 + ((c >> 1) & (c ^ 1))   # 17c + 8 + (c==2)
-    elif fmt in ("iq3_xxs", "iq3_s"):
+        # signed-alphabet affine code (quant.iq_ref._IQ2_CODE_OF): the
+        # stored code c satisfies 2v == 17*(c & 14) - 2*(c & 1) - 118 for
+        # every value in ±{8, 25, 43, 59}; repack halves the stored d so
+        # the doubled plane decodes bit-exactly.  7 ops, sign included —
+        # no separate negate chain.
+        e = q & 14
+        return ((e << 4) + e) - ((q & 1) << 1) - 118
+    if fmt in ("iq3_xxs", "iq3_s"):
         c = q & 7
         m = (c << 3) + 4 + ((((c + 1) >> 3) & 1) << 1)  # 8c + 4 + 2(c==7)
     else:

@@ -199,6 +199,36 @@ def ring_allreduce(y: jax.Array, axis: str, tp: int) -> jax.Array:
     return jnp.moveaxis(full, 0, -2).reshape(y.shape)
 
 
+def _slice_out(w, start: int, count: int):
+    """Static out-feature slice of a (shard-local) QuantLinear/DenseLinear —
+    every stored array is out-major, so a chunk is a row range."""
+    if isinstance(w, DenseLinear):
+        return DenseLinear(w=jax.lax.slice_in_dim(w.w, start, start + count,
+                                                  axis=0),
+                           out_features=count, in_features=w.in_features)
+    leaves = {f.name: getattr(w, f.name) for f in dataclasses.fields(w)
+              if f.metadata.get("pytree", True)}
+    sliced = {k: (None if v is None
+                  else jax.lax.slice_in_dim(v, start, start + count, axis=0))
+              for k, v in leaves.items()}
+    return dataclasses.replace(w, **sliced, out_features=count)
+
+
+def overlap_chunks() -> int:
+    """Output-chunk count for the pipelined ring (LGT_TP_CHUNKS, default 4).
+
+    The row-parallel partial y = x_l @ w_l.T is reduced per OUTPUT slice:
+    all-reduce is linear, so ``AR(y)[:, c] == AR(y[:, c])`` and chunk c's
+    ring stages are data-independent of chunk c+1's matmul — the scheduler
+    can hide all but the final chunk's collective under the next chunk's
+    HBM weight streaming (decode is bandwidth-bound; the MXU and ICI are
+    otherwise idle).  Exposed collective time drops from t_coll to
+    ~t_coll/C + pipeline fill; tests pin the compiled schedule actually
+    interleaving ppermute-starts with later dots
+    (tests/test_tp_overlap.py)."""
+    return max(1, int(os.environ.get("LGT_TP_CHUNKS", "4")))
+
+
 def row_parallel_matmul(w: RowParallelLinear, x: jax.Array,
                         out_dtype=None) -> jax.Array:
     """x (..., in) replicated-or-feature-sharded -> (..., out) replicated.
@@ -213,10 +243,23 @@ def row_parallel_matmul(w: RowParallelLinear, x: jax.Array,
                            "registered (parallel.overlap.set_overlap_mesh)")
     tp = w.tp
     dtype = out_dtype or x.dtype
+    n_chunks = overlap_chunks()
 
     def local_fn(st_leaves, x_l):
         shard = dataclasses.replace(w.stacked, **{
             k: (None if v is None else v[0]) for k, v in st_leaves.items()})
+        out_f = shard.out_features
+        if n_chunks > 1 and out_f % n_chunks == 0 and out_f % tp == 0 \
+                and (out_f // n_chunks) % tp == 0:
+            # pipelined: per-output-chunk matmul + ring, so chunk c's
+            # collective overlaps chunk c+1's weight streaming
+            parts = []
+            ck = out_f // n_chunks
+            for c in range(n_chunks):
+                sub = _slice_out(shard, c * ck, ck)
+                p = sub.matmul(x_l, out_dtype=jnp.float32)
+                parts.append(ring_allreduce(p, AXIS_TP, tp))
+            return jnp.concatenate(parts, axis=-1).astype(dtype)
         part = shard.matmul(x_l, out_dtype=jnp.float32)
         return ring_allreduce(part, AXIS_TP, tp).astype(dtype)
 

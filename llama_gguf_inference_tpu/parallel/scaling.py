@@ -179,6 +179,20 @@ def project_v5e(shapes: LlamaShapes, tp: int, batch: int = 1,
             + 2 * (tp - 1) * V5E_ICI_LATENCY_S
         t_coll = n_ar * t_ar + t_ag
     t_step = t_hbm + t_coll
+
+    # Pipelined-ring floor (the SHIPPED overlap path, not a hope): the
+    # explicit row-parallel ring (parallel.overlap, LGT_TP_OVERLAP=1)
+    # splits each all-reduce into LGT_TP_CHUNKS output chunks whose ring
+    # stages are data-independent of later chunks' matmuls — all-reduce is
+    # linear over output slices — so a latency-hiding schedule exposes
+    # only ~1/C of each collective (the final chunk's tail) plus the
+    # pipeline fill.  tests/test_tp_overlap.py pins the compiled module
+    # actually interleaving ring stages with later chunk compute; this
+    # bound assumes nothing beyond that pinned structure.
+    from .overlap import overlap_chunks
+    C = overlap_chunks()
+    fill = 0.0 if tp == 1 else n_ar * (C - 1) * V5E_ICI_LATENCY_S
+    t_chunked = t_hbm + t_coll / C + fill
     t_overlap = max(t_hbm, t_coll)
     return {
         "model": shapes.name, "tp": tp, "batch": batch,
@@ -186,10 +200,15 @@ def project_v5e(shapes: LlamaShapes, tp: int, batch: int = 1,
         "t_hbm_ms": round(t_hbm * 1e3, 3),
         "t_coll_ms": round(t_coll * 1e3, 3),
         "t_step_ms": round(t_step * 1e3, 3),
+        "t_step_chunked_ms": round(t_chunked * 1e3, 3),
         "t_step_overlap_ms": round(t_overlap * 1e3, 3),
+        "overlap_chunks": C,
         "tok_s": round(batch / t_step, 1),
+        "tok_s_chunked": round(batch / t_chunked, 1),
         "tok_s_overlap": round(batch / t_overlap, 1),
         "scaling_efficiency_pct": round(100 * t_hbm_1 / (tp * t_step), 1),
+        "scaling_efficiency_chunked_pct":
+            round(100 * t_hbm_1 / (tp * t_chunked), 1),
         "scaling_efficiency_overlap_pct":
             round(100 * t_hbm_1 / (tp * t_overlap), 1),
         "comm_overhead_pct": round(100 * t_coll / t_step, 1),

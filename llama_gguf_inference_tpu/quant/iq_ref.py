@@ -226,16 +226,33 @@ IQ_PLANES = {
 # logical order, d (nb, nd'), sc (nb, nsub'), dmin | None, mn | None,
 # sub) for quant.repack.rw.
 
+_IQ2_CODE_OF = {-59: 0, -43: 3, -25: 4, -8: 6, 8: 9, 25: 11, 43: 12, 59: 15}
+# Signed-alphabet code assignment solving 2v == 17*(c & 14) - 2*(c & 1) - 118
+# EXACTLY for all 16 values — 7 VPU ops in ops.linear.code_values versus the
+# 12 of the round-4 sign|magnitude map (the doubling folds into the stored
+# d as an exact power of two: repack stores d/16 instead of d/8).
+
+
 def _codes4_from_values(vals: np.ndarray, fmt: str) -> np.ndarray:
-    """int8 element values -> 4-bit sign|mag codes, verified exact."""
+    """int8 element values -> 4-bit codes, verified exact.
+
+    iq2: the arithmetic-affine signed assignment above (c chosen so the
+    kernels' decode is shift/add only).  iq3: sign|mag (bit 3 = sign)."""
     v = vals.astype(np.int32)
-    a = np.abs(v)
     if fmt == "iq2":
-        c = (a - 8) // 17
-        back = 17 * c + 8 + ((c >> 1) & (c ^ 1) & 1)
-    else:  # iq3
-        c = (a - 4) // 8
-        back = 8 * c + 4 + ((((c + 1) >> 3) & 1) << 1)
+        lut = np.full(256, -1, np.int32)
+        for val, code in _IQ2_CODE_OF.items():
+            lut[val + 128] = code
+        c = lut[v + 128]
+        if (c < 0).any():
+            raise ValueError("iq2 value outside the fixed signed alphabet")
+        back = (17 * (c & 14) - 2 * (c & 1) - 118)
+        if not np.array_equal(back, 2 * v):
+            raise ValueError("iq2 fast-map round-trip failed")
+        return c.astype(np.uint8)
+    a = np.abs(v)
+    c = (a - 4) // 8
+    back = 8 * c + 4 + ((((c + 1) >> 3) & 1) << 1)
     if not np.array_equal(back, a):
         raise ValueError(f"{fmt} grid magnitude outside the fixed alphabet")
     return (c | ((v < 0) << 3)).astype(np.uint8)

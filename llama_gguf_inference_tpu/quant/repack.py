@@ -439,6 +439,11 @@ def repack(raw: bytes | np.ndarray, ggml_type: GGMLType,
             blocks, with_packed=iq1 or packed4)
         if iq1 or packed4:
             bits = 2 if iq1 else 4
+            if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S):
+                # the packed iq2 codes decode to DOUBLED values (the 7-op
+                # affine signed map, ops.linear.code_values) — halve the
+                # stored d (exact: power of two) so dequant is bit-identical
+                d = d * 0.5
             return rw(codes.reshape(O, I), d.reshape(O, I // 256),
                       sc=sc.reshape(O, I // sub),
                       dmin=None if dmin is None else dmin.reshape(O, I // 256),

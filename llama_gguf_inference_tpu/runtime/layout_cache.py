@@ -50,7 +50,9 @@ import numpy as np
 
 from ..quant.repack import RepackedWeight
 
-_VERSION = 5   # bump when the repacked layout changes (invalidates caches)
+_VERSION = 6   # bump when the repacked layout changes (invalidates caches)
+#              v6: iq2 packed4 codes switched to the affine signed map
+#              (halved stored d)
 #              v5: IQ codebook formats store native-width codes (4-bit
 #              sign|mag, 2-bit trits) + wire-density hierarchical scales
 _PROBE = 4 * 1024 * 1024

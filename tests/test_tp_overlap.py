@@ -144,3 +144,46 @@ def test_engine_overlap_tp_matches_single_device(model_path, monkeypatch):
     assert isinstance(sp["layers"][0]["ffn_down"], RowParallelLinear)
     assert isinstance(sp["layers"][0]["attn_output"], RowParallelLinear)
     set_overlap_mesh(None)
+
+
+def test_chunked_ring_parity_and_interleaved_schedule(rng):
+    """The pipelined per-output-chunk ring (LGT_TP_CHUNKS) must (a) match
+    the un-chunked path numerically and (b) compile to a module where
+    collective-permutes interleave with later chunks' matmuls — the data
+    independence that lets the TPU scheduler hide ring stages under the
+    next chunk's HBM weight streaming (the MULTICHIP_r05 overlap floor
+    rests on this structure)."""
+    import os
+    import re
+
+    tp = 4
+    mesh = _tp_mesh(tp)
+    ql = _make_ql(rng, GGMLType.Q4_K, out_f=64, in_f=2048)
+    rp = make_row_parallel(ql, mesh)
+    x = jnp.asarray(rng.normal(size=(2, 2048)).astype(np.float32),
+                    jnp.bfloat16)
+    old = os.environ.get("LGT_TP_CHUNKS")
+    try:
+        os.environ["LGT_TP_CHUNKS"] = "1"
+        ref = np.asarray(rp.matmul(x, jnp.float32))
+        os.environ["LGT_TP_CHUNKS"] = "4"
+        got_fn = jax.jit(lambda v: rp.matmul(v, jnp.float32))
+        got = np.asarray(got_fn(x))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+        txt = got_fn.lower(x).compile().as_text()
+        lines = txt.splitlines()
+        cp = [i for i, l in enumerate(lines)
+              if "collective-permute" in l and "=" in l]
+        dots = [i for i, l in enumerate(lines)
+                if re.search(r"= .*(dot|fusion)\(", l)]
+        assert len(cp) >= 2 * (tp - 1), "ring stages must survive compilation"
+        # at least one ring stage is scheduled before the last chunk's
+        # compute: comm is NOT sunk to an all-compute-then-all-comm tail
+        assert cp[0] < dots[-1], "collectives must interleave with compute"
+    finally:
+        if old is None:
+            os.environ.pop("LGT_TP_CHUNKS", None)
+        else:
+            os.environ["LGT_TP_CHUNKS"] = old
+        set_overlap_mesh(None)
