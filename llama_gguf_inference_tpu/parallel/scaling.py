@@ -215,6 +215,85 @@ def project_v5e(shapes: LlamaShapes, tp: int, batch: int = 1,
     }
 
 
+@dataclasses.dataclass(frozen=True)
+class MoEShapes:
+    """Mixtral-style MoE decoder shapes (dense attention + routed FFN)."""
+
+    name: str
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    ffn_dim: int
+    vocab: int
+    n_experts: int
+    n_experts_used: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+# Mixtral-8x7B (HF config: 32 layers, GQA 32/8, ffn 14336, 8 experts top-2)
+MIXTRAL_8X7B = MoEShapes(name="mixtral-8x7b", dim=4096, n_layers=32,
+                         n_heads=32, n_kv_heads=8, ffn_dim=14336,
+                         vocab=32000, n_experts=8, n_experts_used=2)
+
+
+def moe_plan(shapes: MoEShapes, tp: int, bpw: float = 6.0,
+             kv_slots: int = 8, ctx: int = 16384, kv_bytes: float = 1.0625,
+             hbm_gb: float = 16.0) -> dict:
+    """Capacity + decode plan for an MoE model on a v5e slice (BASELINE
+    config 4 at scale; VERDICT r4 #8).
+
+    Sharding model = the engine's real one (parallel.ep): attention /
+    norms / router / head tensor-parallel via ``shard_decision``; the
+    stacked expert FFNs shard one-group-per-rank on the leading expert
+    axis (requires n_experts % tp == 0), so each chip holds E/tp whole
+    experts — expert weights never split a super-block by construction.
+    Decode streams attention/tp plus only the ROUTED k experts
+    (cond-gated, runtime.engine), so the per-step roofline uses
+    attn/tp + experts*(k/E)/tp active bytes.  kv_bytes: 2 = bf16,
+    1.0625 = q8_0 (the measured config-4 serving mode).
+    """
+    kv = shapes.n_kv_heads * shapes.head_dim
+    attn_per_layer = (shapes.dim * shapes.dim + 2 * kv * shapes.dim
+                      + shapes.dim * shapes.dim)
+    router_per_layer = shapes.n_experts * shapes.dim
+    expert_per_layer = 3 * shapes.ffn_dim * shapes.dim * shapes.n_experts
+    dense = (attn_per_layer + router_per_layer) * shapes.n_layers \
+        + shapes.vocab * shapes.dim * 2          # embed + head
+    experts = expert_per_layer * shapes.n_layers
+    dense_b = dense * bpw / 8
+    experts_b = experts * bpw / 8
+
+    ok_experts = shapes.n_experts % tp == 0
+    plan = shard_plan(LlamaShapes(
+        name=shapes.name, dim=shapes.dim, n_layers=shapes.n_layers,
+        n_heads=shapes.n_heads, n_kv_heads=shapes.n_kv_heads,
+        ffn_dim=shapes.ffn_dim, vocab=shapes.vocab), tp)
+
+    per_chip_weights = (dense_b + experts_b) / tp
+    kv_pool = (kv_slots * ctx * shapes.n_layers * shapes.n_kv_heads
+               * shapes.head_dim * 2 * kv_bytes) / tp
+    k_frac = shapes.n_experts_used / shapes.n_experts
+    active_b = (dense_b - shapes.vocab * shapes.dim * bpw / 8   # embed gathers
+                + experts_b * k_frac) / tp
+    t_step = active_b / (V5E_HBM_GBS * 1e9)
+    return {
+        "model": shapes.name, "tp": tp,
+        "experts_shard": ok_experts,
+        "experts_per_chip": shapes.n_experts // tp if ok_experts else None,
+        "attn_replicated": plan["replicated"],
+        "kv_heads_shard": shapes.n_kv_heads % tp == 0,
+        "resident_gb_per_chip": round(per_chip_weights / 1e9, 2),
+        "kv_pool_gb_per_chip": round(kv_pool / 1e9, 2),
+        "fits_hbm": (per_chip_weights + kv_pool) / 1e9 < hbm_gb - 1.5,
+        "active_gb_per_step_per_chip": round(active_b / 1e9, 2),
+        "roofline_tok_s_no_comm": round(1.0 / t_step, 1),
+    }
+
+
 def weak_scaling_run(n_list: list[int], devices=None, dim: int = 256,
                      steps: int = 8) -> dict[int, float]:
     """Measured sharded-step times with per-device work held fixed.

@@ -87,3 +87,20 @@ def test_weak_scaling_harness_runs(n):
     times = weak_scaling_run([1, n], dim=128, steps=4)
     assert set(times) == {1, n}
     assert all(t > 0 and np.isfinite(t) for t in times.values())
+
+
+def test_mixtral_moe_plan_tp4():
+    """BASELINE config-4-at-scale capacity plan (VERDICT r4 #8): true
+    Mixtral-8x7B shapes, engine sharding rules, v5e-4 must fit."""
+    from llama_gguf_inference_tpu.parallel.scaling import (
+        MIXTRAL_8X7B, moe_plan,
+    )
+    p4 = moe_plan(MIXTRAL_8X7B, tp=4)
+    assert p4["experts_shard"] and p4["experts_per_chip"] == 2
+    assert p4["attn_replicated"] == []
+    assert p4["kv_heads_shard"]
+    assert p4["fits_hbm"], p4
+    # routed top-2 of 8: active decode bytes well under resident
+    assert p4["active_gb_per_step_per_chip"] < p4["resident_gb_per_chip"] / 2
+    p3 = moe_plan(MIXTRAL_8X7B, tp=3)
+    assert not p3["experts_shard"]        # 8 % 3 != 0 -> EP cannot stack
