@@ -381,10 +381,12 @@ def fuse_linears(ws: list[LinearWeight]) -> LinearWeight | None:
         return None
     w0 = ws[0]
     key = (w0.fmt, w0.bits, w0.sub_size, w0.d_size, w0.code_bias,
-           w0.in_features, w0.sc is None, w0.dmin is None, w0.mn is None)
+           w0.min_size, w0.in_features, w0.sc is None, w0.dmin is None,
+           w0.mn is None)
     for w in ws[1:]:
-        if (w.fmt, w.bits, w.sub_size, w.d_size, w.code_bias, w.in_features,
-                w.sc is None, w.dmin is None, w.mn is None) != key:
+        if (w.fmt, w.bits, w.sub_size, w.d_size, w.code_bias, w.min_size,
+                w.in_features, w.sc is None, w.dmin is None,
+                w.mn is None) != key:
             return None
 
     def cat(field):
@@ -396,7 +398,7 @@ def fuse_linears(ws: list[LinearWeight]) -> LinearWeight | None:
     return QuantLinear(
         codes=cat("codes"), d=cat("d"), sc=cat("sc"), dmin=cat("dmin"),
         mn=cat("mn"), fmt=w0.fmt, bits=w0.bits, sub_size=w0.sub_size,
-        d_size=w0.d_size, code_bias=w0.code_bias,
+        d_size=w0.d_size, code_bias=w0.code_bias, min_size=w0.min_size,
         out_features=sum(w.out_features for w in ws),
         in_features=w0.in_features,
     )

@@ -98,6 +98,11 @@ def stack_row_shards(w: QuantLinear | DenseLinear, tp: int):
     layouts stacked on a leading (tp,) axis (in_features becomes the LOCAL
     width).  Exact: pure permutation of stored columns; each shard decodes
     to precisely its logical column slice (pinned by tests)."""
+    if getattr(w, "min_size", 0):
+        raise ValueError("mixed-layout weights cannot stack: the min side "
+                         "keeps super-block granularity the flat-chunk "
+                         "re-index does not cover (partition._row_parallel "
+                         "keeps them on the GSPMD psum path)")
     in_l = w.in_features // tp
     if isinstance(w, DenseLinear):
         o = w.out_features

@@ -112,6 +112,10 @@ def _row_parallel(w, mesh: Mesh):
     tp = mesh.shape[AXIS_TP]
     if (overlap_enabled() and tp > 1 and mesh.shape[AXIS_DP] == 1
             and not isinstance(w, LoraLinear)
+            # mixed scale layout: the min side keeps 256-element
+            # super-block granularity that stack_row_shards' flat-chunk
+            # re-index does not cover — those weights stay on GSPMD psum
+            and not getattr(w, "min_size", 0)
             and shard_decision(w.out_features, w.in_features, 1, tp,
                                _block_multiple(w))):
         return make_row_parallel(w, mesh)

@@ -63,7 +63,7 @@ def device_scale_layout(bits: int = 8, fmt: str = "",
     hot dequant chain, where flat measured 75-94% of roofline for q2_k vs
     compact's 38-48%), while the MIN side stays hierarchical (dmin f32 per
     super-block + mn per sub-block) because it only feeds the tiny xsum
-    dot.  Cuts q2_k's stored density from flat's 6.0 bpw to 4.375 while
+    dot.  Cuts q2_k's stored density from flat's 6.0 bpw to 4.625 while
     keeping the hot path flat.  Exact: the same IEEE products as compact.
     Only formats with a min hierarchy and zero code bias qualify (the
     bias*scale fold would need the min term in the flat order) — q2_k;
@@ -81,24 +81,6 @@ def device_scale_layout(bits: int = 8, fmt: str = "",
     if mode == "auto":
         return "compact" if bits == 8 else "flat"
     return mode
-
-
-def compact_scales(bits: int = 8, fmt: str = "") -> bool:
-    """Whether a (bits, fmt) weight stores hierarchical scales on device.
-
-    ``auto`` = flat for every sub-8-bit code format, compact for 8-bit.
-    Measured (r4 A/B probe, v5e, 4096x14336): the in-kernel compact
-    expansion costs ~0.03 ms/pass — MORE than the bytes it saves for 2-
-    and 4-bit codes (q2_k flat 0.060 ms / 90% of own roofline vs compact
-    0.077 / 38%), while 8-bit kernels are DMA-bound and the saved bytes
-    win (q6_k, r2).  ``LGT_SCALE_LAYOUT=compact`` opts into the
-    minimum-footprint layouts when HBM capacity matters more than decode
-    speed.
-    """
-    mode = scale_layout()
-    if mode == "auto":
-        return bits == 8
-    return mode == "compact"
 
 
 @dataclasses.dataclass
@@ -507,7 +489,7 @@ def mixed_repacked(rp: RepackedWeight) -> RepackedWeight:
     super-block and mn per sub-block in the compact (s, σ) order —
     ``min_size`` records the min hierarchy's granularity.  The min term
     only feeds the kernels' xsum dot, whose activation-side block sums are
-    permuted to match (ops.pallas_matmul).  q2_k: 4.375 bpw stored vs
+    permuted to match (ops.pallas_matmul).  q2_k: 4.625 bpw stored vs
     flat's 6.0, with the hot dequant chain identical to flat.
     """
     if rp.d_size == rp.sub_size:

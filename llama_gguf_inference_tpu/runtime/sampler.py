@@ -226,6 +226,10 @@ def _mask_typical(logits: jax.Array, typ: jax.Array) -> jax.Array:
     order = jnp.argsort(dev, axis=-1)              # ascending deviation
     p_ord = jnp.take_along_axis(p, order, axis=-1)
     keep_ord = (jnp.cumsum(p_ord, axis=-1) - p_ord) < typ[:, None]
+    # llama.cpp min_keep=1: the most typical token always survives, even
+    # for typical_p <= 0 (otherwise every logit is -inf and sampling
+    # degenerates to token 0)
+    keep_ord = keep_ord.at[:, 0].set(True)
     keep = jnp.zeros_like(keep_ord).at[
         jnp.arange(logits.shape[0])[:, None], order].set(keep_ord)
     keep = keep | (typ >= 1.0)[:, None]   # disabled rows pass through exactly

@@ -621,58 +621,70 @@ class OpenAIServer:
         pres = [self.engine.submit(prompt, p) for p in fan]
         choices = []
         usage_prompt = usage_gen = 0
-        for idx, (p_i, pre) in enumerate(zip(fan, pres)):
-            text = []
-            lp_content = []
-            finish = "stop"
-            n_prompt = n_gen = 0
-            async for ev in self._collect(prompt, p_i, pre=pre):
-                text.append(ev.text)
-                n_prompt, n_gen = ev.n_prompt, ev.n_generated
-                if params.n_probs > 0:
-                    lp_content.append(self._lp_entry(ev))
-                if ev.finished:
-                    finish = ev.finish_reason or "stop"
-            if finish == "error":
-                # a dead engine must surface as 5xx, not a 200 with an
-                # empty body (reference clients see 502/504 here)
-                self._cancel_pres(pres[idx + 1:])
-                await send_error(writer, 500, "inference engine failure",
-                                 "server_error", "engine_error")
-                return
-            usage_prompt = n_prompt
-            usage_gen += n_gen
-            content = "".join(text)
-            if chat:
-                calls = None
-                if tools:
-                    from .tool_calls import parse_tool_calls
-                    calls = parse_tool_calls(content, tools)
-                if calls:
-                    choice = {"index": idx,
-                              "message": {"role": "assistant", "content": None,
-                                          "tool_calls": calls},
-                              "finish_reason": "tool_calls"}
+        # exception safety (client gone mid-drain): _collect's finally
+        # cancels the CURRENT choice; the except arm cancels the
+        # not-yet-drained rest so their slots free immediately instead of
+        # decoding to max_tokens for nobody
+        active_idx = 0
+        try:
+            for idx, (p_i, pre) in enumerate(zip(fan, pres)):
+                active_idx = idx
+                text = []
+                lp_content = []
+                finish = "stop"
+                n_prompt = n_gen = 0
+                async for ev in self._collect(prompt, p_i, pre=pre):
+                    text.append(ev.text)
+                    n_prompt, n_gen = ev.n_prompt, ev.n_generated
+                    if params.n_probs > 0:
+                        lp_content.append(self._lp_entry(ev))
+                    if ev.finished:
+                        finish = ev.finish_reason or "stop"
+                if finish == "error":
+                    # a dead engine must surface as 5xx, not a 200 with an
+                    # empty body (reference clients see 502/504 here)
+                    self._cancel_pres(pres[idx + 1:])
+                    await send_error(writer, 500, "inference engine failure",
+                                     "server_error", "engine_error")
+                    return
+                usage_prompt = n_prompt
+                usage_gen += n_gen
+                content = "".join(text)
+                if chat:
+                    calls = None
+                    if tools:
+                        from .tool_calls import parse_tool_calls
+                        calls = parse_tool_calls(content, tools)
+                    if calls:
+                        choice = {"index": idx,
+                                  "message": {"role": "assistant",
+                                              "content": None,
+                                              "tool_calls": calls},
+                                  "finish_reason": "tool_calls"}
+                    else:
+                        choice = {"index": idx,
+                                  "message": {"role": "assistant",
+                                              "content": content},
+                                  "finish_reason": finish}
+                    if params.n_probs > 0:
+                        choice["logprobs"] = {"content": lp_content}
                 else:
-                    choice = {"index": idx,
-                              "message": {"role": "assistant",
-                                          "content": content},
-                              "finish_reason": finish}
-                if params.n_probs > 0:
-                    choice["logprobs"] = {"content": lp_content}
-            else:
-                choice = {"index": idx, "text": content,
-                          "finish_reason": finish, "logprobs": None}
-                if params.n_probs > 0:
-                    choice["logprobs"] = {
-                        "tokens": [e["token"] for e in lp_content],
-                        "token_logprobs": [e["logprob"] for e in lp_content],
-                        "top_logprobs": [
-                            {t["token"]: t["logprob"]
-                             for t in e["top_logprobs"]}
-                            for e in lp_content],
-                    }
-            choices.append(choice)
+                    choice = {"index": idx, "text": content,
+                              "finish_reason": finish, "logprobs": None}
+                    if params.n_probs > 0:
+                        choice["logprobs"] = {
+                            "tokens": [e["token"] for e in lp_content],
+                            "token_logprobs": [e["logprob"]
+                                               for e in lp_content],
+                            "top_logprobs": [
+                                {t["token"]: t["logprob"]
+                                 for t in e["top_logprobs"]}
+                                for e in lp_content],
+                        }
+                choices.append(choice)
+        except BaseException:
+            self._cancel_pres(pres[active_idx + 1:])
+            raise
         await send_response(writer, 200, json.dumps({
             "id": rid, "object": obj, "created": _now(),
             "model": self.engine.model_name,
@@ -806,10 +818,17 @@ class OpenAIServer:
             usage_gen += n_gen
             return True
 
-        for idx, (p_i, pre) in enumerate(zip(fan, pres)):
-            if not await stream_one(idx, p_i, pre):
-                self._cancel_pres(pres[idx + 1:])
-                return
+        active_idx = 0
+        try:
+            for idx, (p_i, pre) in enumerate(zip(fan, pres)):
+                active_idx = idx
+                if not await stream_one(idx, p_i, pre):
+                    self._cancel_pres(pres[idx + 1:])
+                    return
+        except BaseException:
+            # client disconnect mid-stream: free the undrained choices
+            self._cancel_pres(pres[active_idx + 1:])
+            raise
         if include_usage:
             writer.write(sse_event({
                 "id": rid, "object": obj, "created": _now(),

@@ -63,3 +63,24 @@ def test_fused_forward_matches_unfused(quant, tmp_path):
                     jnp.full(1, 4, jnp.int32))
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fuse_preserves_mixed_min_size(rng, monkeypatch):
+    """r5 regression: fuse_linears dropped min_size, so mixed-layout
+    (LGT_SCALE_LAYOUT=mixed) fused QKV crashed or silently mis-decoded
+    whenever in_features > 256 (more than one min super-block)."""
+    monkeypatch.setenv("LGT_SCALE_LAYOUT", "mixed")
+    in_f = 512
+    ws = []
+    refs = []
+    for out_f in (64, 32, 32):
+        x = rng.normal(size=(out_f, in_f)).astype(np.float32)
+        ql = to_quant_linear(repack(quantize(x, GGMLType.Q2_K),
+                                    GGMLType.Q2_K, out_f, in_f))
+        assert ql.min_size == 256, "mixed layout must engage"
+        ws.append(ql)
+        refs.append(np.asarray(ql.dequantize(jnp.float32)))
+    fused = fuse_linears(ws)
+    assert fused is not None and fused.min_size == 256
+    got = np.asarray(fused.dequantize(jnp.float32))
+    np.testing.assert_array_equal(got, np.concatenate(refs, axis=0))
