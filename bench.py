@@ -321,7 +321,12 @@ def main() -> None:
     log(f"[bench] resident weight bytes: {weight_bytes / 1e9:.3f} GB")
 
     prompt = list(range(3, 3 + 500))
-    p = SamplingParams(temperature=0.0, max_tokens=N_STEPS + 1)
+    # ban EOG tokens: a random-weight model's greedy walk can hit EOS and
+    # end the timed run early (observed on the q2_k-mixed shape at step
+    # 92/192) — the bench measures steady-state decode, not luck
+    no_eog = {2: -1e9, 1: -1e9}
+    p = SamplingParams(temperature=0.0, max_tokens=N_STEPS + 1,
+                       logit_bias=no_eog)
 
     # warmup: compiles prefill + multi-step decode graphs.  Long enough
     # (3 batches) that the pipelined continuation path (issue-before-drain)
@@ -329,7 +334,8 @@ def main() -> None:
     ms = int(os.environ.get("BENCH_MULTI_STEP", 64))
     t0 = time.time()
     for _ in eng.generate(prompt, SamplingParams(temperature=0.0,
-                                                 max_tokens=3 * ms + 2)):
+                                                 max_tokens=3 * ms + 2,
+                                                 logit_bias=no_eog)):
         pass
     t1 = time.time()
     log(f"[bench] warmup decode graphs: {t1 - t0:.1f}s")

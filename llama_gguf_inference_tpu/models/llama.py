@@ -271,10 +271,31 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
              * (cfg.attn_scale * jnp.sqrt(float(hd)))).astype(q.dtype)
 
     from ..runtime.kv_cache import QuantKV, QuantKV4, QuantKV41
-    from ..runtime.paged_kv import PagedKV
+    from ..runtime.paged_kv import PagedKV, PagedQuantKV
     group = H // KVH
     flash_ok = cfg.attn_softcap == 0.0 and not sliding
     quant_kv = isinstance(cache, (QuantKV, QuantKV4, QuantKV41))
+    if isinstance(cache, PagedQuantKV):
+        cache = cache.write(layer_idx, k, v, offsets)
+        if flash_ok and _use_flash_attention(B, T, group, KVH, cache.page_s,
+                                             hd, q.dtype.itemsize):
+            from ..ops.flash_attention import flash_attention_paged_q8
+            ctx = flash_attention_paged_q8(
+                q, cache.k_q[layer_idx], cache.k_s[layer_idx],
+                cache.v_q[layer_idx], cache.v_s[layer_idx], offsets,
+                cache.page_table)
+            ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+            return _out_proj(layer, ctx), cache
+        k_cache, v_cache = cache.gather(layer_idx)   # XLA fallback view
+        qh = q.reshape(B, T, KVH, group, hd)
+        scores = jnp.einsum("btkgd,bksd->bkgts", qh.astype(jnp.float32),
+                            k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bkgts,bksd->btkgd", probs,
+                         v_cache.astype(jnp.float32))
+        ctx = ctx.reshape(B, T, H * hd).astype(x.dtype)
+        return _out_proj(layer, ctx), cache
     if isinstance(cache, PagedKV):
         cache = cache.write(layer_idx, k, v, offsets)
         S = cache.max_seq

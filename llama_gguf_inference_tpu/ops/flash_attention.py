@@ -379,6 +379,89 @@ def _flash_paged_jit(q, k_pool, v_pool, offsets, page_table, *, cfg):
             .transpose(0, 2, 1, 3))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _flash_paged_q8_jit(q, kq_pool, ks_pool, vq_pool, vs_pool, offsets,
+                        page_table, *, cfg):
+    """Paged + q8_0 KV: the paged kernel's table-routed block index maps
+    composed with the q8 kernel's in-VMEM dequant.  Code pools are
+    (P, KVH, page_s, D) int8; scale pools (P, KVH, 1, page_s) f32 ROW
+    vectors (page_s on the lane axis, same rationale as _flash_q8_jit);
+    both DMA through the same SMEM page lookup."""
+    B, T, H, D, KVH, NP, page_s, HF, blk_s = cfg
+    group = H // KVH
+    R = group * T
+    NH = KVH // HF
+    NS = NP * page_s // blk_s
+    per_page = page_s // blk_s
+    scale = 1.0 / (D ** 0.5)
+
+    qr = (q.transpose(0, 2, 1, 3)
+          .reshape(B, KVH, group, T, D)
+          .reshape(B, KVH, R, D))
+
+    def kv_index(b, hg, s, off, pt):
+        sc = jnp.minimum(s, _needed(off, b, T, blk_s, NS))
+        lp = sc // per_page
+        return (jnp.maximum(pt[b, lp], 0), hg, sc - lp * per_page, 0)
+
+    def sc_index(b, hg, s, off, pt):
+        sc = jnp.minimum(s, _needed(off, b, T, blk_s, NS))
+        lp = sc // per_page
+        return (jnp.maximum(pt[b, lp], 0), hg, 0, sc - lp * per_page)
+
+    kv_spec = pl.BlockSpec((1, HF, blk_s, D), kv_index,
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, HF, 1, blk_s), sc_index,
+                           memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # offsets, page_table
+        grid=(B, NH, NS),
+        in_specs=[
+            pl.BlockSpec((1, HF, R, D),
+                         lambda b, hg, s, off, pt: (b, hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+        ],
+        out_specs=pl.BlockSpec((1, HF, R, D),
+                               lambda b, hg, s, off, pt: (b, hg, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((HF * R, 1), jnp.float32),
+            pltpu.VMEM((HF * R, 1), jnp.float32),
+            pltpu.VMEM((HF * R, D), jnp.float32),
+        ],
+    )
+
+    def kernel(off_ref, pt_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+               o_ref, m_sc, l_sc, acc_sc):
+        b = pl.program_id(0)
+        s = pl.program_id(2)
+        qv = q_ref[0].astype(jnp.float32) * scale
+        _flash_step(s, off_ref[b], qv,
+                    lambda h: kq_ref[0, h].astype(jnp.int32)
+                    .astype(jnp.float32),
+                    lambda h: vq_ref[0, h].astype(jnp.int32)
+                    .astype(jnp.float32),
+                    m_sc, l_sc, acc_sc, o_ref,
+                    T=T, blk_s=blk_s, n_blocks=NS, HF=HF, R=R,
+                    last_needed=_needed(off_ref, b, T, blk_s, NS),
+                    k_scale=lambda h: ks_ref[0, h],
+                    v_scale=lambda h: vs_ref[0, h])
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), q.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(offsets.astype(jnp.int32), page_table.astype(jnp.int32),
+      qr, kq_pool, ks_pool, vq_pool, vs_pool)
+
+    return (out.reshape(B, KVH, group, T, D)
+            .reshape(B, H, T, D)
+            .transpose(0, 2, 1, 3))
+
+
 def _flash_paged_local(q, k_pool, v_pool, offsets, page_table, *, blk_s):
     B, T, H, D = q.shape
     KVH, page_s = k_pool.shape[1], k_pool.shape[2]
@@ -388,6 +471,47 @@ def _flash_paged_local(q, k_pool, v_pool, offsets, page_table, *, blk_s):
     blk_s = _pick_blk_s(min(blk_s, page_s), page_s, HF, R, D, 2, qb)
     cfg = (B, T, H, D, KVH, NP, page_s, HF, blk_s)
     return _flash_paged_jit(q, k_pool, v_pool, offsets, page_table, cfg=cfg)
+
+
+def _flash_paged_q8_local(q, kq, ks, vq, vs, offsets, page_table, *, blk_s):
+    B, T, H, D = q.shape
+    KVH, page_s = kq.shape[1], kq.shape[2]
+    NP = page_table.shape[1]
+    qb, R = q.dtype.itemsize, (H // KVH) * T
+    HF = _pick_fold(KVH, R, D, qb)
+    blk_s = _pick_blk_s(min(blk_s, page_s), page_s, HF, R, D, 1, qb)
+    cfg = (B, T, H, D, KVH, NP, page_s, HF, blk_s)
+    return _flash_paged_q8_jit(q, kq, ks[:, :, None, :], vq,
+                               vs[:, :, None, :], offsets, page_table,
+                               cfg=cfg)
+
+
+def flash_attention_paged_q8(q: jax.Array, kq: jax.Array, ks: jax.Array,
+                             vq: jax.Array, vs: jax.Array,
+                             offsets: jax.Array, page_table: jax.Array,
+                             blk_s: int = 1024) -> jax.Array:
+    """Paged pools with q8_0 codes: kq/vq (P, KVH, page_s, D) int8,
+    ks/vs (P, KVH, page_s) f32 per-(token, head) scales; table/offsets as
+    :func:`flash_attention_paged`.  Returns (B, T, H, D)."""
+    if _MESH is not None:
+        from ..parallel.mesh import AXIS_DP
+        if _MESH.shape[AXIS_DP] > 1:
+            raise ValueError("paged KV cannot shard the page pool over a "
+                             "dp batch axis; use dp=1 (tp-only) meshes")
+    ax = _mesh_axes(q.shape[0], kq.shape[1])
+    if ax is not None:
+        mesh, dp, tp = ax
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        fn = shard_map(
+            functools.partial(_flash_paged_q8_local, blk_s=blk_s), mesh=mesh,
+            in_specs=(P(None, None, tp, None), P(None, tp, None, None),
+                      P(None, tp, None), P(None, tp, None, None),
+                      P(None, tp, None), P(None), P(None, None)),
+            out_specs=P(None, None, tp, None), check_rep=False)
+        return fn(q, kq, ks, vq, vs, offsets, page_table)
+    return _flash_paged_q8_local(q, kq, ks, vq, vs, offsets, page_table,
+                                 blk_s=blk_s)
 
 
 def flash_attention_paged(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,

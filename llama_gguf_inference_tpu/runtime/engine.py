@@ -194,10 +194,9 @@ class InferenceEngine:
                              "(expected 'contig' or 'paged')")
         quantized_kv = self.ecfg.kv_dtype in ("q8_0", "q4_0", "q4_1")
         if self.ecfg.kv_layout == "paged":
-            if quantized_kv:
-                raise ValueError("kv_layout='paged' supports bf16 KV only "
-                                 "(quantized paging is a contig-layout "
-                                 "feature)")
+            if self.ecfg.kv_dtype in ("q4_0", "q4_1"):
+                raise ValueError("kv_layout='paged' supports bf16 and q8_0 "
+                                 "KV (4-bit paged pools are not built)")
             if sharded and self.ecfg.dp > 1:
                 raise ValueError("kv_layout='paged' shards over tp only: "
                                  "the page pool is shared by every slot, so "
@@ -249,11 +248,14 @@ class InferenceEngine:
         B, S = self.ecfg.max_slots, self.ecfg.ctx
         self.alloc = None
         if self.ecfg.kv_layout == "paged":
-            from .paged_kv import PagedKV, PageAllocator
+            from .paged_kv import PagedKV, PagedQuantKV, PageAllocator
             page_s = self.ecfg.kv_page_size
             pool_pages = max(1, (B * S) // page_s)   # same HBM as contig
-            self.cache = PagedKV.zeros(cfg, B, pool_pages, page_s,
-                                       dtype=self.ecfg.kv_dtype)
+            if self.ecfg.kv_dtype == "q8_0":
+                self.cache = PagedQuantKV.zeros(cfg, B, pool_pages, page_s)
+            else:
+                self.cache = PagedKV.zeros(cfg, B, pool_pages, page_s,
+                                           dtype=self.ecfg.kv_dtype)
             self.alloc = PageAllocator(pool_pages, B)
         elif self.ecfg.kv_dtype == "q8_0":
             from .kv_cache import QuantKV
@@ -454,19 +456,17 @@ class InferenceEngine:
 
         def slot_view(pool, b):
             if paged:
-                from .paged_kv import PagedKV
-                return PagedKV(k=pool.k, v=pool.v,
-                               page_table=jax.lax.dynamic_slice_in_dim(
-                                   pool.page_table, b, 1, axis=0))
+                # pool pages are shared; only the table row is per-slot
+                # (works for PagedKV and PagedQuantKV alike)
+                return pool._replace(page_table=jax.lax.dynamic_slice_in_dim(
+                    pool.page_table, b, 1, axis=0))
             return jax.tree_util.tree_map(
                 lambda a: jax.lax.dynamic_slice_in_dim(a, b, 1, axis=0),
                 pool)
 
         def slot_merge(pool, view, b):
             if paged:
-                from .paged_kv import PagedKV
-                return PagedKV(k=view.k, v=view.v,
-                               page_table=pool.page_table)
+                return view._replace(page_table=pool.page_table)
             return jax.tree_util.tree_map(
                 lambda p, s: jax.lax.dynamic_update_slice_in_dim(
                     p, s.astype(p.dtype), b, axis=0), pool, view)

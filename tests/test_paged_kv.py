@@ -245,3 +245,81 @@ def test_engine_paged_pool_exhaustion_queues(tiny_model):
         assert sum(1 for e in evs if e.token_id >= 0) == 8
     assert eng.alloc.free_pages == 4
     eng.stop()
+
+
+def test_engine_paged_q8_matches_contig_q8(tiny_model):
+    """paged x quantized-KV composes (r5, VERDICT r4 weak list): greedy
+    tokens from a paged q8_0 engine == the contiguous q8_0 engine (the
+    codec is shared, so both quantize identically; only the storage
+    routing differs)."""
+    from llama_gguf_inference_tpu.runtime.engine import (EngineConfig,
+                                                         InferenceEngine)
+    from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+
+    prompt = list(range(3, 43))
+    p = SamplingParams(temperature=0.0, max_tokens=12)
+
+    def run(layout):
+        eng = InferenceEngine(tiny_model, EngineConfig(
+            max_slots=2, ctx=128, prefill_buckets=(16, 64), mode="dense",
+            kv_layout=layout, kv_dtype="q8_0", kv_page_size=64))
+        eng.start()
+        toks = [ev.token_id for ev in eng.generate(prompt, p)
+                if ev.token_id >= 0]
+        if eng.alloc is not None:
+            assert eng.alloc.free_pages == eng.alloc.table.shape[1]
+        eng.stop()
+        return toks
+
+    assert run("paged") == run("contig")
+
+
+def test_engine_paged_q4_still_rejected(tiny_model):
+    from llama_gguf_inference_tpu.runtime.engine import (EngineConfig,
+                                                         InferenceEngine)
+    with pytest.raises(ValueError, match="4-bit paged"):
+        InferenceEngine(tiny_model, EngineConfig(
+            max_slots=2, ctx=128, prefill_buckets=(16,), mode="dense",
+            kv_layout="paged", kv_dtype="q4_0"))
+
+
+def test_paged_q8_flash_matches_naive(rng):
+    """Kernel-level: paged q8 flash == naive attention over the
+    dequantized logical view, with shuffled physical pages."""
+    from llama_gguf_inference_tpu.ops.flash_attention import (
+        flash_attention_paged_q8,
+    )
+    from llama_gguf_inference_tpu.runtime.kv_cache import QuantKV
+
+    B, T, H, KVH, D = 2, 1, 4, 2, 64
+    NP, page_s = 4, 32
+    S = NP * page_s
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    v = rng.normal(size=(B, S, KVH, D)).astype(np.float32)
+    offsets = np.array([40, 100], np.int32)
+    kq, ks = QuantKV.quantize(jnp.asarray(k))        # (B, S, KVH, ...)
+    vq, vs = QuantKV.quantize(jnp.asarray(v))
+    kd = np.asarray(QuantKV.dequantize(kq, ks, jnp.float32))
+    vd = np.asarray(QuantKV.dequantize(vq, vs, jnp.float32))
+    want = naive_attention(q, kd, vd, offsets)
+
+    perm = np.array([5, 0, 7, 2, 1, 6, 3, 4], np.int32)
+    pt = perm[:B * NP].reshape(B, NP)
+    pool_kq = np.zeros((8, KVH, page_s, D), np.int8)
+    pool_vq = np.zeros((8, KVH, page_s, D), np.int8)
+    pool_ks = np.zeros((8, KVH, page_s), np.float32)
+    pool_vs = np.zeros((8, KVH, page_s), np.float32)
+    for b in range(B):
+        for j in range(NP):
+            blk = slice(j * page_s, (j + 1) * page_s)
+            pool_kq[pt[b, j]] = np.asarray(kq)[b, blk].transpose(1, 0, 2)
+            pool_vq[pt[b, j]] = np.asarray(vq)[b, blk].transpose(1, 0, 2)
+            pool_ks[pt[b, j]] = np.asarray(ks)[b, blk].transpose(1, 0)
+            pool_vs[pt[b, j]] = np.asarray(vs)[b, blk].transpose(1, 0)
+
+    got = np.asarray(flash_attention_paged_q8(
+        jnp.asarray(q), jnp.asarray(pool_kq), jnp.asarray(pool_ks),
+        jnp.asarray(pool_vq), jnp.asarray(pool_vs),
+        jnp.asarray(offsets), jnp.asarray(pt)))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
