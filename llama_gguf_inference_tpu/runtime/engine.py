@@ -337,6 +337,12 @@ class InferenceEngine:
         #                                        before the pending dispatch
         self._decode_hook = None       # (tokens, offsets, n_steps, want_lp)
         self._tick_hook = None         # (worked: bool) -> bool
+        # slot save/restore admin ops (llama-server --slot-save-path):
+        # executed on the scheduler thread between dispatches — cache
+        # mutation from another thread would race the decode loop's
+        # functional self.cache updates
+        self._slot_ops: "queue.Queue[tuple[str, int, str, queue.Queue]]" = \
+            queue.Queue()
 
         self._build_step_fns()
 
@@ -720,9 +726,111 @@ class InferenceEngine:
     def step(self) -> bool:
         """One scheduler iteration.  Returns True if any work was done."""
         self._reap_cancelled()
+        self._run_slot_ops()
         admitted = self._admit()
         decoded = self._decode()
         return admitted or decoded
+
+    # -- slot save/restore (llama-server --slot-save-path) --------------------
+    def slot_op(self, op: str, b: int, path: str = "") -> dict:
+        """Save / restore / erase slot b's prompt cache (llama-server
+        ``POST /slots/{id}?action=...``).  Thread-safe: the operation
+        executes on the scheduler thread between dispatches."""
+        if not 0 <= b < self.ecfg.max_slots:
+            raise ValueError(f"no such slot {b}")
+        if self._admit_hook is not None:
+            raise ValueError("slot save/restore is not supported under "
+                             "multi-host lockstep (leader-only cache "
+                             "surgery would diverge the followers)")
+        if self.alloc is not None:
+            raise ValueError("slot save/restore requires the contiguous "
+                             "KV layout (paged slots have no private "
+                             "region)")
+        if self._thread is None or not self._thread.is_alive():
+            return self._exec_slot_op(op, b, path)
+        reply: "queue.Queue" = queue.Queue()
+        self._slot_ops.put((op, b, path, reply))
+        status, payload = reply.get(timeout=600)
+        if status == "error":
+            raise ValueError(payload)
+        return payload
+
+    def _run_slot_ops(self) -> None:
+        while True:
+            try:
+                op, b, path, reply = self._slot_ops.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                reply.put(("ok", self._exec_slot_op(op, b, path)))
+            except Exception as e:  # noqa: BLE001 — surfaces as HTTP 400
+                reply.put(("error", str(e)))
+
+    def _exec_slot_op(self, op: str, b: int, path: str) -> dict:
+        import numpy as _np
+        slot = self.slots[b]
+        if slot.state != "free":
+            raise ValueError(f"slot {b} is busy")
+        if op == "erase":
+            n = len(slot.cached_ids)
+            slot.cached_ids = []
+            return {"id_slot": b, "n_erased": n}
+        L = self.cfg.n_layers
+        fields = [f for f in type(self.cache)._fields if f != "page_table"]
+        if op == "save":
+            n = len(slot.cached_ids)
+            if n == 0:
+                raise ValueError(f"slot {b} has no cached prompt to save")
+            t0 = time.monotonic()
+            payload = {"ids": _np.asarray(slot.cached_ids, _np.int32),
+                       "kind": type(self.cache).__name__,
+                       "model": self.model_name}
+            for f in fields:
+                layers = getattr(self.cache, f)
+                arr = _np.stack(
+                    [_np.asarray(layers[i][b, :, :n]) for i in range(L)])
+                if arr.dtype.name == "bfloat16":
+                    # savez has no bf16: store the raw u16 bit pattern
+                    # (restore views it back through the engine dtype)
+                    arr = arr.view(_np.uint16)
+                payload[f] = arr
+            _np.savez(path, **payload)
+            return {"id_slot": b, "filename": os.path.basename(path),
+                    "n_saved": n,
+                    "t_save_ms": round((time.monotonic() - t0) * 1e3, 1)}
+        if op != "restore":
+            raise ValueError(f"unknown slot action {op!r}")
+        t0 = time.monotonic()
+        with _np.load(path) as data:
+            if str(data["kind"]) != type(self.cache).__name__:
+                raise ValueError(
+                    f"cache kind mismatch: file has {data['kind']}, engine "
+                    f"runs {type(self.cache).__name__}")
+            if str(data["model"]) != self.model_name:
+                raise ValueError("slot file was saved from a different "
+                                 f"model ({data['model']})")
+            ids = [int(t) for t in data["ids"]]
+            n = len(ids)
+            if n > self._slot_cap(b):
+                raise ValueError(f"saved prompt ({n} tokens) exceeds the "
+                                 f"slot capacity {self._slot_cap(b)}")
+            new = {}
+            for f in fields:
+                layers = list(getattr(self.cache, f))
+                stacked = data[f]
+                if stacked.dtype == _np.uint16 \
+                        and layers[0].dtype == jnp.bfloat16:
+                    import ml_dtypes
+                    stacked = stacked.view(ml_dtypes.bfloat16)
+                for i in range(L):
+                    layers[i] = layers[i].at[b, :, :n].set(
+                        jnp.asarray(stacked[i]))
+                new[f] = tuple(layers)
+        self.cache = self.cache._replace(**new)
+        slot.cached_ids = ids
+        return {"id_slot": b, "filename": os.path.basename(path),
+                "n_restored": n,
+                "t_restore_ms": round((time.monotonic() - t0) * 1e3, 1)}
 
     def _reap_cancelled(self) -> None:
         if not self._cancelled:

@@ -233,6 +233,8 @@ class OpenAIServer:
                 await self.handle_apply_template(req, writer)
             elif path == "/slots" and req.method == "GET":
                 await self.handle_slots(writer)
+            elif path.startswith("/slots/") and req.method == "POST":
+                await self.handle_slot_action(req, writer, path)
             elif path == "/infill" and req.method == "POST":
                 await self.handle_infill(req, writer)
             elif path in ("/v1/rerank", "/rerank", "/v1/reranking") \
@@ -504,6 +506,62 @@ class OpenAIServer:
         info = getattr(self.engine, "slots_info", None)
         slots = info() if callable(info) else []
         await send_response(writer, 200, json.dumps(slots).encode())
+
+    async def handle_slot_action(self, req, writer, path: str) -> None:
+        """``POST /slots/{id}?action=save|restore|erase`` (llama-server
+        slot prompt-cache persistence).  save/restore write/read
+        ``SLOT_SAVE_PATH/<filename>`` (the ``--slot-save-path`` contract:
+        without it configured the actions are rejected); erase drops the
+        slot's cached-prompt claim."""
+        from urllib.parse import parse_qs, urlparse
+
+        sid = path[len("/slots/"):]
+        if not sid.isdigit():
+            await send_error(writer, 400, "slot id must be an integer",
+                             "invalid_request_error", "bad_request")
+            return
+        q = parse_qs(urlparse(req.path).query)
+        action = (q.get("action") or [""])[0]
+        if action not in ("save", "restore", "erase"):
+            await send_error(writer, 400,
+                             "action must be save, restore or erase",
+                             "invalid_request_error", "bad_request")
+            return
+        op_fn = getattr(self.engine, "slot_op", None)
+        if not callable(op_fn):
+            await send_error(writer, 501, "slot persistence is not "
+                             "supported by this backend", "server_error",
+                             "not_implemented")
+            return
+        full = ""
+        if action != "erase":
+            base = os.environ.get("SLOT_SAVE_PATH", "")
+            if not base:
+                await send_error(writer, 400, "slot save/restore requires "
+                                 "SLOT_SAVE_PATH (llama-server "
+                                 "--slot-save-path)", "invalid_request_error",
+                                 "bad_request")
+                return
+            body = self._parse_json(req) or {}
+            fname = os.path.basename(str(body.get("filename") or ""))
+            if not fname:
+                await send_error(writer, 400, "filename is required",
+                                 "invalid_request_error", "bad_request")
+                return
+            full = os.path.join(base, fname)
+        loop = asyncio.get_running_loop()
+        try:
+            out = await loop.run_in_executor(
+                None, lambda: op_fn(action, int(sid), full))
+        except ValueError as e:
+            await send_error(writer, 400, str(e), "invalid_request_error",
+                             "bad_request")
+            return
+        except FileNotFoundError:
+            await send_error(writer, 400, "no such slot file",
+                             "invalid_request_error", "bad_request")
+            return
+        await send_response(writer, 200, json.dumps(out).encode())
 
     async def handle_infill(self, req, writer) -> None:
         """Fill-in-the-middle completion (llama.cpp /infill): PSM order

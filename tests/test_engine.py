@@ -188,3 +188,65 @@ def test_sampler_tail_through_engine(engine):
     c = [ev.token_id for ev in engine.generate("hello world", pm)]
     d = [ev.token_id for ev in engine.generate("hello world", pm)]
     assert c == d and len(c) >= 1
+
+
+def test_slot_restore_into_fresh_engine(tmp_path_factory, tmp_path):
+    """Cross-process slot persistence: a slot file saved from one engine
+    restores into a brand-new engine (zeroed KV) and yields the same
+    continuation via prefix reuse — proving the file carries the real KV
+    bytes, not just the token list."""
+    path = tmp_path_factory.mktemp("sr") / "tiny.gguf"
+    write_tiny_llama(path, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96)
+    prompt = list(range(3, 23))
+    p = SamplingParams(temperature=0.0, max_tokens=4)
+    cfg = EngineConfig(max_slots=2, ctx=128, prefill_buckets=(16, 32),
+                       mode="dense")
+
+    e1 = InferenceEngine(str(path), cfg)
+    e1.start()
+    try:
+        base = [ev.token_id for ev in e1.generate(prompt, p)]
+        b = next(i for i, s in enumerate(e1.slots) if s.cached_ids)
+        out = e1.slot_op("save", b, str(tmp_path / "slot.npz"))
+        assert out["n_saved"] > len(prompt)
+    finally:
+        e1.stop()
+
+    e2 = InferenceEngine(str(path), cfg)
+    e2.start()
+    try:
+        got = e2.slot_op("restore", 0, str(tmp_path / "slot.npz"))
+        assert got["n_restored"] == out["n_saved"]
+        before = e2.total_prefix_reused
+        again = [ev.token_id for ev in e2.generate(prompt, p)]
+        assert again == base, "restored KV must reproduce the continuation"
+        assert e2.total_prefix_reused > before
+    finally:
+        e2.stop()
+
+
+def test_slot_save_q8_kv_roundtrip(tmp_path_factory, tmp_path):
+    """Slot persistence generalizes over cache codecs (q8_0 contig)."""
+    path = tmp_path_factory.mktemp("srq") / "tiny.gguf"
+    write_tiny_llama(path, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     ffn_dim=96)
+    prompt = list(range(5, 21))
+    p = SamplingParams(temperature=0.0, max_tokens=3)
+    cfg = EngineConfig(max_slots=2, ctx=128, prefill_buckets=(16,),
+                       mode="dense", kv_dtype="q8_0")
+    e1 = InferenceEngine(str(path), cfg)
+    e1.start()
+    try:
+        base = [ev.token_id for ev in e1.generate(prompt, p)]
+        b = next(i for i, s in enumerate(e1.slots) if s.cached_ids)
+        e1.slot_op("save", b, str(tmp_path / "q8.npz"))
+    finally:
+        e1.stop()
+    e2 = InferenceEngine(str(path), cfg)
+    e2.start()
+    try:
+        e2.slot_op("restore", 1, str(tmp_path / "q8.npz"))
+        assert [ev.token_id for ev in e2.generate(prompt, p)] == base
+    finally:
+        e2.stop()

@@ -255,3 +255,75 @@ async def test_rerank_501_without_embed(engine):
         assert json.loads(body)["error"]["code"] == "not_supported"
     finally:
         await srv.close()
+
+
+async def test_slot_save_restore_roundtrip(engine, tmp_path, monkeypatch):
+    """POST /slots/{id}?action=save|restore|erase (llama-server
+    --slot-save-path): a saved prompt cache restores into a FRESH engine
+    and re-arms prefix reuse."""
+    from llama_gguf_inference_tpu.runtime.sampler import SamplingParams
+
+    monkeypatch.setenv("SLOT_SAVE_PATH", str(tmp_path))
+    prompt = list(range(3, 23))
+    p = SamplingParams(temperature=0.0, max_tokens=3)
+    base = [ev.token_id for ev in engine.generate(prompt, p)]
+    # the finished request leaves its prompt cached in some slot
+    cached = [i for i, s in enumerate(engine.slots) if s.cached_ids]
+    assert cached
+    b = cached[0]
+
+    srv = await _serve(engine)
+    try:
+        status, _, body = await http_request(
+            srv.port, "POST", f"/slots/{b}?action=save", body=json.dumps(
+                {"filename": "s0.npz"}).encode(),
+            headers={"Content-Type": "application/json"})
+        assert status == 200, body
+        out = json.loads(body)
+        assert out["n_saved"] == len(engine.slots[b].cached_ids)
+        # erase drops the claim
+        status, _, body = await http_request(
+            srv.port, "POST", f"/slots/{b}?action=erase")
+        assert status == 200 and json.loads(body)["n_erased"] > 0
+        assert engine.slots[b].cached_ids == []
+        # restore brings it back; a repeat request reuses the prefix
+        status, _, body = await http_request(
+            srv.port, "POST", f"/slots/{b}?action=restore", body=json.dumps(
+                {"filename": "s0.npz"}).encode(),
+            headers={"Content-Type": "application/json"})
+        assert status == 200, body
+        # cached_ids covers prompt + generated[:-1] (the final token's KV
+        # is only written by the next dispatch) — restore must match save
+        assert json.loads(body)["n_restored"] == out["n_saved"]
+        before = engine.total_prefix_reused
+        again = [ev.token_id for ev in engine.generate(prompt, p)]
+        assert again == base
+        assert engine.total_prefix_reused > before, \
+            "restored cache must re-arm prompt-prefix reuse"
+        # validation: bad action / bad id / traversal-proof filename
+        status, _, _ = await http_request(
+            srv.port, "POST", f"/slots/{b}?action=zap")
+        assert status == 400
+        status, _, _ = await http_request(
+            srv.port, "POST", "/slots/99?action=erase")
+        assert status == 400
+        status, _, body = await http_request(
+            srv.port, "POST", f"/slots/{b}?action=restore", body=json.dumps(
+                {"filename": "../../etc/passwd"}).encode(),
+            headers={"Content-Type": "application/json"})
+        assert status == 400   # basename-only + no such slot file
+    finally:
+        await srv.close()
+
+
+async def test_slot_save_requires_path_env(engine, monkeypatch):
+    monkeypatch.delenv("SLOT_SAVE_PATH", raising=False)
+    srv = await _serve(engine)
+    try:
+        status, _, body = await http_request(
+            srv.port, "POST", "/slots/0?action=save", body=json.dumps(
+                {"filename": "x.npz"}).encode(),
+            headers={"Content-Type": "application/json"})
+        assert status == 400 and b"SLOT_SAVE_PATH" in body
+    finally:
+        await srv.close()
