@@ -57,7 +57,7 @@ SHAPES = {
     "160m3": dict(dim=512, n_layers=8, n_heads=8, n_kv_heads=4,
                   ffn_dim=1536, vocab=128256, rope_base=500000.0),
 }
-_MS = int(os.environ.get("BENCH_MULTI_STEP", 64))
+_MS = int(os.environ.get("BENCH_MULTI_STEP", 128))
 # a multiple of the multi-step depth: tokens arrive in per-dispatch bursts,
 # so the first->last-token window must span whole dispatches for
 # (n_tok - 1) / window to equal true per-token time
@@ -287,7 +287,7 @@ def main() -> None:
         # prompt-length-bound, so nothing in the metrics changes)
         max_slots=n_slots, ctx=1024, prefill_buckets=(bucket,), mode="quant",
         kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
-        multi_step=int(os.environ.get("BENCH_MULTI_STEP", 64))))
+        multi_step=int(os.environ.get("BENCH_MULTI_STEP", 128))))
     eng.start()
     load_s = time.time() - t0
     log(f"[bench] load+repack: {load_s:.1f}s")
@@ -331,7 +331,7 @@ def main() -> None:
     # warmup: compiles prefill + multi-step decode graphs.  Long enough
     # (3 batches) that the pipelined continuation path (issue-before-drain)
     # is exercised too — nothing compiles inside the timed run.
-    ms = int(os.environ.get("BENCH_MULTI_STEP", 64))
+    ms = int(os.environ.get("BENCH_MULTI_STEP", 128))
     t0 = time.time()
     for _ in eng.generate(prompt, SamplingParams(temperature=0.0,
                                                  max_tokens=3 * ms + 2,
