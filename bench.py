@@ -287,7 +287,7 @@ def main() -> None:
         # prompt-length-bound, so nothing in the metrics changes)
         max_slots=n_slots, ctx=1024, prefill_buckets=(bucket,), mode="quant",
         kv_dtype=kv if kv in ("q8_0", "q4_0", "q4_1") else jnp.bfloat16,
-        multi_step=int(os.environ.get("BENCH_MULTI_STEP", 128))))
+        multi_step=_MS))
     eng.start()
     load_s = time.time() - t0
     log(f"[bench] load+repack: {load_s:.1f}s")
@@ -331,7 +331,7 @@ def main() -> None:
     # warmup: compiles prefill + multi-step decode graphs.  Long enough
     # (3 batches) that the pipelined continuation path (issue-before-drain)
     # is exercised too — nothing compiles inside the timed run.
-    ms = int(os.environ.get("BENCH_MULTI_STEP", 128))
+    ms = _MS
     t0 = time.time()
     for _ in eng.generate(prompt, SamplingParams(temperature=0.0,
                                                  max_tokens=3 * ms + 2,

@@ -290,6 +290,9 @@ def attention(layer: Params, cfg: ModelConfig, x: jax.Array,
         qh = q.reshape(B, T, KVH, group, hd)
         scores = jnp.einsum("btkgd,bksd->bkgts", qh.astype(jnp.float32),
                             k_cache.astype(jnp.float32)) / jnp.sqrt(float(hd))
+        if cfg.attn_softcap > 0.0:   # gemma2 — always this path under paging
+            cap = cfg.attn_softcap
+            scores = cap * jnp.tanh(scores / cap)
         scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bkgts,bksd->btkgd", probs,

@@ -284,19 +284,24 @@ def shard_cache(cache, mesh: Mesh, n_kv_heads: int | None = None,
     b_axis = AXIS_DP if (batch is None or
                          batch % mesh.shape[AXIS_DP] == 0) else None
 
-    from ..runtime.paged_kv import PagedKV
-    if isinstance(cache, PagedKV):
-        # pools are (P, KVH, page_s, D): the PAGE axis is global (pages
+    from ..runtime.paged_kv import PagedKV, PagedQuantKV
+    if isinstance(cache, (PagedKV, PagedQuantKV)):
+        # pools are (P, KVH, page_s, ...): the PAGE axis is global (pages
         # assign to any slot) so only KV heads shard; the tiny page table
-        # replicates.  dp batch sharding is unsound for a shared pool —
-        # the engine restricts paged layouts to dp == 1 meshes.
-        pool_s = NamedSharding(mesh, P(None, h_axis, None, None))
+        # replicates (the paged flash kernels' shard_map declares it so —
+        # the generic branch below would tp-shard it and crash whenever
+        # pool_pages % tp != 0).  dp batch sharding is unsound for a
+        # shared pool — the engine restricts paged layouts to dp == 1.
         rep = NamedSharding(mesh, P())
-        return PagedKV(
-            k=tuple(jax.device_put(a, pool_s) for a in cache.k),
-            v=tuple(jax.device_put(a, pool_s) for a in cache.v),
-            page_table=jax.device_put(cache.page_table, rep),
-        )
+
+        def put_pool(leaf):
+            spec = (None, h_axis, None, None)[:leaf.ndim]
+            return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+        fields = {f: jax.tree_util.tree_map(put_pool, getattr(cache, f))
+                  for f in type(cache)._fields if f != "page_table"}
+        return cache._replace(
+            page_table=jax.device_put(cache.page_table, rep), **fields)
 
     def put(leaf):
         spec = (b_axis, h_axis, None, None)[:leaf.ndim]

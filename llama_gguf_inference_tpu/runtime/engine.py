@@ -738,19 +738,24 @@ class InferenceEngine:
         executes on the scheduler thread between dispatches."""
         if not 0 <= b < self.ecfg.max_slots:
             raise ValueError(f"no such slot {b}")
-        if self._admit_hook is not None:
-            raise ValueError("slot save/restore is not supported under "
-                             "multi-host lockstep (leader-only cache "
-                             "surgery would diverge the followers)")
-        if self.alloc is not None:
-            raise ValueError("slot save/restore requires the contiguous "
-                             "KV layout (paged slots have no private "
-                             "region)")
+        if op != "erase":   # erase only clears a host-side claim
+            if self._admit_hook is not None:
+                raise ValueError("slot save/restore is not supported under "
+                                 "multi-host lockstep (leader-only cache "
+                                 "surgery would diverge the followers)")
+            if self.alloc is not None:
+                raise ValueError("slot save/restore requires the contiguous "
+                                 "KV layout (paged slots have no private "
+                                 "region)")
         if self._thread is None or not self._thread.is_alive():
             return self._exec_slot_op(op, b, path)
         reply: "queue.Queue" = queue.Queue()
         self._slot_ops.put((op, b, path, reply))
-        status, payload = reply.get(timeout=600)
+        try:
+            status, payload = reply.get(timeout=600)
+        except queue.Empty:
+            raise ValueError("engine stopped before the slot operation "
+                             "ran") from None
         if status == "error":
             raise ValueError(payload)
         return payload
@@ -794,7 +799,10 @@ class InferenceEngine:
                     # (restore views it back through the engine dtype)
                     arr = arr.view(_np.uint16)
                 payload[f] = arr
-            _np.savez(path, **payload)
+            # a file OBJECT keeps the exact name: np.savez(str) silently
+            # appends ".npz", which restore would then fail to find
+            with open(path, "wb") as fh:
+                _np.savez(fh, **payload)
             return {"id_slot": b, "filename": os.path.basename(path),
                     "n_saved": n,
                     "t_save_ms": round((time.monotonic() - t0) * 1e3, 1)}

@@ -208,15 +208,19 @@ def test_slot_restore_into_fresh_engine(tmp_path_factory, tmp_path):
     try:
         base = [ev.token_id for ev in e1.generate(prompt, p)]
         b = next(i for i, s in enumerate(e1.slots) if s.cached_ids)
-        out = e1.slot_op("save", b, str(tmp_path / "slot.npz"))
+        # non-.npz filename: np.savez(str) would silently append ".npz"
+        # and break the later restore (r5 review finding) — save through a
+        # file object keeps the exact name
+        out = e1.slot_op("save", b, str(tmp_path / "slot.bin"))
         assert out["n_saved"] > len(prompt)
+        assert (tmp_path / "slot.bin").exists()
     finally:
         e1.stop()
 
     e2 = InferenceEngine(str(path), cfg)
     e2.start()
     try:
-        got = e2.slot_op("restore", 0, str(tmp_path / "slot.npz"))
+        got = e2.slot_op("restore", 0, str(tmp_path / "slot.bin"))
         assert got["n_restored"] == out["n_saved"]
         before = e2.total_prefix_reused
         again = [ev.token_id for ev in e2.generate(prompt, p)]

@@ -323,3 +323,25 @@ def test_paged_q8_flash_matches_naive(rng):
         jnp.asarray(pool_vq), jnp.asarray(pool_vs),
         jnp.asarray(offsets), jnp.asarray(pt)))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_shard_cache_paged_q8_replicates_table():
+    """r5 regression: shard_cache must replicate PagedQuantKV's page table
+    (the generic branch tp-sharded it — crashing whenever pool_pages % tp
+    != 0 and contradicting the flash kernel's replicated in_spec)."""
+    import jax
+    from llama_gguf_inference_tpu.models.config import ModelConfig
+    from llama_gguf_inference_tpu.parallel.mesh import make_mesh
+    from llama_gguf_inference_tpu.parallel.partition import shard_cache
+    from llama_gguf_inference_tpu.runtime.paged_kv import PagedQuantKV
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = ModelConfig(arch="llama", dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=2, head_dim=16, ffn_dim=96, vocab_size=64)
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    cache = PagedQuantKV.zeros(cfg, batch=2, pool_pages=3, page_s=16)
+    sharded = shard_cache(cache, mesh, n_kv_heads=2, batch=2)
+    assert sharded.page_table.sharding.is_fully_replicated
+    # pools shard over kv heads
+    assert not sharded.k_q[0].sharding.is_fully_replicated
